@@ -1,0 +1,350 @@
+"""Self-describing encoded column-chunk blobs + per-chunk statistics.
+
+A chunk is our analog of the reference's column chunk within a row group
+(``/root/reference/src/parquet/metadata.h:90-117``): all values of one column
+for one Spark partition, encoded as one binary blob plus metadata columns.
+The blob layout mirrors a V1 data page preceded by an optional dictionary
+page (``/root/reference/src/parquet/column_writer.cc:354-431``):
+
+    header   := magic "PQS1" | u8 version | u8 codec | u8 phys | u8 flags
+                | u32 n_rows | u32 n_values | u32 null_count
+    sections := [u32 len + rep-RLE][u32 len + def-RLE]        (if HAS_LEVELS)
+                [u32 len + dict page][u32 n_dict_values]      (if DICT)
+                [u32 len + payload]
+                [u32 n_plain_values][u32 len + plain payload] (if FALLBACK)
+
+Statistics (min/max/null_count) follow ``EncodedStatistics``
+(``/root/reference/src/parquet/statistics.h:34-82``), computed vectorized.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .kernels import bitpack, bytearray_codecs, delta, dictionary, fsst, plain, rle
+from . import levels as levels_mod
+
+MAGIC = b"PQS1"
+VERSION = 1
+
+# Codec ids reuse the parquet Encoding enum where one exists
+# (/root/reference/src/parquet/types.h:97-109); FSST is ours.
+PLAIN = 0
+PLAIN_DICTIONARY = 2
+RLE = 3
+DELTA_BINARY_PACKED = 5
+DELTA_LENGTH_BYTE_ARRAY = 6
+DELTA_BYTE_ARRAY = 7
+RLE_DICTIONARY = 8
+FSST = 200
+
+CODEC_NAMES = {
+    PLAIN: "PLAIN",
+    PLAIN_DICTIONARY: "PLAIN_DICTIONARY",
+    RLE: "RLE",
+    DELTA_BINARY_PACKED: "DELTA_BINARY_PACKED",
+    DELTA_LENGTH_BYTE_ARRAY: "DELTA_LENGTH_BYTE_ARRAY",
+    DELTA_BYTE_ARRAY: "DELTA_BYTE_ARRAY",
+    RLE_DICTIONARY: "RLE_DICTIONARY",
+    FSST: "FSST",
+}
+CODEC_IDS = {v: k for k, v in CODEC_NAMES.items()}
+
+# Physical types (/root/reference/src/parquet/types.h:49-60)
+BOOLEAN, INT32, INT64, INT96, FLOAT, DOUBLE, BYTE_ARRAY, FLBA = range(8)
+PHYS_NAMES = {INT32: "int32", INT64: "int64", FLOAT: "float",
+              DOUBLE: "double", BYTE_ARRAY: "byte_array", BOOLEAN: "boolean"}
+PHYS_IDS = {v: k for k, v in PHYS_NAMES.items()}
+
+FLAG_HAS_LEVELS = 1
+FLAG_FALLBACK = 2
+
+_HEADER_LEN = 4 + 1 + 1 + 1 + 1 + 4 + 4 + 4
+
+
+@dataclass
+class ChunkStats:
+    min_val: str | None
+    max_val: str | None
+    null_count: int
+
+
+@dataclass
+class EncodedChunk:
+    codec: int
+    phys: int
+    n_rows: int
+    n_values: int
+    raw_bytes: int
+    blob: bytes
+    encodings: list[str] = field(default_factory=list)
+    stats: ChunkStats | None = None
+
+    @property
+    def enc_bytes(self) -> int:
+        return len(self.blob)
+
+    @property
+    def codec_name(self) -> str:
+        return CODEC_NAMES[self.codec]
+
+
+def _sec(payload: bytes) -> bytes:
+    return len(payload).to_bytes(4, "little") + payload
+
+
+def compute_stats(values, phys: str) -> ChunkStats:
+    """min/max/null_count as canonical strings (the reference plain-encodes
+    min/max; we store a string form for the manifest columns). Skips stats
+    whose encoded form exceeds 4096 bytes, like the reference's
+    max_statistics_size guard (``column_writer.cc:441-446``)."""
+    if phys == "byte_array":
+        if len(values) == 0:
+            return ChunkStats(None, None, 0)
+        mn = min(values)
+        mx = max(values)
+        if len(mn) > 4096 or len(mx) > 4096:
+            return ChunkStats(None, None, 0)
+        return ChunkStats(mn.decode("utf-8", "replace"),
+                          mx.decode("utf-8", "replace"), 0)
+    arr = np.asarray(values)
+    if arr.size == 0:
+        return ChunkStats(None, None, 0)
+    return ChunkStats(repr(arr.min()), repr(arr.max()), 0)
+
+
+def _encode_int_payload(values: np.ndarray, codec: int, phys: str,
+                        dict_size_limit: int) -> tuple[bytes, list[str], bool, dict]:
+    """Returns (sections, encodings, fallback, extras)."""
+    if codec == PLAIN:
+        return _sec(plain.encode_fixed(values, phys)), ["PLAIN"], False, {}
+    if codec == DELTA_BINARY_PACKED:
+        return _sec(delta.encode(values)), ["DELTA_BINARY_PACKED"], False, {}
+    if codec == RLE:
+        mx = int(values.max()) if len(values) else 0
+        mn = int(values.min()) if len(values) else 0
+        if mn < 0:
+            raise ValueError("RLE direct coding requires non-negative values")
+        bw = max(1, bitpack.width_for_max(mx))
+        payload = bytes([bw]) + rle.encode(values, bw)
+        return _sec(payload), ["RLE"], False, {}
+    if codec == RLE_DICTIONARY:
+        enc = dictionary.encode(values, phys, dict_size_limit)
+        secs = _sec(enc.dict_blob) + enc.n_dict_values.to_bytes(4, "little")
+        secs += _sec(enc.indices_blob)
+        encodings = ["PLAIN_DICTIONARY", "RLE"]
+        if enc.fallback:
+            secs += enc.n_plain_values.to_bytes(4, "little")
+            secs += _sec(enc.plain_blob)
+            encodings = ["PLAIN_DICTIONARY", "PLAIN", "RLE"]
+        return secs, encodings, enc.fallback, {"num_entries": enc.num_entries}
+    raise ValueError(f"codec {codec} unsupported for {phys}")
+
+
+def _encode_bytes_payload(values: list[bytes], codec: int,
+                          dict_size_limit: int) -> tuple[bytes, list[str], bool]:
+    if codec == PLAIN:
+        return _sec(plain.encode_byte_array(values)), ["PLAIN"], False
+    if codec == DELTA_LENGTH_BYTE_ARRAY:
+        return _sec(bytearray_codecs.encode_delta_length(values)), \
+            ["DELTA_LENGTH_BYTE_ARRAY"], False
+    if codec == DELTA_BYTE_ARRAY:
+        return _sec(bytearray_codecs.encode_delta_byte_array(values)), \
+            ["DELTA_BYTE_ARRAY"], False
+    if codec == FSST:
+        return _sec(fsst.encode(values)), ["FSST"], False
+    if codec == RLE_DICTIONARY:
+        enc = dictionary.encode(values, "byte_array", dict_size_limit)
+        secs = _sec(enc.dict_blob) + enc.n_dict_values.to_bytes(4, "little")
+        secs += _sec(enc.indices_blob)
+        encodings = ["PLAIN_DICTIONARY", "RLE"]
+        if enc.fallback:
+            secs += enc.n_plain_values.to_bytes(4, "little")
+            secs += _sec(enc.plain_blob)
+            encodings = ["PLAIN_DICTIONARY", "PLAIN", "RLE"]
+        return secs, encodings, enc.fallback
+    raise ValueError(f"codec {codec} unsupported for byte_array")
+
+
+def encode_chunk(values, phys: str, codec: int, *,
+                 row_lengths: np.ndarray | None = None,
+                 dict_size_limit: int = dictionary.DEFAULT_DICT_SIZE_LIMIT,
+                 with_stats: bool = True) -> EncodedChunk:
+    """Encode one column chunk. ``row_lengths`` is set for the list column
+    (tokens): values are the flattened elements and levels are emitted."""
+    has_levels = row_lengths is not None
+    if phys == "byte_array":
+        n_values = len(values)
+        raw = sum(len(v) + 4 for v in values)
+    else:
+        values = np.ascontiguousarray(values)
+        n_values = len(values)
+        raw = values.dtype.itemsize * n_values
+    n_rows = len(row_lengths) if has_levels else n_values
+
+    sections = b""
+    encodings: list[str] = []
+    fallback = False
+    if has_levels:
+        rep, deflev = levels_mod.levels_from_lengths(row_lengths)
+        sections += len(rep).to_bytes(4, "little")  # level slot count
+        sections += rle.encode_length_prefixed(rep, 1)
+        sections += rle.encode_length_prefixed(deflev, 1)
+        encodings.append("RLE")  # level encoding, as the reference records it
+        raw += 2 * len(rep)  # levels are int16 in the reference's raw form
+
+    if phys == "byte_array":
+        secs, encs, fallback = _encode_bytes_payload(values, codec,
+                                                     dict_size_limit)
+    else:
+        secs, encs, fallback, _extras = _encode_int_payload(
+            values, codec, phys, dict_size_limit)
+    sections += secs
+    encodings.extend(e for e in encs if e not in encodings)
+
+    flags = (FLAG_HAS_LEVELS if has_levels else 0) | \
+        (FLAG_FALLBACK if fallback else 0)
+    header = (MAGIC + bytes([VERSION, codec, PHYS_IDS[phys], flags])
+              + n_rows.to_bytes(4, "little")
+              + n_values.to_bytes(4, "little")
+              + (0).to_bytes(4, "little"))
+    stats = compute_stats(values, phys) if with_stats else None
+    return EncodedChunk(codec, PHYS_IDS[phys], n_rows, n_values, raw,
+                        header + sections, encodings, stats)
+
+
+@dataclass
+class DecodedChunk:
+    values: "np.ndarray | list[bytes]"
+    row_lengths: np.ndarray | None
+    codec: int
+    phys: int
+    n_rows: int
+    n_values: int
+
+
+def decode_chunk(blob) -> DecodedChunk:
+    mv = memoryview(blob)
+    if bytes(mv[:4]) != MAGIC:
+        raise ValueError("bad chunk magic")
+    version, codec, phys_id, flags = mv[4], mv[5], mv[6], mv[7]
+    if version != VERSION:
+        raise ValueError(f"unsupported chunk version {version}")
+    n_rows = int.from_bytes(mv[8:12], "little")
+    n_values = int.from_bytes(mv[12:16], "little")
+    pos = _HEADER_LEN
+    phys = PHYS_NAMES[phys_id]
+
+    row_lengths = None
+    if flags & FLAG_HAS_LEVELS:
+        n_slots = int.from_bytes(mv[pos: pos + 4], "little")
+        pos += 4
+        rep, pos = rle.decode_length_prefixed(mv, n_slots, 1, pos)
+        deflev, pos = rle.decode_length_prefixed(mv, n_slots, 1, pos)
+        row_lengths = levels_mod.lengths_from_levels(rep, deflev)
+
+    fallback = bool(flags & FLAG_FALLBACK)
+    if phys == "byte_array":
+        values = _decode_bytes_payload(mv, pos, codec, n_values, fallback)
+    else:
+        values = _decode_int_payload(mv, pos, codec, phys, n_values, fallback)
+    return DecodedChunk(values, row_lengths, codec, phys_id, n_rows, n_values)
+
+
+def _decode_int_payload(mv, pos: int, codec: int, phys: str, n_values: int,
+                        fallback: bool = False):
+    sec_len = int.from_bytes(mv[pos: pos + 4], "little")
+    pos += 4
+    if codec == PLAIN:
+        values, _ = plain.decode_fixed(mv, n_values, phys, pos)
+        return values
+    if codec == DELTA_BINARY_PACKED:
+        dt = np.int32 if phys == "int32" else np.int64
+        values, _ = delta.decode(mv[pos: pos + sec_len], out_dtype=dt)
+        return values
+    if codec == RLE:
+        bw = mv[pos]
+        dt = np.int32 if phys == "int32" else np.int64
+        values, _ = rle.decode(mv, n_values, bw, pos + 1, out_dtype=dt)
+        return values
+    if codec == RLE_DICTIONARY:
+        dict_blob = bytes(mv[pos: pos + sec_len])
+        pos += sec_len
+        n_dict_values = int.from_bytes(mv[pos: pos + 4], "little")
+        pos += 4
+        idx_len = int.from_bytes(mv[pos: pos + 4], "little")
+        pos += 4
+        indices_blob = bytes(mv[pos: pos + idx_len])
+        pos += idx_len
+        n_plain = 0
+        plain_blob = b""
+        if fallback:
+            n_plain = int.from_bytes(mv[pos: pos + 4], "little")
+            pos += 4
+            pl_len = int.from_bytes(mv[pos: pos + 4], "little")
+            pos += 4
+            plain_blob = bytes(mv[pos: pos + pl_len])
+        # dictionary entry count: the dict blob is PLAIN fixed-width
+        itemsize = 4 if phys in ("int32", "float") else 8
+        num_entries = len(dict_blob) // itemsize
+        vals = dictionary.decode(
+            None, phys, dict_blob=dict_blob, indices_blob=indices_blob,
+            num_entries=num_entries, n_dict_values=n_dict_values,
+            plain_blob=plain_blob, n_plain_values=n_plain)
+        dt = np.int32 if phys == "int32" else np.int64
+        return np.asarray(vals).astype(dt, copy=False)
+    raise ValueError(f"codec {codec} unsupported for {phys}")
+
+
+def _decode_bytes_payload(mv, pos: int, codec: int, n_values: int,
+                          fallback: bool = False):
+    sec_len = int.from_bytes(mv[pos: pos + 4], "little")
+    pos += 4
+    if codec == PLAIN:
+        values, _ = plain.decode_byte_array(mv, n_values, pos)
+        return values
+    if codec == DELTA_LENGTH_BYTE_ARRAY:
+        values, _ = bytearray_codecs.decode_delta_length(mv, pos)
+        return values
+    if codec == DELTA_BYTE_ARRAY:
+        values, _ = bytearray_codecs.decode_delta_byte_array(mv, pos)
+        return values
+    if codec == FSST:
+        values, _ = fsst.decode(mv, pos)
+        return values
+    if codec == RLE_DICTIONARY:
+        dict_blob = bytes(mv[pos: pos + sec_len])
+        pos += sec_len
+        n_dict_values = int.from_bytes(mv[pos: pos + 4], "little")
+        pos += 4
+        idx_len = int.from_bytes(mv[pos: pos + 4], "little")
+        pos += 4
+        indices_blob = bytes(mv[pos: pos + idx_len])
+        pos += idx_len
+        n_plain = 0
+        plain_blob = b""
+        if fallback:
+            n_plain = int.from_bytes(mv[pos: pos + 4], "little")
+            pos += 4
+            pl_len = int.from_bytes(mv[pos: pos + 4], "little")
+            pos += 4
+            plain_blob = bytes(mv[pos: pos + pl_len])
+        num_entries = _count_byte_array_entries(dict_blob)
+        return dictionary.decode(
+            None, "byte_array", dict_blob=dict_blob, indices_blob=indices_blob,
+            num_entries=num_entries, n_dict_values=n_dict_values,
+            plain_blob=plain_blob, n_plain_values=n_plain)
+    raise ValueError(f"codec {codec} unsupported for byte_array")
+
+
+def _count_byte_array_entries(blob: bytes) -> int:
+    n = 0
+    pos = 0
+    total = len(blob)
+    while pos < total:
+        ln = int.from_bytes(blob[pos: pos + 4], "little")
+        pos += 4 + ln
+        n += 1
+    return n

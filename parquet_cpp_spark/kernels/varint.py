@@ -1,0 +1,51 @@
+"""ULEB128 varints + zigzag, as used by the parquet RLE-hybrid headers and
+DELTA_BINARY_PACKED headers (see the reference's decoder,
+``/root/reference/src/parquet/encoding-internal.h:812-834``)."""
+
+from __future__ import annotations
+
+
+def encode_uvarint(value: int) -> bytes:
+    if value < 0:
+        raise ValueError("uvarint requires non-negative value")
+    out = bytearray()
+    while True:
+        b = value & 0x7F
+        value >>= 7
+        if value:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def decode_uvarint(buf, pos: int = 0) -> tuple[int, int]:
+    """Returns (value, new_pos)."""
+    result = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            return result, pos
+        shift += 7
+        if shift > 70:
+            raise ValueError("uvarint too long / corrupt")
+
+
+def zigzag_encode(value: int) -> int:
+    return (value << 1) ^ (value >> 63) if value < 0 else value << 1
+
+
+def zigzag_decode(value: int) -> int:
+    return (value >> 1) ^ -(value & 1)
+
+
+def encode_zigzag_varint(value: int) -> bytes:
+    return encode_uvarint(zigzag_encode(value))
+
+
+def decode_zigzag_varint(buf, pos: int = 0) -> tuple[int, int]:
+    v, pos = decode_uvarint(buf, pos)
+    return zigzag_decode(v), pos

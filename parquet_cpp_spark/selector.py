@@ -1,0 +1,226 @@
+"""Codec auto-selector: sampled cardinality / run-rate / span cost model.
+
+Generalizes the reference's static-config-plus-one-fallback-rule codec choice
+(``/root/reference/src/parquet/properties.h:141-347`` per-column encoding
+config; runtime dict->PLAIN fallback ``column_writer.cc:498-510``) into a
+per-chunk decision: sample <= SAMPLE_VALUES values, compute closed-form size
+estimates per candidate codec (the reference's analog is
+``EstimatedDataEncodedSize`` / RLE ``MaxBufferSize``,
+``encoding-internal.h:487-503``), pick the smallest, tie-breaking toward the
+cheapest decode (PLAIN < RLE < DICT < DELTA < string codecs).
+
+Guarantee used by tests: the selected encoding's *actual* size is compared to
+PLAIN after encoding, and PLAIN wins if the estimate was wrong — so selected
+size <= PLAIN size always holds.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import chunk as chunkmod
+from .kernels import bitpack
+
+SAMPLE_VALUES = 65536
+
+# Decode-cost tie-break order (cheapest first).
+_COST_ORDER = {
+    chunkmod.PLAIN: 0,
+    chunkmod.RLE: 1,
+    chunkmod.RLE_DICTIONARY: 2,
+    chunkmod.DELTA_BINARY_PACKED: 3,
+    chunkmod.DELTA_LENGTH_BYTE_ARRAY: 4,
+    chunkmod.DELTA_BYTE_ARRAY: 5,
+    chunkmod.FSST: 6,
+}
+
+
+def _sample(values, n: int):
+    if len(values) <= n:
+        return values
+    # Deterministic stride sample (no RNG -> reproducible across executors).
+    step = len(values) // n
+    return values[::step][:n]
+
+
+def _window(values, n: int):
+    """Contiguous middle window — preserves local structure (deltas, runs)."""
+    if len(values) <= n:
+        return values
+    start = (len(values) - n) // 2
+    return values[start: start + n]
+
+
+def _estimate_cardinality(sample_card: int, singletons: int, sn: int,
+                          n: int) -> float:
+    """Good-Turing-style unseen-species correction: when most sampled values
+    are singletons the full column is likely all-distinct. est = card /
+    (1 - f1/sn), capped to n (Chao-style; deterministic, no RNG)."""
+    if sn >= n:
+        return float(sample_card)
+    frac_single = singletons / max(1, sn)
+    if frac_single >= 0.999:
+        return float(n)
+    return min(float(n), sample_card / (1.0 - frac_single))
+
+
+def estimate_int_sizes(values: np.ndarray, phys: str = "int32") -> dict[int, float]:
+    """Estimated encoded bytes per codec for an integer column chunk."""
+    n = len(values)
+    itemsize = 4 if phys in ("int32", "float") else 8
+    if n == 0:
+        return {chunkmod.PLAIN: 0.0}
+    s = _sample(values, SAMPLE_VALUES)
+    sn = len(s)
+    # contiguous window for locality-sensitive estimates (deltas, runs)
+    w_vals = _window(values, SAMPLE_VALUES)
+    wn = len(w_vals)
+
+    uniques, counts = np.unique(s, return_counts=True)
+    card = len(uniques)
+    singletons = int((counts == 1).sum())
+    mn = int(s.min())
+    mx = int(s.max())
+    runs = int((np.diff(w_vals) != 0).sum()) + 1
+    run_rate = runs / wn  # runs per value in the true local order
+
+    est: dict[int, float] = {}
+    est[chunkmod.PLAIN] = float(n * itemsize)
+
+    # Dictionary: dict page + bit-packed/RLE indices.
+    est_card = _estimate_cardinality(card, singletons, sn, n)
+    bw = max(1, bitpack.width_for_max(int(est_card)))
+    idx_bytes = min(n * bw / 8.0 * 1.02,                    # bit-packed groups
+                    run_rate * n * (2 + (bw + 7) // 8))     # or mostly RLE runs
+    est[chunkmod.RLE_DICTIONARY] = est_card * itemsize + idx_bytes + 1
+
+    # Direct RLE (non-negative ints only).
+    if mn >= 0:
+        vbw = max(1, bitpack.width_for_max(mx))
+        rle_bytes = min(n * vbw / 8.0 * 1.02,
+                        run_rate * n * (2 + (vbw + 7) // 8))
+        est[chunkmod.RLE] = rle_bytes + 2
+
+    # DELTA_BINARY_PACKED: per-miniblock width from true adjacent deltas in
+    # the contiguous window (stride-sampled deltas misestimate badly for
+    # unsorted data).
+    if wn > 1:
+        d = np.diff(np.asarray(w_vals, dtype=np.int64))
+        # mean miniblock width over window miniblocks of 32
+        nmini = max(1, len(d) // 32)
+        trimmed = d[: nmini * 32].reshape(nmini, 32)
+        mins = trimmed.min(axis=1)
+        spans = trimmed.max(axis=1) - mins
+        widths = np.fromiter(
+            (bitpack.width_for_max(int(x)) for x in spans),
+            dtype=np.int64, count=nmini)
+        mean_w = float(widths.mean())
+        est[chunkmod.DELTA_BINARY_PACKED] = n * mean_w / 8.0 + (n / 128.0) * 6 + 10
+    return est
+
+
+def estimate_bytes_sizes(values: list[bytes]) -> dict[int, float]:
+    """Estimated encoded bytes per codec for a byte-array column chunk."""
+    n = len(values)
+    if n == 0:
+        return {chunkmod.PLAIN: 0.0}
+    s = _sample(values, 4096)
+    sn = len(s)
+    scale = n / sn
+    lens = np.fromiter((len(v) for v in s), dtype=np.int64, count=sn)
+    total_payload = float(lens.sum()) * scale
+
+    est: dict[int, float] = {}
+    est[chunkmod.PLAIN] = total_payload + 4.0 * n
+
+    from collections import Counter
+    cnt = Counter(s)
+    card = len(cnt)
+    singletons = sum(1 for c in cnt.values() if c == 1)
+    est_card = _estimate_cardinality(card, singletons, sn, n)
+    bw = max(1, bitpack.width_for_max(int(est_card)))
+    uniq_payload = float(sum(len(v) + 4 for v in cnt)) * \
+        (est_card / max(1, card))
+    est[chunkmod.RLE_DICTIONARY] = uniq_payload + n * bw / 8.0 * 1.02 + 1
+
+    est[chunkmod.DELTA_LENGTH_BYTE_ARRAY] = total_payload + 1.1 * n
+
+    # DELTA_BYTE_ARRAY pays only suffixes; sample adjacent common prefixes.
+    if sn > 1:
+        pref = 0
+        for a, b in zip(s[:-1], s[1:]):
+            m = min(len(a), len(b), 16)
+            i = 0
+            while i < m and a[i] == b[i]:
+                i += 1
+            pref += i
+        avg_pref = pref / (sn - 1)
+        est[chunkmod.DELTA_BYTE_ARRAY] = max(
+            0.0, total_payload - avg_pref * n) + 2.2 * n
+
+    # FSST: assume ~2x on natural text when strings are long enough; the
+    # deterministic trainer cost makes it worthwhile only for fat chunks.
+    avg_len = float(lens.mean())
+    if avg_len >= 8:
+        est[chunkmod.FSST] = total_payload * 0.55 + 2.0 * n + 800
+    return est
+
+
+# Estimates within this factor of the best trigger an actual-size runoff.
+RUNOFF_FACTOR = 2.2
+RUNOFF_MAX_CANDIDATES = 3
+
+
+def _ranked(est: dict[int, float]) -> list[int]:
+    return [k for k, _ in sorted(est.items(),
+                                 key=lambda kv: (kv[1], _COST_ORDER[kv[0]]))]
+
+
+def select_int_codec(values: np.ndarray, phys: str = "int32") -> int:
+    return _ranked(estimate_int_sizes(values, phys))[0]
+
+
+def select_bytes_codec(values: list[bytes]) -> int:
+    return _ranked(estimate_bytes_sizes(values))[0]
+
+
+def candidates(values, phys: str) -> list[int]:
+    """Codecs worth actually encoding: the estimate winner plus any within
+    RUNOFF_FACTOR of it (closed-form estimates are approximate; the runoff
+    on real bytes is the authoritative pick — analog of the reference
+    verifying dict size at runtime rather than trusting the estimate,
+    ``column_writer.cc:498-510``)."""
+    est = (estimate_bytes_sizes(values) if phys == "byte_array"
+           else estimate_int_sizes(values, phys))
+    order = _ranked(est)
+    best = est[order[0]]
+    out = [c for c in order if est[c] <= best * RUNOFF_FACTOR]
+    return out[:RUNOFF_MAX_CANDIDATES]
+
+
+def encode_best(values, phys: str, *, row_lengths=None,
+                codec_override: int | None = None,
+                dict_size_limit: int = 1 << 20,
+                guard_with_plain: bool = True) -> "chunkmod.EncodedChunk":
+    """Encode with the selected (or forced) codec. When estimates are close,
+    encode the top candidates and keep the actual-smallest; always fall back
+    to PLAIN if the pick loses to PLAIN on actual bytes (preserves the
+    'selected <= PLAIN' property the reference's fallback rule guarantees)."""
+    if codec_override is not None:
+        return chunkmod.encode_chunk(values, phys, codec_override,
+                                     row_lengths=row_lengths,
+                                     dict_size_limit=dict_size_limit)
+
+    best: chunkmod.EncodedChunk | None = None
+    for codec in candidates(values, phys):
+        enc = chunkmod.encode_chunk(values, phys, codec,
+                                    row_lengths=row_lengths,
+                                    dict_size_limit=dict_size_limit)
+        if best is None or enc.enc_bytes < best.enc_bytes:
+            best = enc
+    if guard_with_plain and best is not None and best.codec != chunkmod.PLAIN:
+        plain_enc = chunkmod.encode_chunk(values, phys, chunkmod.PLAIN,
+                                          row_lengths=row_lengths)
+        if plain_enc.enc_bytes < best.enc_bytes:
+            return plain_enc
+    return best

@@ -1,0 +1,146 @@
+"""Chunk framing + selector tests: round-trips through the self-describing
+blob for every codec, level reconstruction (np.split analog of
+RecordReader::DelimitRecords), fallback encoding-list oracle
+(/root/reference/src/parquet/column_writer-test.cc:495-505), stats oracle,
+and the selector's 'selected <= PLAIN' property."""
+
+import numpy as np
+import pytest
+
+from parquet_cpp_spark import chunk as chunkmod
+from parquet_cpp_spark import selector
+from parquet_cpp_spark.levels import lengths_from_levels, levels_from_lengths
+
+RNG = np.random.default_rng(42)
+
+
+@pytest.mark.parametrize("codec", [chunkmod.PLAIN, chunkmod.RLE,
+                                   chunkmod.DELTA_BINARY_PACKED,
+                                   chunkmod.RLE_DICTIONARY])
+def test_chunk_roundtrip_int32_flat(codec):
+    vals = RNG.integers(0, 1000, 5000).astype(np.int32)
+    enc = chunkmod.encode_chunk(vals, "int32", codec)
+    dec = chunkmod.decode_chunk(enc.blob)
+    np.testing.assert_array_equal(np.asarray(dec.values, dtype=np.int32), vals)
+    assert dec.n_rows == 5000 and dec.row_lengths is None
+
+
+@pytest.mark.parametrize("codec", [chunkmod.PLAIN, chunkmod.RLE_DICTIONARY,
+                                   chunkmod.DELTA_LENGTH_BYTE_ARRAY,
+                                   chunkmod.DELTA_BYTE_ARRAY, chunkmod.FSST])
+def test_chunk_roundtrip_byte_array(codec):
+    vals = [f"corpus/shard{i % 5:03d}/doc-{i:010d}".encode() for i in range(800)]
+    enc = chunkmod.encode_chunk(vals, "byte_array", codec)
+    dec = chunkmod.decode_chunk(enc.blob)
+    assert dec.values == vals
+
+
+def test_chunk_roundtrip_list_column():
+    # tokens column: flattened values + row_lengths -> levels
+    lengths = RNG.integers(0, 50, 300)
+    lengths[::10] = 0  # empty-heavy slice (FIXTURES F2)
+    n_values = int(lengths.sum())
+    vals = RNG.integers(0, 32768, n_values).astype(np.int32)
+    enc = chunkmod.encode_chunk(vals, "int32", chunkmod.RLE_DICTIONARY,
+                                row_lengths=lengths)
+    assert enc.n_rows == 300 and enc.n_values == n_values
+    dec = chunkmod.decode_chunk(enc.blob)
+    np.testing.assert_array_equal(dec.row_lengths, lengths)
+    np.testing.assert_array_equal(np.asarray(dec.values, dtype=np.int32), vals)
+    # row reconstruction = np.split at cumsum (record_reader.cc:144 analog)
+    rows = np.split(np.asarray(dec.values), np.cumsum(dec.row_lengths)[:-1])
+    assert len(rows) == 300
+    np.testing.assert_array_equal(rows[1], vals[lengths[0]: lengths[0] + lengths[1]])
+
+
+def test_levels_roundtrip():
+    lengths = np.array([3, 0, 1, 0, 0, 7, 2])
+    rep, deflev = levels_from_lengths(lengths)
+    # slots = sum(max(len,1)) = 16; rep==0 exactly once per row
+    assert len(rep) == 16 and (rep == 0).sum() == 7
+    np.testing.assert_array_equal(lengths_from_levels(rep, deflev), lengths)
+
+
+def test_chunk_fallback_encoding_list():
+    # dict-overflow chunk must record [PLAIN_DICTIONARY, PLAIN, RLE]
+    vals = np.arange(100000, dtype=np.int32)
+    enc = chunkmod.encode_chunk(vals, "int32", chunkmod.RLE_DICTIONARY,
+                                dict_size_limit=1024)
+    assert enc.encodings == ["PLAIN_DICTIONARY", "PLAIN", "RLE"]
+    dec = chunkmod.decode_chunk(enc.blob)
+    np.testing.assert_array_equal(np.asarray(dec.values, dtype=np.int32), vals)
+
+
+def test_chunk_stats():
+    vals = RNG.integers(-500, 500, 1000).astype(np.int32)
+    enc = chunkmod.encode_chunk(vals, "int32", chunkmod.PLAIN)
+    assert enc.stats.min_val == repr(vals.min())
+    assert enc.stats.max_val == repr(vals.max())
+    assert enc.stats.null_count == 0
+
+
+@pytest.mark.parametrize("profile,expected", [
+    ("constant", {chunkmod.RLE}),
+    ("low-card", {chunkmod.RLE_DICTIONARY, chunkmod.RLE}),
+    ("sorted", {chunkmod.DELTA_BINARY_PACKED}),
+    ("high-card", {chunkmod.PLAIN, chunkmod.DELTA_BINARY_PACKED,
+                   chunkmod.RLE_DICTIONARY}),
+])
+def test_selector_expected_codec(profile, expected):
+    gens = {
+        "constant": np.full(50000, 7, dtype=np.int32),
+        "low-card": RNG.integers(0, 100, 50000).astype(np.int32),
+        "sorted": np.cumsum(RNG.integers(0, 5, 50000)).astype(np.int32),
+        "high-card": RNG.integers(-2**31, 2**31, 50000).astype(np.int32),
+    }
+    assert selector.select_int_codec(gens[profile]) in expected
+
+
+def test_selector_never_worse_than_plain():
+    profiles = [
+        np.full(10000, 7, dtype=np.int32),
+        RNG.integers(0, 100, 10000).astype(np.int32),
+        np.cumsum(RNG.integers(0, 5, 10000)).astype(np.int32),
+        RNG.integers(-2**31, 2**31, 10000).astype(np.int32),
+        np.tile(np.array([0, 1], dtype=np.int32), 5000),
+        np.repeat(np.arange(256, dtype=np.int32), RNG.integers(1, 129, 256)),
+    ]
+    for vals in profiles:
+        enc = selector.encode_best(vals, "int32")
+        plain_enc = chunkmod.encode_chunk(vals, "int32", chunkmod.PLAIN)
+        assert enc.enc_bytes <= plain_enc.enc_bytes, enc.codec_name
+
+
+def test_selector_bytes_columns():
+    low_card = [f"src-{i % 12}".encode() for i in range(20000)]
+    assert selector.select_bytes_codec(low_card) == chunkmod.RLE_DICTIONARY
+    enc = selector.encode_best(low_card, "byte_array")
+    dec = chunkmod.decode_chunk(enc.blob)
+    assert dec.values == low_card
+
+
+def test_golden_bytes_stable():
+    """Freeze blob bytes per codec on a small fixture (FIXTURES F4 golden
+    oracle; analog of the reference's data/*.parquet compatibility files)."""
+    import hashlib
+    import json
+    import os
+    vals = (np.arange(64, dtype=np.int32) % 8)
+    goldens = {}
+    for codec in [chunkmod.PLAIN, chunkmod.RLE, chunkmod.DELTA_BINARY_PACKED,
+                  chunkmod.RLE_DICTIONARY]:
+        enc = chunkmod.encode_chunk(vals, "int32", codec)
+        goldens[chunkmod.CODEC_NAMES[codec]] = hashlib.sha256(enc.blob).hexdigest()
+    words = [f"w{i % 5}".encode() for i in range(64)]
+    for codec in [chunkmod.DELTA_LENGTH_BYTE_ARRAY, chunkmod.DELTA_BYTE_ARRAY,
+                  chunkmod.FSST]:
+        enc = chunkmod.encode_chunk(words, "byte_array", codec)
+        goldens[chunkmod.CODEC_NAMES[codec]] = hashlib.sha256(enc.blob).hexdigest()
+    path = os.path.join(os.path.dirname(__file__), "golden", "chunk_hashes.json")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    if not os.path.exists(path):
+        with open(path, "w") as f:
+            json.dump(goldens, f, indent=1, sort_keys=True)
+    with open(path) as f:
+        frozen = json.load(f)
+    assert goldens == frozen
