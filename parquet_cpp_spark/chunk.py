@@ -112,7 +112,7 @@ def compute_stats(values, phys: str) -> ChunkStats:
     arr = np.asarray(values)
     if arr.size == 0:
         return ChunkStats(None, None, 0)
-    return ChunkStats(repr(arr.min()), repr(arr.max()), 0)
+    return ChunkStats(str(arr.min()), str(arr.max()), 0)
 
 
 def _encode_int_payload(values: np.ndarray, codec: int, phys: str,

@@ -1,0 +1,126 @@
+"""Encode operator: one ``applyInPandas`` group = one "row group".
+
+The reference's write path (``/root/reference/src/parquet/file_writer.cc:60-236``:
+RowGroupSerializer -> per-column ColumnWriter -> pages) maps to: a Spark
+partition (grouped by ``part_id``) -> per-column numpy kernel encode -> one
+output row per (partition, column) carrying the chunk blob + metadata, our
+``ColumnChunkMetaData`` analog (``metadata.h:90-117``).
+
+All value work is vectorized inside the pandas UDF; Spark supplies the
+parallelism the reference gets from its Arrow thread pool
+(``arrow/reader.cc:483-501``), except here it shards across executors.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+from .. import chunk as chunkmod
+from .. import selector
+
+# One row per (partition, column) — the lineage/metrics record.
+CHUNK_SCHEMA = (
+    "part_id bigint, col string, codec string, encodings array<string>, "
+    "n_rows bigint, n_values bigint, raw_bytes bigint, enc_bytes bigint, "
+    "null_count bigint, min_val string, max_val string, "
+    "checksum string, blob binary"
+)
+
+# Column specs for the north-rule input table.
+TOKEN_TABLE_COLUMNS = {
+    "doc_id": "byte_array",
+    "tokens": "list<int32>",
+    "n_tok": "int32",
+    "source": "byte_array",
+}
+
+
+def _column_values(pdf: pd.DataFrame, col: str, phys: str):
+    """Extract (values, row_lengths) for the kernels, vectorized."""
+    if phys == "list<int32>":
+        s = pdf[col]
+        lengths = np.fromiter((len(x) for x in s), dtype=np.int64, count=len(s))
+        if len(s):
+            flat = np.concatenate([np.asarray(x, dtype=np.int32) for x in s]) \
+                if lengths.sum() else np.array([], dtype=np.int32)
+        else:
+            flat = np.array([], dtype=np.int32)
+        return flat, lengths
+    if phys == "byte_array":
+        vals = [x.encode("utf-8") if isinstance(x, str) else bytes(x)
+                for x in pdf[col].tolist()]
+        return vals, None
+    dt = np.int32 if phys == "int32" else np.int64
+    return pdf[col].to_numpy(dtype=dt, copy=False), None
+
+
+def make_encode_fn(columns: dict[str, str] | None = None,
+                   codec_overrides: dict[str, str] | None = None,
+                   dict_size_limit: int = 1 << 20,
+                   sort_key: str | None = "doc_id"):
+    """Build the applyInPandas function. ``codec_overrides`` maps column name
+    to a codec name from ``chunk.CODEC_NAMES`` (the per-column-path encoding
+    override of ``WriterProperties``, ``properties.h:379-404``); unset columns
+    use the auto-selector."""
+    columns = columns or TOKEN_TABLE_COLUMNS
+    overrides = {k: chunkmod.CODEC_IDS[v]
+                 for k, v in (codec_overrides or {}).items()}
+
+    def encode_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        part_id = int(key[0])
+        if sort_key is not None and sort_key in pdf.columns:
+            # Deterministic intra-partition order -> reproducible blobs and
+            # golden checksums across retries/speculative tasks.
+            pdf = pdf.sort_values(sort_key, kind="mergesort")
+        rows = []
+        for col, phys in columns.items():
+            values, row_lengths = _column_values(pdf, col, phys)
+            kernel_phys = "int32" if phys == "list<int32>" else phys
+            enc = selector.encode_best(
+                values, kernel_phys, row_lengths=row_lengths,
+                codec_override=overrides.get(col),
+                dict_size_limit=dict_size_limit)
+            st = enc.stats
+            rows.append({
+                "part_id": part_id,
+                "col": col,
+                "codec": enc.codec_name,
+                "encodings": enc.encodings,
+                "n_rows": enc.n_rows,
+                "n_values": enc.n_values,
+                "raw_bytes": enc.raw_bytes,
+                "enc_bytes": enc.enc_bytes,
+                "null_count": st.null_count if st else 0,
+                "min_val": st.min_val if st else None,
+                "max_val": st.max_val if st else None,
+                "checksum": hashlib.sha256(enc.blob).hexdigest(),
+                "blob": enc.blob,
+            })
+        out = pd.DataFrame(rows)
+        # Cross-column row-count consistency check, as the reference enforces
+        # per row group (file_writer.cc:129-140).
+        if len(set(out["n_rows"])) > 1:
+            raise ValueError(f"row-count mismatch across columns in part "
+                             f"{part_id}: {dict(zip(out['col'], out['n_rows']))}")
+        return out
+
+    return encode_group
+
+
+def encode_df(df, num_parts: int, part_col: str = "part_id",
+              columns: dict[str, str] | None = None,
+              codec_overrides: dict[str, str] | None = None,
+              dict_size_limit: int = 1 << 20,
+              sort_key: str | None = "doc_id"):
+    """DataFrame in (must already carry ``part_col``) -> chunk DataFrame.
+
+    The groupBy is the engine's single shuffle; partitioning strategy
+    (explicit key, salting) is the caller's job (see plans.encode_job).
+    """
+    from ..shipping import ensure_shipped
+    ensure_shipped(df.sparkSession)
+    fn = make_encode_fn(columns, codec_overrides, dict_size_limit, sort_key)
+    return df.groupBy(part_col).applyInPandas(fn, schema=CHUNK_SCHEMA)

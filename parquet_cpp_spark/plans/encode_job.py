@@ -1,0 +1,138 @@
+"""The encode job: partitioning strategy, lineage manifest, checkpoint/resume.
+
+Pipeline (SURVEY §7 step 4-6): assign ``part_id`` -> groupBy(part_id) ->
+``applyInPandas`` encode -> chunk DataFrame + manifest. This is the engine's
+only shuffle; everything else is embarrassingly parallel.
+
+Scale design (100 TB / 10^12 sequences):
+- ``part_id = pmod(xxhash64(doc_id), P)`` gives uniform, deterministic
+  partitions regardless of input layout. P is chosen so one partition's
+  token payload is ~``target_partition_bytes`` (default 256 MiB raw, well
+  under executor memory after the ~2-4x in-flight overhead of
+  applyInPandas).
+- Skew: a hash of a high-cardinality key (doc_id) cannot skew by key
+  frequency, only by payload variance (jumbo docs); ``salt_by_source``
+  covers the alternative layout where the input arrives partitioned by the
+  Zipf-skewed ``source`` column — the hot source is split across
+  ``pmod(xxhash64(doc_id), spread)`` sub-keys (explicit salting per the
+  north rule) while tiny sources coalesce.
+- Resume: the manifest (one row per completed partition, written atomically
+  *after* its chunks) is anti-joined against the partition domain on rerun,
+  so a killed job redoes only missing partitions (FIXTURES F5).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..operators import decode as decode_op
+from ..operators import encode as encode_op
+
+DEFAULT_TARGET_PARTITION_BYTES = 256 << 20
+
+
+def plan_num_parts(total_rows: int, avg_tokens_per_row: float = 256.0,
+                   target_partition_bytes: int = DEFAULT_TARGET_PARTITION_BYTES,
+                   min_parts: int = 1) -> int:
+    """Partition count so raw token payload per part ~= target bytes."""
+    raw = total_rows * avg_tokens_per_row * 4
+    return max(min_parts, int(raw // target_partition_bytes) + 1)
+
+
+def add_part_id(df: DataFrame, num_parts: int,
+                key: str = "doc_id") -> DataFrame:
+    """Deterministic uniform partition key."""
+    return df.withColumn(
+        "part_id", F.pmod(F.xxhash64(F.col(key)), F.lit(num_parts)))
+
+
+def add_salted_part_id(df: DataFrame, parts_per_source: dict[str, int],
+                       source_col: str = "source",
+                       key: str = "doc_id") -> DataFrame:
+    """Skew-aware partitioning for source-partitioned layouts: each source
+    gets ``parts_per_source[source]`` sub-partitions (proportional to its
+    frequency), salted by a doc_id hash. part_id is a dense string key
+    ``{source}#{salt}`` hashed to a long for the groupBy."""
+    mapping = F.create_map(*[F.lit(x) for kv in parts_per_source.items()
+                             for x in kv])
+    spread = F.coalesce(mapping[F.col(source_col)], F.lit(1))
+    salt = F.pmod(F.xxhash64(F.col(key)), spread)
+    return df.withColumn(
+        "part_id",
+        F.xxhash64(F.concat_ws("#", F.col(source_col), salt.cast("string"))))
+
+
+def encode_pipeline(df: DataFrame, num_parts: int,
+                    codec_overrides: dict[str, str] | None = None,
+                    columns: dict[str, str] | None = None,
+                    dict_size_limit: int = 1 << 20) -> DataFrame:
+    """tokens DataFrame -> chunk DataFrame (adds part_id if missing)."""
+    if "part_id" not in df.columns:
+        df = add_part_id(df, num_parts)
+    return encode_op.encode_df(df, num_parts, columns=columns,
+                               codec_overrides=codec_overrides,
+                               dict_size_limit=dict_size_limit)
+
+
+def decode_pipeline(chunks_df: DataFrame) -> DataFrame:
+    return decode_op.decode_chunks(chunks_df)
+
+
+def manifest_from_chunks(chunks_df: DataFrame) -> DataFrame:
+    """Per-partition lineage row: codecs, sizes, checksum, status."""
+    return (chunks_df.groupBy("part_id").agg(
+        F.max("n_rows").alias("n_rows"),
+        F.sum("raw_bytes").alias("raw_bytes"),
+        F.sum("enc_bytes").alias("enc_bytes"),
+        F.map_from_entries(F.sort_array(F.collect_list(
+            F.struct("col", "codec")))).alias("codecs"),
+        F.sha2(F.concat_ws("|", F.sort_array(F.collect_list("checksum"))),
+               256).alias("checksum"))
+        .withColumn("status", F.lit("committed")))
+
+
+def run_checkpointed(spark, df: DataFrame, out_dir: str, num_parts: int,
+                     codec_overrides: dict[str, str] | None = None,
+                     fail_after_parts: int | None = None) -> dict:
+    """Encode with checkpoint/resume.
+
+    Completed partitions are read from ``{out_dir}/manifest`` and skipped via
+    an anti-join; chunks and manifest rows for newly processed partitions are
+    appended (parquet append per partition directory keeps the write atomic
+    enough for the sandbox; on a real deployment this is an Iceberg append
+    snapshot). ``fail_after_parts`` processes only the first k missing
+    partitions — the test hook that simulates a mid-job kill (FIXTURES F5).
+    """
+    chunks_path = os.path.join(out_dir, "chunks")
+    manifest_path = os.path.join(out_dir, "manifest")
+
+    if "part_id" not in df.columns:
+        df = add_part_id(df, num_parts)
+
+    done = None
+    if os.path.exists(manifest_path):
+        done = spark.read.parquet(manifest_path).select("part_id")
+        todo_df = df.join(F.broadcast(done), "part_id", "left_anti")
+    else:
+        todo_df = df
+
+    if fail_after_parts is not None:
+        keep = [r.part_id for r in
+                todo_df.select("part_id").distinct()
+                .orderBy("part_id").limit(fail_after_parts).collect()]
+        todo_df = todo_df.filter(F.col("part_id").isin(keep))
+
+    n_todo = todo_df.select("part_id").distinct().count()
+    if n_todo:
+        chunks = encode_op.encode_df(todo_df, num_parts,
+                                     codec_overrides=codec_overrides)
+        chunks.write.mode("append").partitionBy("part_id").parquet(chunks_path)
+        written = spark.read.parquet(chunks_path)
+        if done is not None:
+            written = written.join(F.broadcast(done), "part_id", "left_anti")
+        manifest_from_chunks(written).write.mode("append").parquet(manifest_path)
+
+    return {"chunks_path": chunks_path, "manifest_path": manifest_path,
+            "parts_processed": n_todo}

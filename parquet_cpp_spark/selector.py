@@ -107,14 +107,17 @@ def estimate_int_sizes(values: np.ndarray, phys: str = "int32") -> dict[int, flo
     if wn > 1:
         d = np.diff(np.asarray(w_vals, dtype=np.int64))
         # mean miniblock width over window miniblocks of 32
-        nmini = max(1, len(d) // 32)
-        trimmed = d[: nmini * 32].reshape(nmini, 32)
-        mins = trimmed.min(axis=1)
-        spans = trimmed.max(axis=1) - mins
-        widths = np.fromiter(
-            (bitpack.width_for_max(int(x)) for x in spans),
-            dtype=np.int64, count=nmini)
-        mean_w = float(widths.mean())
+        if len(d) < 32:
+            mean_w = float(bitpack.width_for_max(int(d.max() - d.min())))
+        else:
+            nmini = len(d) // 32
+            trimmed = d[: nmini * 32].reshape(nmini, 32)
+            mins = trimmed.min(axis=1)
+            spans = trimmed.max(axis=1) - mins
+            widths = np.fromiter(
+                (bitpack.width_for_max(int(x)) for x in spans),
+                dtype=np.int64, count=nmini)
+            mean_w = float(widths.mean())
         est[chunkmod.DELTA_BINARY_PACKED] = n * mean_w / 8.0 + (n / 128.0) * 6 + 10
     return est
 

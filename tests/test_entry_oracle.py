@@ -1,0 +1,76 @@
+"""Driver-contract emulation: every queries() entry with an oracle_sql()
+entry must match DuckDB on row count, column names, and order-insensitive
+values at sf0.01 — the same comparison CORRECTNESS_r{N}.json records."""
+
+import os
+import sys
+
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from parquet_cpp_spark.session import get_spark
+    return get_spark(master="local[4]", app_name="pcs-oracle",
+                     shuffle_partitions=4)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    import duckdb
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if len(df) and isinstance(df[c].iloc[0], (list, tuple)) or \
+                (len(df) and hasattr(df[c].iloc[0], "__len__")
+                 and not isinstance(df[c].iloc[0], str)):
+            df[c] = df[c].map(lambda x: tuple(x))
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+
+
+def test_every_query_has_callable_signature():
+    q = entry_mod.queries()
+    o = entry_mod.oracle_sql()
+    assert set(o) <= set(q)
+    # every oracle-less query is flagged intentionally
+    no_oracle = set(q) - set(o)
+    assert no_oracle <= {"codec_selection", "compression_manifest"}
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.oracle_sql().keys()))
+def test_query_matches_oracle(spark, duck, name):
+    qdf = entry_mod.queries()[name](spark, SF_DIR).toPandas()
+    odf = duck.execute(entry_mod.oracle_sql()[name]).df()
+    assert len(qdf) == len(odf), f"{name}: rows {len(qdf)} vs {len(odf)}"
+    assert sorted(qdf.columns) == sorted(odf.columns), name
+    a, b = _canon(qdf), _canon(odf)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+
+
+def test_rows_only_queries_run(spark):
+    q = entry_mod.queries()
+    for name in ("codec_selection", "compression_manifest"):
+        assert q[name](spark, SF_DIR).count() > 0

@@ -1,0 +1,142 @@
+"""End-to-end Spark round-trip tests (FIXTURES F4/F5): tokens table ->
+repartition -> applyInPandas encode -> chunk DF -> decode -> per-row token
+array equality (the reference's universal oracle, encoding-test.cc:218-229),
+plus size-vs-pyarrow and manifest resume."""
+
+import io
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+pyspark = pytest.importorskip("pyspark")
+
+from pyspark.sql import functions as F
+
+from parquet_cpp_spark.operators import encode as encode_op
+from parquet_cpp_spark.plans import encode_job
+from parquet_cpp_spark.sources import tokens as tokens_src
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from parquet_cpp_spark.session import get_spark
+    s = get_spark(master="local[4]", app_name="pcs-tests",
+                  shuffle_partitions=4)
+    yield s
+
+
+def _collect_sorted(df, cols=("doc_id", "tokens", "n_tok", "source")):
+    rows = df.select(*cols).collect()
+    return sorted((r.doc_id, tuple(r.tokens), r.n_tok, r.source)
+                  for r in rows)
+
+
+def test_roundtrip_auto(spark):
+    src = tokens_src.tokens_from_documents(spark, SF_DIR, num_parts=8)
+    chunks = encode_job.encode_pipeline(src, 8)
+    decoded = encode_job.decode_pipeline(chunks)
+    assert _collect_sorted(decoded) == _collect_sorted(src)
+
+
+@pytest.mark.parametrize("codec", ["PLAIN", "RLE", "DELTA_BINARY_PACKED",
+                                   "RLE_DICTIONARY"])
+def test_roundtrip_forced_token_codec(spark, codec):
+    src = tokens_src.tokens_from_documents(spark, SF_DIR, num_parts=4)
+    chunks = encode_job.encode_pipeline(src, 4,
+                                        codec_overrides={"tokens": codec})
+    got = {r.col: r.codec for r in
+           chunks.select("col", "codec").distinct().collect()}
+    assert got["tokens"] == codec
+    decoded = encode_job.decode_pipeline(chunks)
+    assert _collect_sorted(decoded) == _collect_sorted(src)
+
+
+def test_roundtrip_fsst_strings(spark):
+    src = tokens_src.tokens_from_documents(spark, SF_DIR, num_parts=4)
+    chunks = encode_job.encode_pipeline(
+        src, 4, codec_overrides={"doc_id": "FSST", "source": "FSST"})
+    decoded = encode_job.decode_pipeline(chunks)
+    assert _collect_sorted(decoded) == _collect_sorted(src)
+
+
+def test_chunk_metadata_matches_sql_stats(spark):
+    """Chunk min/max/n_values vs a plain SQL aggregation (stats oracle,
+    statistics-test.cc:285-308 analog)."""
+    src = tokens_src.tokens_from_documents(spark, SF_DIR, num_parts=8)
+    chunks = encode_job.encode_pipeline(src, 8).cache()
+    meta = {r.part_id: (r.n_values, int(r.min_val), int(r.max_val))
+            for r in chunks.filter(F.col("col") == "tokens").collect()}
+    expect = {r.part_id: (r.nv, r.mn, r.mx) for r in
+              src.select("part_id", F.explode("tokens").alias("t"))
+              .groupBy("part_id")
+              .agg(F.count("t").alias("nv"), F.min("t").alias("mn"),
+                   F.max("t").alias("mx")).collect()}
+    for pid, (nv, mn, mx) in expect.items():
+        assert meta[pid] == (nv, mn, mx), pid
+    chunks.unpersist()
+
+
+def test_total_size_beats_pyarrow_reference(spark):
+    """North-rule size oracle: sum(enc_bytes) <= pyarrow parquet writer with
+    reference defaults (dict on, uncompressed) on the same data."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tokens_src.tokens_from_documents(spark, SF_DIR, num_parts=4)
+    chunks = encode_job.encode_pipeline(src, 4)
+    ours = chunks.agg(F.sum("enc_bytes")).collect()[0][0]
+
+    pdf = src.select("doc_id", "tokens", "n_tok", "source").toPandas()
+    tbl = pa.Table.from_pandas(pdf)
+    buf = io.BytesIO()
+    pq.write_table(tbl, buf, compression="NONE", use_dictionary=True)
+    assert ours <= len(buf.getvalue()), \
+        f"ours={ours} pyarrow={len(buf.getvalue())}"
+
+
+def test_manifest_resume(spark, tmp_path):
+    """FIXTURES F5: kill after k of P partitions, re-run, final result equals
+    a clean run and completed partitions are skipped."""
+    out = str(tmp_path / "job")
+    src = tokens_src.tokens_from_documents(spark, SF_DIR, num_parts=6)
+
+    r1 = encode_job.run_checkpointed(spark, src, out, 6, fail_after_parts=2)
+    assert r1["parts_processed"] == 2
+    man1 = spark.read.parquet(r1["manifest_path"])
+    assert man1.count() == 2
+
+    r2 = encode_job.run_checkpointed(spark, src, out, 6)
+    assert r2["parts_processed"] == 4  # only the missing partitions
+
+    r3 = encode_job.run_checkpointed(spark, src, out, 6)
+    assert r3["parts_processed"] == 0  # idempotent
+
+    chunks = spark.read.parquet(r2["chunks_path"])
+    decoded = encode_job.decode_pipeline(chunks)
+    assert _collect_sorted(decoded) == _collect_sorted(src)
+
+    # manifest checksums must equal a clean single-run encode's checksums
+    clean = encode_job.run_checkpointed(
+        spark, src, str(tmp_path / "clean"), 6)
+    m_resumed = {r.part_id: r.checksum for r in
+                 spark.read.parquet(r2["manifest_path"]).collect()}
+    m_clean = {r.part_id: r.checksum for r in
+               spark.read.parquet(clean["manifest_path"]).collect()}
+    assert m_resumed == m_clean
+
+
+def test_salted_partitioning_spreads_hot_source(spark):
+    src = tokens_src.tokens_from_documents(spark, SF_DIR, num_parts=4)
+    salted = encode_job.add_salted_part_id(
+        src.drop("part_id"), {"web": 8, "books": 2})
+    per_source = {r.source: r.n for r in
+                  salted.groupBy("source")
+                  .agg(F.countDistinct("part_id").alias("n")).collect()}
+    if "web" in per_source:
+        assert per_source["web"] > 1  # hot source split across salt buckets
+    decoded = encode_job.decode_pipeline(encode_job.encode_pipeline(salted, 16))
+    assert _collect_sorted(decoded) == _collect_sorted(src)
