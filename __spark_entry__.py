@@ -127,6 +127,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("lang", "source"))
     q["lang_profile"] = lang_profile
 
+    # --- dedup / text-analysis / similarity operators ---
+    from parquet_cpp_spark.functions import dedup, similarity, text
+
+    def _docs(spark, sf):
+        return spark.read.parquet(os.path.join(sf, "documents.parquet"))
+
+    def _emb(spark, sf):
+        return spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
+
+    q["minhash_signatures"] = lambda spark, sf: dedup.minhash_signatures(
+        _docs(spark, sf))
+    q["dedup_minhash"] = lambda spark, sf: dedup.minhash_dedup(
+        _docs(spark, sf))
+    q["simhash"] = lambda spark, sf: dedup.simhash(_docs(spark, sf))
+    q["token_stats"] = lambda spark, sf: text.token_stats(_docs(spark, sf))
+    q["quality_features"] = lambda spark, sf: text.quality_features(
+        _docs(spark, sf))
+    q["lang_id"] = lambda spark, sf: text.lang_id(_docs(spark, sf))
+    q["fingerprints"] = lambda spark, sf: text.fingerprints(_docs(spark, sf))
+    q["ann_ip_topk"] = lambda spark, sf: similarity.topk_inner_product_quantized(
+        _emb(spark, sf), probe_ids=[0, 1, 2, 3, 4], k=10)
+    # float cosine variants: rows-only checks (float fold order is
+    # engine-specific, so no SQL oracle)
+    q["ann_cosine_topk"] = lambda spark, sf: similarity.topk_cosine(
+        _emb(spark, sf), probe_ids=[0, 1, 2], k=5)
+    q["ann_cosine_lsh"] = lambda spark, sf: similarity.topk_cosine_lsh(
+        _emb(spark, sf), probe_ids=[0, 1, 2], k=5)
+
     return q
 
 
@@ -172,6 +200,84 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_docs,
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY lang, source ORDER BY lang, source
+        """,
+        "minhash_signatures": """
+            SELECT doc_id,
+                   min(md5(w || ':0')) AS sig0, min(md5(w || ':1')) AS sig1,
+                   min(md5(w || ':2')) AS sig2, min(md5(w || ':3')) AS sig3
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+            GROUP BY doc_id
+        """,
+        "dedup_minhash": """
+            WITH sig AS (
+                SELECT doc_id,
+                       min(md5(w || ':0')) s0, min(md5(w || ':1')) s1,
+                       min(md5(w || ':2')) s2, min(md5(w || ':3')) s3
+                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                      FROM documents)
+                GROUP BY doc_id),
+            b1 AS (SELECT s0, s1, min(doc_id) keep1 FROM sig GROUP BY s0, s1),
+            b2 AS (SELECT s2, s3, min(doc_id) keep2 FROM sig GROUP BY s2, s3)
+            SELECT sig.doc_id AS doc_id
+            FROM sig JOIN b1 USING (s0, s1) JOIN b2 USING (s2, s3)
+            WHERE sig.doc_id = b1.keep1 AND sig.doc_id = b2.keep2
+        """,
+        "token_stats": """
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+                   CAST(list_sum(list_transform(string_split(text, ' '),
+                        w -> greatest(CAST(ceil(length(w) / 4.0) AS INTEGER),
+                                      1))) AS INTEGER) AS n_subwords
+            FROM documents
+        """,
+        "quality_features": """
+            SELECT doc_id,
+                   CAST(length(text) AS INTEGER) AS n_chars,
+                   CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+                   CAST(list_max(list_transform(string_split(text, ' '),
+                        w -> length(w))) AS INTEGER) AS max_word_len,
+                   CAST(len(list_filter(string_split(text, ' '),
+                        w -> list_contains(['the','a','of','and','to'], w)))
+                        AS INTEGER) AS stopword_hits,
+                   CAST(floor(100 * len(list_filter(string_split(text, ' '),
+                        w -> list_contains(['the','a','of','and','to'], w)))
+                        / len(string_split(text, ' '))) AS INTEGER)
+                        AS stopword_pct
+            FROM documents
+        """,
+        "lang_id": """
+            SELECT doc_id,
+                   CASE WHEN contains(' ' || text || ' ', ' the ') THEN 'en'
+                        WHEN contains(' ' || text || ' ', ' der ') THEN 'de'
+                        WHEN contains(' ' || text || ' ', ' le ') THEN 'fr'
+                        WHEN contains(' ' || text || ' ', ' el ') THEN 'es'
+                        WHEN contains(' ' || text || ' ', ' de ') THEN 'zh'
+                        ELSE 'und' END AS lang_pred
+            FROM documents
+        """,
+        "fingerprints": """
+            SELECT doc_id, md5(text) AS fp_full,
+                   md5(array_to_string(string_split(text, ' ')[1:8], ' '))
+                       AS fp_prefix
+            FROM documents
+        """,
+        "ann_ip_topk": """
+            WITH q AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                           x -> floor(CAST(x AS DOUBLE) * 1000 + 0.5)) AS qe
+                FROM embeddings),
+            p AS (SELECT vec_id AS probe_id, qe AS qp FROM q
+                  WHERE vec_id IN (0, 1, 2, 3, 4)),
+            s AS (SELECT probe_id, vec_id,
+                         CAST(list_dot_product(qe, qp) AS BIGINT) AS score
+                  FROM q, p WHERE vec_id <> probe_id),
+            r AS (SELECT *, row_number() OVER (
+                      PARTITION BY probe_id ORDER BY score DESC, vec_id)
+                      AS rank FROM s)
+            SELECT probe_id, vec_id, score, CAST(rank AS INTEGER) AS rank
+            FROM r WHERE rank <= 10
         """,
     }
     return o

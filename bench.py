@@ -1,0 +1,205 @@
+#!/usr/bin/env python
+"""Benchmark harness for the parquet_cpp_spark encoding engine.
+
+Measures the north-rule metric: encode throughput (M tokens/s) + compressed
+bytes/token on the token table, with scaling evidence at two parallelism
+levels (local[N] vs local[4N] — the sandbox stand-in for N vs 4N executors;
+see BASELINE.md) and a compressed-size comparison against a pyarrow parquet
+writer configured with the reference's defaults (dictionary on, uncompressed
+— /root/reference/src/parquet/properties.h:81-92).
+
+The primary encode path is the parquet-direct source (tasks read their own
+row groups; no JVM row decode, no shuffle) — the layout a real cluster would
+use. The shuffle pipeline (groupBy + applyInPandas, used when output must be
+co-located/salted) is timed once as a secondary number.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": ..., "unit": "sec", "queries": {...}, "sf": ...,
+   plus throughput/scaling/size extras}
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR      testdata dir for query timings (default sf0.1)
+  SPARK_GRAFT_CPUS        high parallelism level (default 32)
+  SPARK_GRAFT_BENCH_ROWS  synthetic token-table rows (default 2,000,000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS_HIGH = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CPUS_LOW = max(1, CPUS_HIGH // 4)
+BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "2000000"))
+SEED = 42
+ROW_GROUP = 25_000  # split granularity for the direct source
+
+
+def _session(cpus: int):
+    from parquet_cpp_spark.session import get_spark
+    return get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus * 4,
+                     app_name=f"pcs-bench-{cpus}")
+
+
+def _bench_input_path() -> str:
+    path = os.path.join(REPO, "data",
+                        f"bench_tokens_{BENCH_ROWS}_{SEED}.parquet")
+    from parquet_cpp_spark.sources.tokens import synthesize_tokens_parquet
+    synthesize_tokens_parquet(path, BENCH_ROWS, SEED,
+                              row_group_size=ROW_GROUP)
+    return path
+
+
+def _warmup(spark):
+    from parquet_cpp_spark.operators.encode_arrow import encode_scan_local
+    warm = (spark.range(256).repartition(256)
+            .selectExpr("cast(id as string) as doc_id",
+                        "array(1, 2, 3) as tokens", "3 as n_tok",
+                        "'web' as source"))
+    encode_scan_local(warm).count()
+
+
+def _encode_direct_run(spark, path: str) -> tuple[float, dict]:
+    """Steady-state (best of 2) direct-source encode wall time."""
+    from pyspark.sql import functions as F
+    from parquet_cpp_spark.sources.parquet_direct import encode_parquet_direct
+
+    def timed():
+        t0 = time.perf_counter()
+        chunks = encode_parquet_direct(spark, path)
+        row = chunks.agg(
+            F.sum("enc_bytes").alias("enc"),
+            F.sum("raw_bytes").alias("raw"),
+            F.sum(F.when(F.col("col") == "tokens", F.col("n_values"))
+                  .otherwise(F.lit(0))).alias("tokens")).collect()[0]
+        return time.perf_counter() - t0, row
+
+    w1, row = timed()
+    w2, row = timed()
+    return min(w1, w2), {"enc_bytes": int(row.enc), "raw_bytes": int(row.raw),
+                         "n_tokens": int(row.tokens)}
+
+
+def main() -> None:
+    queries: dict[str, float] = {}
+    extras: dict = {}
+
+    path = _bench_input_path()
+
+    # extra-low level: on DRAM-throttled sandbox hosts the 32-way point sits
+    # on the memory-bandwidth ceiling; the (N, 4N) = (2, 8) pair evidences
+    # scaling in the regime where cores, not DRAM, are the resource (see
+    # BASELINE.md notes)
+    cpus_xlow = max(1, CPUS_LOW // 4)
+    spark = _session(cpus_xlow)
+    _warmup(spark)
+    from pyspark.sql import functions as F  # noqa: F811
+    from parquet_cpp_spark.sources.parquet_direct import encode_parquet_direct
+    t0 = time.perf_counter()
+    encode_parquet_direct(spark, path).agg(F.sum("enc_bytes")).collect()
+    t_xlow = time.perf_counter() - t0
+    spark.stop()
+    queries[f"encode_local{cpus_xlow}"] = round(t_xlow, 3)
+
+    spark = _session(CPUS_LOW)
+    _warmup(spark)
+    t_low, totals = _encode_direct_run(spark, path)
+    spark.stop()
+    queries[f"encode_local{CPUS_LOW}"] = round(t_low, 3)
+
+    spark = _session(CPUS_HIGH)
+    _warmup(spark)
+    t_high, _ = _encode_direct_run(spark, path)
+    queries[f"encode_local{CPUS_HIGH}"] = round(t_high, 3)
+
+    n_tokens = totals["n_tokens"]
+    efficiency = (t_low / t_high) / (CPUS_HIGH / CPUS_LOW)
+
+    # --- secondary: the shuffle pipeline (explicit partitioning/salting) ---
+    from pyspark.sql import functions as F
+    from parquet_cpp_spark.plans import encode_job
+    df = spark.read.parquet(path)
+    t0 = time.perf_counter()
+    encode_job.encode_pipeline(df, CPUS_HIGH * 4).agg(
+        F.sum("enc_bytes")).collect()
+    queries[f"encode_shuffle_local{CPUS_HIGH}"] = round(
+        time.perf_counter() - t0, 3)
+
+    # --- decode throughput at the high level ---
+    from parquet_cpp_spark.sources.parquet_direct import encode_parquet_direct
+    from parquet_cpp_spark.operators.decode_arrow import decode_chunks_arrow
+    chunks_path = os.path.join(REPO, "data", "bench_chunks")
+    shutil.rmtree(chunks_path, ignore_errors=True)
+    encode_parquet_direct(spark, path).write.parquet(chunks_path)
+    t0 = time.perf_counter()
+    dec = decode_chunks_arrow(spark.read.parquet(chunks_path))
+    n_dec = dec.agg(F.sum("n_tok")).collect()[0][0]
+    t_dec = time.perf_counter() - t0
+    queries[f"decode_local{CPUS_HIGH}"] = round(t_dec, 3)
+    assert n_dec == n_tokens, (n_dec, n_tokens)
+
+    # --- reference-size oracle on a deterministic subset (first 10 row
+    # groups): pyarrow writer with reference defaults ---
+    import pyarrow.parquet as pq
+    pf = pq.ParquetFile(path)
+    n_rg = min(10, pf.metadata.num_row_groups)
+    sub = pf.read_row_groups(range(n_rg))
+    ref_path = os.path.join(REPO, "data", "bench_ref.parquet")
+    t0 = time.perf_counter()
+    pq.write_table(sub, ref_path, compression="NONE", use_dictionary=True)
+    queries["pyarrow_reference_write"] = round(time.perf_counter() - t0, 3)
+    ref_bytes = os.path.getsize(ref_path)
+    os.remove(ref_path)
+    sub_tokens = int(sub.column("n_tok").to_pandas().sum())
+    ref_bytes_per_token = ref_bytes / sub_tokens
+
+    # --- driver-testdata round-trip timing (documents-derived tokens) ---
+    if os.path.isdir(SF_DIR):
+        import __spark_entry__ as entry_mod
+        t0 = time.perf_counter()
+        entry_mod.queries()["rt_auto"](spark, SF_DIR).count()
+        queries["rt_auto_sfdir"] = round(time.perf_counter() - t0, 3)
+
+    spark.stop()
+
+    bytes_per_token = totals["enc_bytes"] / n_tokens
+    extras.update({
+        "n_tokens": n_tokens,
+        "mtokens_per_s_low": round(n_tokens / t_low / 1e6, 2),
+        "mtokens_per_s_high": round(n_tokens / t_high / 1e6, 2),
+        "parallelism_low": CPUS_LOW,
+        "parallelism_high": CPUS_HIGH,
+        "scaling_efficiency": round(efficiency, 3),
+        f"scaling_efficiency_{cpus_xlow}_to_{CPUS_LOW}": round(
+            (t_xlow / t_low) / (CPUS_LOW / cpus_xlow), 3),
+        f"mtokens_per_s_local{cpus_xlow}": round(
+            n_tokens / t_xlow / 1e6, 2),
+        "enc_bytes": totals["enc_bytes"],
+        "raw_bytes": totals["raw_bytes"],
+        "bytes_per_token": round(bytes_per_token, 4),
+        "ref_writer_bytes_per_token": round(ref_bytes_per_token, 4),
+        "size_vs_reference": round(bytes_per_token / ref_bytes_per_token, 4),
+        "decode_mtokens_per_s": round(n_tokens / t_dec / 1e6, 2),
+    })
+
+    out = {
+        "metric": f"token encode wall sec at local[{CPUS_HIGH}] "
+                  "(extras: M tokens/s, N-vs-4N scaling, bytes/token)",
+        "value": round(t_high, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        **extras,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

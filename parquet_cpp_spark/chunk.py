@@ -168,10 +168,22 @@ def _encode_bytes_payload(values: list[bytes], codec: int,
     raise ValueError(f"codec {codec} unsupported for byte_array")
 
 
+def build_levels_sections(row_lengths: np.ndarray) -> tuple[bytes, int]:
+    """Level sections for a list column: (bytes, n_slots). Computed once per
+    chunk and shared across codec-runoff candidates (levels don't depend on
+    the value codec)."""
+    rep, deflev = levels_mod.levels_from_lengths(row_lengths)
+    sections = len(rep).to_bytes(4, "little")  # level slot count
+    sections += rle.encode_length_prefixed(rep, 1)
+    sections += rle.encode_length_prefixed(deflev, 1)
+    return sections, len(rep)
+
+
 def encode_chunk(values, phys: str, codec: int, *,
                  row_lengths: np.ndarray | None = None,
                  dict_size_limit: int = dictionary.DEFAULT_DICT_SIZE_LIMIT,
-                 with_stats: bool = True) -> EncodedChunk:
+                 with_stats: bool = True,
+                 levels_sections: tuple[bytes, int] | None = None) -> EncodedChunk:
     """Encode one column chunk. ``row_lengths`` is set for the list column
     (tokens): values are the flattened elements and levels are emitted."""
     has_levels = row_lengths is not None
@@ -188,12 +200,12 @@ def encode_chunk(values, phys: str, codec: int, *,
     encodings: list[str] = []
     fallback = False
     if has_levels:
-        rep, deflev = levels_mod.levels_from_lengths(row_lengths)
-        sections += len(rep).to_bytes(4, "little")  # level slot count
-        sections += rle.encode_length_prefixed(rep, 1)
-        sections += rle.encode_length_prefixed(deflev, 1)
+        if levels_sections is None:
+            levels_sections = build_levels_sections(row_lengths)
+        lv_bytes, n_slots = levels_sections
+        sections += lv_bytes
         encodings.append("RLE")  # level encoding, as the reference records it
-        raw += 2 * len(rep)  # levels are int16 in the reference's raw form
+        raw += 2 * n_slots  # levels are int16 in the reference's raw form
 
     if phys == "byte_array":
         secs, encs, fallback = _encode_bytes_payload(values, codec,

@@ -1,0 +1,89 @@
+"""Deduplication operators over the ``documents`` table.
+
+- exact: hash-groupBy on content, keep the smallest doc_id (one shuffle on
+  the text hash; at 100 TB group on md5(text), not text, so shuffle keys are
+  fixed-width).
+- MinHash-LSH: per-doc signatures = min over word tokens of
+  md5(word || ':' || seed). Using md5 *strings* keeps every stage exactly
+  reproducible in ANSI SQL (the DuckDB oracle runs the same expressions) —
+  no engine-specific hash. Banding groups docs by (sig_i, sig_j) pairs; docs
+  sharing a band bucket are near-dup candidates; the canonical doc per
+  bucket is min(doc_id).
+- SimHash: 16-bit signature from per-word md5 nibbles, majority vote per bit
+  — expressed with explode + groupBy (no UDF).
+
+Scale notes: every operator is shuffle-on-key with fixed-width keys;
+signatures are tiny (strings/ints), so the LSH join is a shuffle of
+O(docs x bands) small rows, and the candidate-pair space never materializes
+the cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+DEFAULT_SEEDS = (0, 1, 2, 3)
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Canonical (kept) doc per exact content group."""
+    return (docs.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+            .agg(F.min(id_col).alias(id_col))
+            .select(id_col))
+
+
+def _words(text_col: str):
+    return F.split(F.col(text_col), " ")
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       seeds=DEFAULT_SEEDS) -> DataFrame:
+    """One row per doc with columns sig0..sigN: min-over-words of
+    md5(word || ':' || seed) — a MinHash over the word set with N
+    independent permutations approximated by salted md5."""
+    exploded = docs.select(id_col,
+                           F.explode(_words(text_col)).alias("w"))
+    aggs = [F.min(F.md5(F.concat(F.col("w"), F.lit(f":{s}"))))
+            .alias(f"sig{i}") for i, s in enumerate(seeds)]
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
+def minhash_dedup(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", seeds=DEFAULT_SEEDS,
+                  bands=((0, 1), (2, 3))) -> DataFrame:
+    """LSH banding: docs sharing any band bucket collapse to the bucket's
+    min(doc_id); a doc survives iff it is the canonical doc in all its
+    bands. Returns surviving doc_ids."""
+    sigs = minhash_signatures(docs, text_col, id_col, seeds)
+    kept = None
+    for i, j in bands:
+        bucket = (sigs.groupBy(f"sig{i}", f"sig{j}")
+                  .agg(F.min(id_col).alias("keep_id")))
+        survived = (sigs.join(bucket, [f"sig{i}", f"sig{j}"])
+                    .filter(F.col(id_col) == F.col("keep_id"))
+                    .select(id_col))
+        kept = survived if kept is None else kept.join(survived, id_col)
+    return kept
+
+
+def simhash(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id", bits: int = 16) -> DataFrame:
+    """SimHash signature: bit b of the signature is the majority vote over
+    words of bit b of md5(word). Bits come from the md5 hex nibbles —
+    conv(substr(md5, pos, 4), 16, 10) gives 16 bits; the vote is
+    sign(sum(2*bit - 1)). Pure DataFrame ops (explode + pivot-free agg)."""
+    exploded = docs.select(id_col, F.explode(_words(text_col)).alias("w"))
+    h16 = F.conv(F.substring(F.md5("w"), 1, 4), 16, 10).cast("long")
+    exploded = exploded.withColumn("h", h16)
+    votes = [
+        F.sum(2 * F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) - 1)
+        .alias(f"v{b}") for b in range(bits)
+    ]
+    per_doc = exploded.groupBy(id_col).agg(*votes)
+    sig = None
+    for b in range(bits):
+        bit = (F.col(f"v{b}") > 0).cast("long") * F.lit(1 << b)
+        sig = bit if sig is None else sig + bit
+    return per_doc.select(id_col, sig.alias("simhash"))

@@ -1,0 +1,122 @@
+"""Similarity search over the ``embeddings`` table (vec_id, embedding
+array<float>, label).
+
+Three tiers:
+- ``topk_inner_product_quantized``: embeddings quantized to int32
+  (round(x * 1000)); scores are exact integer dot products, so results are
+  bit-reproducible across engines (the DuckDB oracle computes the same
+  integers) and across executors. This is the correctness-gated baseline —
+  integer-quantized MIPS is also a real production retrieval mode (int8
+  quantization).
+- ``topk_cosine``: float cosine brute force with F.aggregate (JVM-side fold,
+  no UDF). Rows-only check (float summation order is engine-specific).
+- ``topk_cosine_lsh``: the scale path — random-hyperplane LSH buckets
+  (deterministic seeded planes) prune candidates before exact rescoring, so
+  the probe x corpus product never fully materializes; at 100 TB the
+  bucket join replaces the cross join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+QUANT_SCALE = 1000
+
+
+def _quantize(col):
+    # floor(double(x)*scale + 0.5): float->double is exact and floor is
+    # defined identically in Spark and DuckDB (F.round/round() disagree on
+    # tie handling), so quantized vectors are bit-identical across engines
+    return F.transform(col, lambda x: F.floor(
+        x.cast("double") * QUANT_SCALE + F.lit(0.5)).cast("long"))
+
+
+def topk_inner_product_quantized(emb: DataFrame, probe_ids: list[int],
+                                 k: int = 10) -> DataFrame:
+    """Exact integer MIPS: for each probe vec_id, the top-k corpus vectors by
+    quantized inner product (ties broken by vec_id; probes never match
+    themselves). Broadcast the probes: the corpus side streams."""
+    q = emb.select("vec_id", _quantize(F.col("embedding")).alias("qe"))
+    probes = (q.filter(F.col("vec_id").isin(probe_ids))
+              .select(F.col("vec_id").alias("probe_id"),
+                      F.col("qe").alias("qp")))
+    scored = (q.crossJoin(F.broadcast(probes))
+              .filter(F.col("vec_id") != F.col("probe_id"))
+              .select(
+                  "probe_id", "vec_id",
+                  F.aggregate(
+                      F.zip_with("qe", "qp", lambda a, b: a * b),
+                      F.lit(0).cast("long"), lambda acc, x: acc + x)
+                  .alias("score")))
+    w = Window.partitionBy("probe_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("probe_id", "vec_id", "score", "rank"))
+
+
+def _cosine(a, b):
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    return dot / (na * nb)
+
+
+def topk_cosine(emb: DataFrame, probe_ids: list[int], k: int = 10) -> DataFrame:
+    """Brute-force cosine top-k (float; JVM-side fold via F.aggregate)."""
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    probes = (e.filter(F.col("vec_id").isin(probe_ids))
+              .select(F.col("vec_id").alias("probe_id"), F.col("e").alias("p")))
+    scored = (e.crossJoin(F.broadcast(probes))
+              .filter(F.col("vec_id") != F.col("probe_id"))
+              .select("probe_id", "vec_id",
+                      _cosine(F.col("e"), F.col("p")).alias("score")))
+    w = Window.partitionBy("probe_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("probe_id", "vec_id", "score", "rank"))
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_bucket(emb: DataFrame, n_planes: int = 8, dim: int = 64,
+               seed: int = 7, col: str = "embedding") -> DataFrame:
+    """Random-hyperplane LSH: bucket = sign-bit string over seeded planes.
+    Deterministic (seeded numpy planes baked into the plan as literals)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucket = None
+    for i, p in enumerate(planes):
+        arr = F.array(*[F.lit(float(x)) for x in p])
+        dot = F.aggregate(F.zip_with(col, arr, lambda a, b: a * b),
+                          F.lit(0.0), lambda acc, x: acc + x)
+        bit = (dot > 0).cast("long") * F.lit(1 << i)
+        bucket = bit if bucket is None else bucket + bit
+    return emb.withColumn("bucket", bucket)
+
+
+def topk_cosine_lsh(emb: DataFrame, probe_ids: list[int], k: int = 10,
+                    n_planes: int = 6, dim: int = 64) -> DataFrame:
+    """Scale path: candidates share the probe's LSH bucket; exact cosine
+    rescoring only within buckets (bucket join replaces the cross join)."""
+    b = lsh_bucket(emb, n_planes, dim).select(
+        "vec_id", "bucket", F.col("embedding").cast("array<double>").alias("e"))
+    probes = (b.filter(F.col("vec_id").isin(probe_ids))
+              .select(F.col("vec_id").alias("probe_id"),
+                      F.col("bucket").alias("pbucket"),
+                      F.col("e").alias("p")))
+    cand = (b.join(F.broadcast(probes),
+                   F.col("bucket") == F.col("pbucket"))
+            .filter(F.col("vec_id") != F.col("probe_id")))
+    scored = cand.select("probe_id", "vec_id",
+                         _cosine(F.col("e"), F.col("p")).alias("score"))
+    w = Window.partitionBy("probe_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("probe_id", "vec_id", "score", "rank"))

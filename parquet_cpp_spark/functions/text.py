@@ -1,0 +1,84 @@
+"""Text analysis operators over the ``documents`` table — all pure
+DataFrame expressions (JVM-side, codegen'd; no UDFs), each deterministic so
+a DuckDB oracle can replicate the formula exactly.
+
+- token counting: whitespace tokens + a BPE-ish subword estimate
+  (ceil(chars/4) per word capped by length — a standard proxy).
+- quality scoring: length/word-length/stopword-ratio features.
+- language-ID: stopword-marker n-gram heuristic (the testdata's text is
+  synthetic, so this is a feature extractor with a deterministic formula,
+  not a trained classifier).
+- fingerprinting: md5 content fingerprint + first-k-words prefix hash
+  (rolling-hash analog over the word stream).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+STOPWORDS = ("the", "a", "of", "and", "to")
+LANG_MARKERS = {"en": " the ", "de": " der ", "fr": " le ", "es": " el ",
+                "zh": " de "}
+
+
+def _words(text_col: str = "text"):
+    return F.split(F.col(text_col), " ")
+
+
+def token_stats(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count + BPE-ish subword count estimate: each word
+    contributes ceil(len/4) subwords (min 1)."""
+    words = _words(text_col)
+    subwords = F.aggregate(
+        F.transform(words, lambda w: F.greatest(
+            F.ceil(F.length(w) / F.lit(4.0)).cast("int"), F.lit(1))),
+        F.lit(0), lambda acc, x: acc + x)
+    return docs.select(
+        id_col,
+        F.size(words).cast("int").alias("n_words"),
+        subwords.cast("int").alias("n_subwords"))
+
+
+def quality_features(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Deterministic quality features; the score is an integer in 0..100
+    (scaled rationals, so the oracle matches exactly — no float rounding)."""
+    words = _words(text_col)
+    n_words = F.size(words)
+    n_chars = F.length(text_col)
+    stop_hits = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+    max_word = F.array_max(F.transform(words, lambda w: F.length(w)))
+    # floor() (not cast) so the DuckDB oracle matches exactly: Spark's
+    # double->int cast truncates while DuckDB's rounds
+    stop_ratio_pct = F.floor(F.lit(100) * stop_hits / n_words).cast("int")
+    return docs.select(
+        id_col,
+        n_chars.cast("int").alias("n_chars"),
+        n_words.cast("int").alias("n_words"),
+        max_word.cast("int").alias("max_word_len"),
+        stop_hits.cast("int").alias("stopword_hits"),
+        stop_ratio_pct.alias("stopword_pct"))
+
+
+def lang_id(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """Marker-based language guess: first language whose marker n-gram
+    appears in the padded text; 'und' otherwise."""
+    padded = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
+    pred = F.lit("und")
+    for lang, marker in reversed(LANG_MARKERS.items()):
+        pred = F.when(padded.contains(marker), F.lit(lang)).otherwise(pred)
+    return docs.select(id_col, pred.alias("lang_pred"))
+
+
+def fingerprints(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", prefix_words: int = 8) -> DataFrame:
+    """Content fingerprints: full-text md5 + md5 of the first k words
+    (prefix fingerprint, robust to tail edits)."""
+    words = _words(text_col)
+    prefix = F.array_join(F.slice(words, 1, prefix_words), " ")
+    return docs.select(
+        id_col,
+        F.md5(F.col(text_col)).alias("fp_full"),
+        F.md5(prefix).alias("fp_prefix"))

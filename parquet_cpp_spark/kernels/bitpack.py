@@ -21,6 +21,44 @@ def bytes_for(n_values: int, bit_width: int) -> int:
     return (n_values * bit_width + 7) // 8
 
 
+def _lane_dtype(bit_width: int):
+    if bit_width <= 8:
+        return np.dtype("<u1")
+    if bit_width <= 16:
+        return np.dtype("<u2")
+    if bit_width <= 32:
+        return np.dtype("<u4")
+    return np.dtype("<u8")
+
+
+def bits_of(values: np.ndarray, bit_width: int) -> np.ndarray:
+    """(n, bit_width) uint8 bit matrix, LSB-first — via the C-fast
+    little-endian byte view + unpackbits, no Python-level shifting."""
+    dt = _lane_dtype(bit_width)
+    v = np.ascontiguousarray(values, dtype=dt)
+    by = v.view(np.uint8).reshape(len(v), dt.itemsize)
+    return np.unpackbits(by, axis=1, bitorder="little")[:, :bit_width]
+
+
+def values_from_bits(bits: np.ndarray, bit_width: int,
+                     out_dtype=np.int64) -> np.ndarray:
+    """Inverse of :func:`bits_of`: (n, bit_width) uint8 -> values."""
+    dt = _lane_dtype(bit_width)
+    n = len(bits)
+    padded = np.zeros((n, dt.itemsize * 8), dtype=np.uint8)
+    padded[:, :bit_width] = bits
+    by = np.packbits(padded, axis=1, bitorder="little")
+    return by.view(dt).ravel().astype(out_dtype, copy=False)
+
+
+# Cache blocking: the bit-matrix intermediates are ~(8..32)x the input size;
+# slicing keeps them L2/L3-resident so RAM traffic stays ~= input + output.
+# (This sandbox is heavily memory-bandwidth-throttled; cache residency is
+# what makes the kernels scale across cores.) 65536 values * 32 bits = 256 KiB
+# bits + lane copies — well inside per-core L2.
+_BLOCK_VALUES = 1 << 16
+
+
 def pack(values: np.ndarray, bit_width: int) -> bytes:
     """Pack non-negative integers into an LSB-first bitstream.
 
@@ -33,10 +71,15 @@ def pack(values: np.ndarray, bit_width: int) -> bytes:
         return b""
     if bit_width > 64:
         raise ValueError(f"bit_width {bit_width} > 64")
-    v = np.ascontiguousarray(values).astype(np.uint64, copy=False)
-    shifts = np.arange(bit_width, dtype=np.uint64)
-    bits = ((v[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
-    return np.packbits(bits.ravel(), bitorder="little").tobytes()
+    if n <= _BLOCK_VALUES:
+        return np.packbits(bits_of(values, bit_width).ravel(),
+                           bitorder="little").tobytes()
+    # block at multiples of 8 values so every block is byte-aligned
+    step = _BLOCK_VALUES  # multiple of 8
+    parts = [np.packbits(bits_of(values[i: i + step], bit_width).ravel(),
+                         bitorder="little").tobytes()
+             for i in range(0, n, step)]
+    return b"".join(parts)
 
 
 def unpack(buf: bytes | memoryview, n_values: int, bit_width: int,
@@ -44,14 +87,24 @@ def unpack(buf: bytes | memoryview, n_values: int, bit_width: int,
     """Inverse of :func:`pack`. Reads exactly ``bytes_for(n, w)`` bytes."""
     if bit_width == 0 or n_values == 0:
         return np.zeros(n_values, dtype=out_dtype)
-    total_bits = n_values * bit_width
-    nbytes = (total_bits + 7) // 8
-    raw = np.frombuffer(buf, dtype=np.uint8, count=nbytes)
-    bits = np.unpackbits(raw, bitorder="little", count=total_bits)
-    bits = bits.reshape(n_values, bit_width).astype(np.uint64)
-    weights = np.uint64(1) << np.arange(bit_width, dtype=np.uint64)
-    vals = bits @ weights
-    return vals.astype(out_dtype)
+    if n_values <= _BLOCK_VALUES:
+        total_bits = n_values * bit_width
+        nbytes = (total_bits + 7) // 8
+        raw = np.frombuffer(buf, dtype=np.uint8, count=nbytes)
+        bits = np.unpackbits(raw, bitorder="little", count=total_bits)
+        return values_from_bits(bits.reshape(n_values, bit_width), bit_width,
+                                out_dtype)
+    out = np.empty(n_values, dtype=out_dtype)
+    step = _BLOCK_VALUES
+    mv = memoryview(buf) if not isinstance(buf, memoryview) else buf
+    pos = 0
+    for i in range(0, n_values, step):
+        take = min(step, n_values - i)
+        nb = (take * bit_width + 7) // 8
+        out[i: i + take] = unpack(mv[pos: pos + nb], take, bit_width,
+                                  out_dtype)
+        pos += nb
+    return out
 
 
 def width_for_max(max_value: int) -> int:

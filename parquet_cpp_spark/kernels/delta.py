@@ -26,13 +26,25 @@ from . import bitpack
 from .varint import (decode_uvarint, decode_zigzag_varint, encode_uvarint,
                      encode_zigzag_varint)
 
+# parquet-mr's default geometry. Wider miniblocks (e.g. 2048/8) would cut
+# per-block Python header iterations 16x but cost +58% size on run-structured
+# token data (a single jump delta poisons the whole miniblock's width) —
+# measured, reverted. Keep 128/4: compression is the north-rule bar.
 BLOCK_SIZE = 128
 MINIBLOCKS = 4
 MINI_SIZE = BLOCK_SIZE // MINIBLOCKS  # 32
 
 
+# deltas per fused super-block: all intermediates stay cache-resident
+# (32768 deltas x 8 B = 256 KiB per int64 temp). Must be a BLOCK_SIZE multiple.
+_SUPER = 1 << 15
+
+# exact integer bit widths via searchsorted on powers of two (no float log2)
+_POW2 = np.uint64(1) << np.arange(64, dtype=np.uint64)
+
+
 def encode(values: np.ndarray) -> bytes:
-    v = np.ascontiguousarray(values).astype(np.int64, copy=False)
+    v = np.ascontiguousarray(values)
     n = len(v)
     out = bytearray()
     out += encode_uvarint(BLOCK_SIZE)
@@ -41,34 +53,63 @@ def encode(values: np.ndarray) -> bytes:
     out += encode_zigzag_varint(int(v[0]) if n else 0)
     if n <= 1:
         return bytes(out)
+    nd = n - 1
 
-    deltas = np.diff(v)  # int64; int32 inputs cannot overflow this
-    nd = len(deltas)
-    for bstart in range(0, nd, BLOCK_SIZE):
-        block = deltas[bstart: bstart + BLOCK_SIZE]
-        min_delta = int(block.min())
-        adj = (block - min_delta).astype(np.uint64)
-        out += encode_zigzag_varint(min_delta)
+    # Fused cache-blocked pipeline: diff -> per-block min -> per-miniblock
+    # width -> ragged bit-pack, all on _SUPER-sized slices so RAM traffic is
+    # ~input + output (the host is memory-bandwidth-bound; full-size
+    # intermediates would cap multi-core scaling).
+    # Each miniblock's payload is exactly 4*w bytes (32*w bits,
+    # byte-aligned), so concatenating ragged (miniblock, value, bit)-ordered
+    # bit matrices in C-order IS the spec stream.
+    for s in range(0, nd, _SUPER):
+        e = min(s + _SUPER, nd)
+        seg = np.asarray(v[s: e + 1], dtype=np.int64)
+        deltas = seg[1:] - seg[:-1]
+        ns = e - s
+        n_blocks = (ns + BLOCK_SIZE - 1) // BLOCK_SIZE
+        if ns % BLOCK_SIZE:
+            padded = np.zeros(n_blocks * BLOCK_SIZE, dtype=np.int64)
+            padded[:ns] = deltas
+        else:
+            padded = deltas
+        blocks = padded.reshape(n_blocks, BLOCK_SIZE)
+        mins = np.empty(n_blocks, dtype=np.int64)
+        if ns % BLOCK_SIZE == 0:
+            mins[:] = blocks.min(axis=1)
+        else:
+            if n_blocks > 1:
+                mins[:-1] = blocks[:-1].min(axis=1)
+            mins[-1] = deltas[(n_blocks - 1) * BLOCK_SIZE:].min()
+        adj = (blocks - mins[:, None]).view(np.uint64)
+        if ns % BLOCK_SIZE:
+            adj.reshape(-1)[ns:] = 0  # pad never raises a width
 
-        widths = []
-        packed: list[bytes] = []
-        for m in range(MINIBLOCKS):
-            mb = adj[m * MINI_SIZE: (m + 1) * MINI_SIZE]
-            if len(mb) == 0:
-                widths.append(0)
-                continue
-            w = bitpack.width_for_max(int(mb.max()))
-            widths.append(w)
-            if w == 0:
-                continue
-            if len(mb) < MINI_SIZE:
-                full = np.zeros(MINI_SIZE, dtype=np.uint64)
-                full[: len(mb)] = mb
-                mb = full
-            packed.append(bitpack.pack(mb, w))
-        out += bytes(widths)
-        for p in packed:
-            out += p
+        minis = adj.reshape(n_blocks * MINIBLOCKS, MINI_SIZE)
+        mini_max = minis.max(axis=1)
+        widths = np.searchsorted(_POW2, mini_max, side="right") \
+            .astype(np.uint8)
+        n_mini_used = (ns + MINI_SIZE - 1) // MINI_SIZE
+        widths[n_mini_used:] = 0
+
+        w_max = int(widths.max())
+        if w_max:
+            sel = np.arange(w_max, dtype=np.int64)
+            bits = bitpack.bits_of(minis.ravel(), w_max) \
+                .reshape(len(minis), MINI_SIZE, w_max)
+            mask = sel[None, None, :] < widths.astype(np.int64)[:, None, None]
+            stream = np.packbits(bits[np.broadcast_to(mask, bits.shape)],
+                                 bitorder="little").tobytes()
+            byte_offsets = np.zeros(len(widths) + 1, dtype=np.int64)
+            np.cumsum(widths.astype(np.int64) * (MINI_SIZE // 8),
+                      out=byte_offsets[1:])
+        for b in range(n_blocks):
+            out += encode_zigzag_varint(int(mins[b]))
+            out += widths[b * MINIBLOCKS: (b + 1) * MINIBLOCKS].tobytes()
+            if w_max:
+                lo = byte_offsets[b * MINIBLOCKS]
+                hi = byte_offsets[(b + 1) * MINIBLOCKS]
+                out += stream[lo:hi]
     return bytes(out)
 
 
@@ -89,25 +130,64 @@ def decode(buf, pos: int = 0, out_dtype=np.int64) -> tuple[np.ndarray, int]:
     if nd == 0:
         return out.astype(out_dtype, copy=False), pos
 
-    deltas = np.empty(nd, dtype=np.int64)
-    got = 0
-    while got < nd:
-        min_delta, pos = decode_zigzag_varint(mv, pos)
-        widths = list(mv[pos: pos + miniblocks])
+    # Pass 1: parse block headers (one per `block_size` deltas), collecting
+    # per-miniblock widths and the contiguous payload segments.
+    n_blocks = (nd + block_size - 1) // block_size
+    mins_l: list[int] = []
+    widths_l: list[int] = []
+    segments: list = []
+    mini_bytes = mini_size // 8
+    zz = decode_zigzag_varint
+    for b in range(n_blocks):
+        m, pos = zz(mv, pos)
+        mins_l.append(m)
+        n_used = nd - b * block_size
+        if n_used > block_size:
+            n_used = miniblocks
+        else:
+            n_used = (n_used + mini_size - 1) // mini_size
+        seg_w = 0
+        for i in range(miniblocks):
+            w = mv[pos + i] if i < n_used else 0
+            widths_l.append(w)
+            seg_w += w
         pos += miniblocks
-        for w in widths:
-            if got >= nd:
-                break
-            take = min(mini_size, nd - got)
-            if w == 0:
-                deltas[got: got + take] = min_delta
-            else:
-                nb = bitpack.bytes_for(mini_size, w)
-                vals = bitpack.unpack(mv[pos: pos + nb], mini_size, w, np.int64)
-                deltas[got: got + take] = vals[:take] + min_delta
-                pos += nb
-            got += take
+        seg_len = seg_w * mini_bytes
+        segments.append(mv[pos: pos + seg_len])
+        pos += seg_len
+    mins = np.asarray(mins_l, dtype=np.int64)
+    widths = np.asarray(widths_l, dtype=np.int64)
 
+    # Pass 2: one unpackbits over the whole payload, ragged-scatter into a
+    # (miniblock, value, bit) cube, then weights + cumsum — all vectorized.
+    nmini = n_blocks * miniblocks
+    w_max = int(widths.max()) if nmini else 0
+    if w_max:
+        payload = np.frombuffer(b"".join(segments), dtype=np.uint8)
+        sel = np.arange(w_max, dtype=np.int64)
+        vals = np.empty((nmini, mini_size), dtype=np.int64)
+        step = max(1, (1 << 16) // mini_size)
+        bit_offsets = np.zeros(nmini + 1, dtype=np.int64)
+        np.cumsum(widths * mini_size, out=bit_offsets[1:])
+        for s in range(0, nmini, step):
+            e = min(s + step, nmini)
+            wsl = widths[s:e]
+            lo_bit, hi_bit = int(bit_offsets[s]), int(bit_offsets[e])
+            seg = payload[lo_bit // 8: (hi_bit + 7) // 8]
+            bits = np.unpackbits(seg, bitorder="little",
+                                 count=hi_bit - lo_bit)
+            flat = np.zeros(((e - s) * mini_size, w_max), dtype=np.uint8)
+            per_value_w = np.repeat(wsl, mini_size)
+            mask = sel[None, :] < per_value_w[:, None]
+            flat[mask] = bits
+            vals[s:e] = bitpack.values_from_bits(flat, w_max, np.int64) \
+                .reshape(e - s, mini_size)
+    else:
+        vals = np.zeros((nmini, mini_size), dtype=np.int64)
+
+    deltas = vals.reshape(n_blocks, block_size)
+    deltas += mins[:, None]
+    deltas = deltas.reshape(-1)[:nd]
     np.cumsum(deltas, out=deltas)
     out[1:] = out[0] + deltas
     return out.astype(out_dtype, copy=False), pos

@@ -43,14 +43,14 @@ def train(values: list[bytes]) -> list[bytes]:
         budget -= len(v)
     symbols: list[bytes] = []
     for _ in range(TRAIN_ITERATIONS):
-        by_first = _index_by_first_byte(symbols)
+        tables = _build_tables(symbols)
         sym_count: dict[bytes, int] = {}
         pair_count: dict[bytes, int] = {}
         for s in sample:
             prev: bytes | None = None
             i, ln = 0, len(s)
             while i < ln:
-                m = _longest_match(s, i, ln, by_first)
+                m = _longest_match(s, i, ln, tables)
                 cur = s[i: i + m] if m else s[i: i + 1]
                 sym_count[cur] = sym_count.get(cur, 0) + 1
                 if prev is not None:
@@ -69,42 +69,43 @@ def train(values: list[bytes]) -> list[bytes]:
     return symbols
 
 
-def _index_by_first_byte(symbols: list[bytes]):
-    """first byte -> [(symbol, code)] sorted by length desc (greedy order)."""
-    idx: list[list[tuple[bytes, int]]] = [[] for _ in range(256)]
+def _build_tables(symbols: list[bytes]):
+    """length -> {symbol bytes: code}, lengths tried longest-first. Greedy
+    longest-match then costs at most len(lengths) (<= 8) dict probes per
+    position instead of a scan over all same-first-byte candidates."""
+    tables: dict[int, dict[bytes, int]] = {}
     for code, sym in enumerate(symbols):
-        idx[sym[0]].append((sym, code))
-    for lst in idx:
-        lst.sort(key=lambda t: -len(t[0]))
-    return idx
+        tables.setdefault(len(sym), {})[sym] = code
+    lengths = sorted(tables, reverse=True)
+    return [(L, tables[L]) for L in lengths]
 
 
-def _longest_match(s: bytes, i: int, ln: int, by_first) -> int:
-    for sym, _code in by_first[s[i]]:
-        if s.startswith(sym, i):
-            return len(sym)
+def _longest_match(s: bytes, i: int, ln: int, tables) -> int:
+    for L, tab in tables:
+        if s[i: i + L] in tab:
+            return L
     return 0
 
 
 def encode(values: list[bytes]) -> bytes:
     symbols = train(values)
-    by_first = _index_by_first_byte(symbols)
+    tables = _build_tables(symbols)
     out_parts: list[bytes] = []
     enc_lens = np.empty(len(values), dtype=np.int64)
     for vi, s in enumerate(values):
         buf = bytearray()
+        append = buf.append
         i, ln = 0, len(s)
         while i < ln:
-            matched = False
-            for sym, code in by_first[s[i]]:
-                if s.startswith(sym, i):
-                    buf.append(code)
-                    i += len(sym)
-                    matched = True
+            for L, tab in tables:
+                code = tab.get(s[i: i + L])
+                if code is not None:
+                    append(code)
+                    i += L
                     break
-            if not matched:
-                buf.append(ESCAPE)
-                buf.append(s[i])
+            else:
+                append(ESCAPE)
+                append(s[i])
                 i += 1
         out_parts.append(bytes(buf))
         enc_lens[vi] = len(buf)

@@ -42,7 +42,9 @@ def encode(values: np.ndarray, bit_width: int) -> bytes:
     n = len(values)
     if n == 0:
         return b""
-    a = np.ascontiguousarray(values).astype(np.uint64, copy=False)
+    # keep the native dtype end-to-end: a full-width copy here would double
+    # RAM traffic on the hot path (levels are int8, tokens int32)
+    a = np.ascontiguousarray(values)
     vbytes = _value_bytes(bit_width)
     out = bytearray()
 
@@ -51,7 +53,7 @@ def encode(values: np.ndarray, bit_width: int) -> bytes:
 
     if n_groups == 0:
         # Single partial group: emit one zero-padded literal group.
-        padded = np.zeros(8, dtype=np.uint64)
+        padded = np.zeros(8, dtype=a.dtype)
         padded[:n] = a
         out += encode_uvarint((1 << 1) | 1)
         out += bitpack.pack(padded, bit_width)
@@ -74,6 +76,22 @@ def encode(values: np.ndarray, bit_width: int) -> bytes:
     tail_vals = a[n_groups * 8:]
     tail_done = False
 
+    # Pack ALL literal-group values with ONE packbits call (uniform width ->
+    # every group is exactly `bit_width` bytes); stretches then slice into
+    # the shared buffer. Kills the per-stretch vectorization overhead.
+    lit_starts = starts[~uniform[starts]]
+    lit_ends = ends[~uniform[starts]]
+    packed = b""
+    lit_offset = {}
+    if len(lit_starts):
+        pieces = [g[s:e].ravel() for s, e in zip(lit_starts.tolist(),
+                                                 lit_ends.tolist())]
+        packed = bitpack.pack(np.concatenate(pieces), bit_width)
+        off = 0
+        for s, e in zip(lit_starts.tolist(), lit_ends.tolist()):
+            lit_offset[s] = off
+            off += (e - s) * bit_width
+
     for s, e in zip(starts.tolist(), ends.tolist()):
         if uniform[s]:
             count = (e - s) * 8
@@ -85,17 +103,16 @@ def encode(values: np.ndarray, bit_width: int) -> bytes:
             out += val.to_bytes(vbytes, "little")
         else:
             ng = e - s
-            chunk_vals = g[s:e].ravel()
-            off = 0
+            off = lit_offset[s]
             while ng > 0:
                 take = min(ng, _MAX_LITERAL_GROUPS)
                 out += encode_uvarint((take << 1) | 1)
-                out += bitpack.pack(chunk_vals[off: off + take * 8], bit_width)
+                out += packed[off: off + take * bit_width]
                 ng -= take
-                off += take * 8
+                off += take * bit_width
 
     if tail and not tail_done:
-        padded = np.zeros(8, dtype=np.uint64)
+        padded = np.zeros(8, dtype=a.dtype)
         padded[:tail] = tail_vals
         out += encode_uvarint((1 << 1) | 1)
         out += bitpack.pack(padded, bit_width)
@@ -105,31 +122,68 @@ def encode(values: np.ndarray, bit_width: int) -> bytes:
 
 def decode(buf, n_values: int, bit_width: int, pos: int = 0,
            out_dtype=np.int64) -> tuple[np.ndarray, int]:
-    """Decode ``n_values`` from the stream; returns (values, new_pos)."""
-    out = np.empty(n_values, dtype=out_dtype)
+    """Decode ``n_values`` from the stream; returns (values, new_pos).
+
+    Two-phase: a light header-parse loop collects run descriptors, then all
+    RLE runs fill via one ``np.repeat`` and all literal groups unpack via one
+    batched ``unpack`` (every literal group is byte-aligned), so the numpy
+    per-call overhead is paid O(1) times instead of O(#runs)."""
     vbytes = _value_bytes(bit_width)
-    idx = 0
     mv = memoryview(buf) if not isinstance(buf, memoryview) else buf
+    from_bytes = int.from_bytes
+
+    seg_kind: list[int] = []      # 0 = rle, 1 = literal
+    seg_take: list[int] = []
+    rle_vals: list[int] = []
+    rle_takes: list[int] = []
+    lit_slices: list = []
+    lit_counts: list[int] = []
+    idx = 0
     while idx < n_values:
         header, pos = decode_uvarint(mv, pos)
         if header & 1:
-            ngroups = header >> 1
-            cnt = ngroups * 8
-            nb = bitpack.bytes_for(cnt, bit_width)
-            vals = bitpack.unpack(mv[pos: pos + nb], cnt, bit_width, out_dtype)
-            take = min(cnt, n_values - idx)
-            out[idx: idx + take] = vals[:take]
-            idx += take
+            cnt = (header >> 1) * 8
+            nb = (cnt * bit_width + 7) // 8
+            take = cnt if cnt <= n_values - idx else n_values - idx
+            seg_kind.append(1)
+            seg_take.append(take)
+            lit_slices.append(mv[pos: pos + nb])
+            lit_counts.append(cnt)
             pos += nb
         else:
             cnt = header >> 1
             if cnt == 0:
                 raise ValueError("corrupt RLE stream: zero-length run")
-            val = int.from_bytes(mv[pos: pos + vbytes], "little")
+            val = from_bytes(mv[pos: pos + vbytes], "little")
             pos += vbytes
-            take = min(cnt, n_values - idx)
-            out[idx: idx + take] = val
-            idx += take
+            take = cnt if cnt <= n_values - idx else n_values - idx
+            seg_kind.append(0)
+            seg_take.append(take)
+            rle_vals.append(val)
+            rle_takes.append(take)
+        idx += take
+
+    out = np.empty(n_values, dtype=out_dtype)
+    rle_fill = np.repeat(
+        np.asarray(rle_vals, dtype=out_dtype),
+        np.asarray(rle_takes, dtype=np.int64)) if rle_vals else None
+    if lit_slices:
+        lit_all = bitpack.unpack(b"".join(lit_slices), sum(lit_counts),
+                                 bit_width, out_dtype)
+    # interleave by segment order (contiguous slice copies)
+    dst = 0
+    r_off = 0
+    l_off = 0
+    li = 0
+    for kind, take in zip(seg_kind, seg_take):
+        if kind == 0:
+            out[dst: dst + take] = rle_fill[r_off: r_off + take]
+            r_off += take
+        else:
+            out[dst: dst + take] = lit_all[l_off: l_off + take]
+            l_off += lit_counts[li]  # full group count skips any pad values
+            li += 1
+        dst += take
     return out, pos
 
 

@@ -5,7 +5,12 @@ DELTA_BINARY_PACKED headers (see the reference's decoder,
 from __future__ import annotations
 
 
+_SINGLE = [bytes([i]) for i in range(128)]
+
+
 def encode_uvarint(value: int) -> bytes:
+    if 0 <= value < 128:
+        return _SINGLE[value]
     if value < 0:
         raise ValueError("uvarint requires non-negative value")
     out = bytearray()

@@ -30,11 +30,13 @@ def levels_from_lengths(lengths: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     lengths = np.ascontiguousarray(lengths, dtype=np.int64)
     slots = np.maximum(lengths, 1)
     total = int(slots.sum())
-    rep = np.ones(total, dtype=np.int64)
+    # int8: levels are tiny ints; narrow dtype keeps the RLE pass cheap on
+    # memory bandwidth (one level slot per token)
+    rep = np.ones(total, dtype=np.int8)
     starts = np.zeros(len(lengths), dtype=np.int64)
     np.cumsum(slots[:-1], out=starts[1:])
     rep[starts] = 0
-    d = np.ones(total, dtype=np.int64)
+    d = np.ones(total, dtype=np.int8)
     empty_rows = starts[lengths == 0]
     d[empty_rows] = 0
     return rep, d

@@ -1,0 +1,120 @@
+"""Scan-local encode: ``mapInArrow`` over input splits — zero shuffle.
+
+The reference encodes values in arrival order, one row group at a time
+(``/root/reference/src/parquet/file_writer.cc:60-143``); it never re-sorts or
+re-partitions. This operator is the Spark analog: each scan task's batches
+become one "row group" (chunk set), values are pulled straight out of the
+Arrow list buffers (offsets + values — no per-row Python, no pandas object
+churn), and there is NO shuffle: wall time is pure scan + encode.
+
+Use this as the default encode path; use ``operators.encode`` (groupBy +
+applyInPandas) when downstream reads need co-location by an explicit key or
+when the input layout is skewed and must be rebalanced (plans.encode_job
+handles salting there).
+
+part_id is content-derived (sha256 of the first doc_id + row count), so a
+re-run over the same input produces the same partition ids — the property
+the resume manifest needs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+from .. import chunk as chunkmod
+from .. import selector
+from .encode import CHUNK_SCHEMA, TOKEN_TABLE_COLUMNS
+
+
+def _arrow_column_values(tbl, col: str, phys: str):
+    """(values, row_lengths) straight from Arrow buffers."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    column = tbl.column(col).combine_chunks()
+    if phys == "list<int32>":
+        # flatten() honors slicing, so values correspond 1:1 to the lengths
+        lengths = pc.list_value_length(column).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = column.flatten().to_numpy(zero_copy_only=False).astype(
+            np.int32, copy=False)
+        return flat, lengths
+    if phys == "byte_array":
+        return column.cast(pa.binary()).to_pylist(), None
+    dt = np.int32 if phys == "int32" else np.int64
+    return column.to_numpy(zero_copy_only=False).astype(dt, copy=False), None
+
+
+def make_arrow_encode_fn(columns: dict[str, str] | None = None,
+                         codec_overrides: dict[str, str] | None = None,
+                         dict_size_limit: int = 1 << 20):
+    import pyarrow as pa
+
+    columns = columns or TOKEN_TABLE_COLUMNS
+    overrides = {k: chunkmod.CODEC_IDS[v]
+                 for k, v in (codec_overrides or {}).items()}
+    out_schema = pa.schema([
+        ("part_id", pa.int64()), ("col", pa.string()),
+        ("codec", pa.string()), ("encodings", pa.list_(pa.string())),
+        ("n_rows", pa.int64()), ("n_values", pa.int64()),
+        ("raw_bytes", pa.int64()), ("enc_bytes", pa.int64()),
+        ("null_count", pa.int64()), ("min_val", pa.string()),
+        ("max_val", pa.string()), ("checksum", pa.string()),
+        ("blob", pa.binary()),
+    ])
+
+    def encode_task(batches):
+        batch_list = list(batches)
+        if not batch_list:
+            return
+        tbl = pa.Table.from_batches(batch_list)
+        if tbl.num_rows == 0:
+            return
+        first_id = tbl.column("doc_id")[0].as_py()
+        digest = hashlib.sha256(
+            f"{first_id}|{tbl.num_rows}".encode()).digest()
+        part_id = int.from_bytes(digest[:8], "little", signed=False) >> 1
+
+        rows = {k: [] for k in out_schema.names}
+        n_rows_seen = set()
+        for col, phys in columns.items():
+            values, row_lengths = _arrow_column_values(tbl, col, phys)
+            kernel_phys = "int32" if phys == "list<int32>" else phys
+            enc = selector.encode_best(
+                values, kernel_phys, row_lengths=row_lengths,
+                codec_override=overrides.get(col),
+                dict_size_limit=dict_size_limit)
+            st = enc.stats
+            rows["part_id"].append(part_id)
+            rows["col"].append(col)
+            rows["codec"].append(enc.codec_name)
+            rows["encodings"].append(enc.encodings)
+            rows["n_rows"].append(enc.n_rows)
+            rows["n_values"].append(enc.n_values)
+            rows["raw_bytes"].append(enc.raw_bytes)
+            rows["enc_bytes"].append(enc.enc_bytes)
+            rows["null_count"].append(st.null_count if st else 0)
+            rows["min_val"].append(st.min_val if st else None)
+            rows["max_val"].append(st.max_val if st else None)
+            rows["checksum"].append(hashlib.sha256(enc.blob).hexdigest())
+            rows["blob"].append(enc.blob)
+            n_rows_seen.add(enc.n_rows)
+        if len(n_rows_seen) > 1:
+            raise ValueError(
+                f"row-count mismatch across columns: {n_rows_seen}")
+        yield pa.RecordBatch.from_pydict(rows, schema=out_schema)
+
+    return encode_task
+
+
+def encode_scan_local(df, columns: dict[str, str] | None = None,
+                      codec_overrides: dict[str, str] | None = None,
+                      dict_size_limit: int = 1 << 20):
+    """DataFrame -> chunk DataFrame with no shuffle (one chunk set per scan
+    task)."""
+    from ..shipping import ensure_shipped
+    ensure_shipped(df.sparkSession)
+    fn = make_arrow_encode_fn(columns, codec_overrides, dict_size_limit)
+    return df.mapInArrow(fn, schema=CHUNK_SCHEMA)

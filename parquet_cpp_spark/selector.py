@@ -170,8 +170,14 @@ def estimate_bytes_sizes(values: list[bytes]) -> dict[int, float]:
 
 
 # Estimates within this factor of the best trigger an actual-size runoff.
-RUNOFF_FACTOR = 2.2
-RUNOFF_MAX_CANDIDATES = 3
+# Int estimates are tight (exact widths from a contiguous window) -> narrow
+# runoff; byte-array estimates (FSST especially) are rough -> wide runoff.
+# Every extra candidate is a full memory pass, which is what limits
+# multi-core scaling on bandwidth-constrained hosts.
+RUNOFF_FACTOR_INT = 1.15
+RUNOFF_MAX_INT = 2
+RUNOFF_FACTOR_BYTES = 2.2
+RUNOFF_MAX_BYTES = 3
 
 
 def _ranked(est: dict[int, float]) -> list[int]:
@@ -189,16 +195,27 @@ def select_bytes_codec(values: list[bytes]) -> int:
 
 def candidates(values, phys: str) -> list[int]:
     """Codecs worth actually encoding: the estimate winner plus any within
-    RUNOFF_FACTOR of it (closed-form estimates are approximate; the runoff
+    the runoff factor (closed-form estimates are approximate; the runoff
     on real bytes is the authoritative pick — analog of the reference
     verifying dict size at runtime rather than trusting the estimate,
     ``column_writer.cc:498-510``)."""
-    est = (estimate_bytes_sizes(values) if phys == "byte_array"
-           else estimate_int_sizes(values, phys))
+    if phys == "byte_array":
+        est = estimate_bytes_sizes(values)
+        factor, cap = RUNOFF_FACTOR_BYTES, RUNOFF_MAX_BYTES
+    else:
+        est = estimate_int_sizes(values, phys)
+        factor, cap = RUNOFF_FACTOR_INT, RUNOFF_MAX_INT
     order = _ranked(est)
     best = est[order[0]]
-    out = [c for c in order if est[c] <= best * RUNOFF_FACTOR]
-    return out[:RUNOFF_MAX_CANDIDATES]
+    out = [c for c in order if est[c] <= best * factor]
+    return out[:cap]
+
+
+def _plain_payload_bytes(values, phys: str) -> int:
+    if phys == "byte_array":
+        return sum(len(v) for v in values) + 4 * len(values)
+    itemsize = 4 if phys in ("int32", "float") else 8
+    return itemsize * len(values)
 
 
 def encode_best(values, phys: str, *, row_lengths=None,
@@ -209,21 +226,33 @@ def encode_best(values, phys: str, *, row_lengths=None,
     encode the top candidates and keep the actual-smallest; always fall back
     to PLAIN if the pick loses to PLAIN on actual bytes (preserves the
     'selected <= PLAIN' property the reference's fallback rule guarantees)."""
+    levels_sections = (chunkmod.build_levels_sections(row_lengths)
+                       if row_lengths is not None else None)
     if codec_override is not None:
         return chunkmod.encode_chunk(values, phys, codec_override,
                                      row_lengths=row_lengths,
-                                     dict_size_limit=dict_size_limit)
+                                     dict_size_limit=dict_size_limit,
+                                     levels_sections=levels_sections)
 
     best: chunkmod.EncodedChunk | None = None
     for codec in candidates(values, phys):
         enc = chunkmod.encode_chunk(values, phys, codec,
                                     row_lengths=row_lengths,
-                                    dict_size_limit=dict_size_limit)
+                                    dict_size_limit=dict_size_limit,
+                                    levels_sections=levels_sections)
         if best is None or enc.enc_bytes < best.enc_bytes:
             best = enc
     if guard_with_plain and best is not None and best.codec != chunkmod.PLAIN:
-        plain_enc = chunkmod.encode_chunk(values, phys, chunkmod.PLAIN,
-                                          row_lengths=row_lengths)
-        if plain_enc.enc_bytes < best.enc_bytes:
-            return plain_enc
+        # PLAIN's size is closed-form — only pay the encode pass if it wins.
+        # plain chunk = 20-byte header [+ levels sections] + 4-byte section
+        # length prefix + raw payload
+        plain_total = 20 + 4 + _plain_payload_bytes(values, phys)
+        if levels_sections is not None:
+            plain_total += len(levels_sections[0])
+        if plain_total < best.enc_bytes:
+            plain_enc = chunkmod.encode_chunk(
+                values, phys, chunkmod.PLAIN, row_lengths=row_lengths,
+                levels_sections=levels_sections)
+            if plain_enc.enc_bytes < best.enc_bytes:
+                return plain_enc
     return best

@@ -73,7 +73,8 @@ _SOURCE_WEIGHTS = np.array([0.42, 0.14, 0.10, 0.08, 0.07, 0.05, 0.04, 0.03,
 
 
 def synthesize_tokens_table(n_rows: int, seed: int = 42,
-                            vocab: int = 262144, avg_len: int = 256):
+                            vocab: int = 262144, avg_len: int = 256,
+                            id_offset: int = 0):
     """Deterministic in-memory token table as a pyarrow Table.
 
     Row-length profile: mixed uniform with 1% empties and a few jumbo rows.
@@ -120,7 +121,8 @@ def synthesize_tokens_table(n_rows: int, seed: int = 42,
             flat[starts[r]: ends[r]] = vals[pos: pos + sz]
             pos += sz
 
-    doc_ids = [f"corpus/shard{i % 997:03d}/doc-{i:012d}" for i in range(n_rows)]
+    doc_ids = [f"corpus/shard{i % 997:03d}/doc-{i:012d}"
+               for i in range(id_offset, id_offset + n_rows)]
     tokens_arr = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int64()),
                                           pa.array(flat, type=pa.int32()))
     return pa.table({
@@ -132,16 +134,37 @@ def synthesize_tokens_table(n_rows: int, seed: int = 42,
 
 
 def synthesize_tokens_parquet(path: str, n_rows: int, seed: int = 42,
-                              row_group_size: int = 100_000) -> str:
-    """Write the synthetic table to parquet (cached: skips if present)."""
+                              row_group_size: int = 100_000,
+                              slab_rows: int = 250_000) -> str:
+    """Write the synthetic table to parquet (cached: skips if present).
+    Streams in slabs so billion-token tables don't need table-sized RAM;
+    each slab gets an independent seeded RNG, so output is deterministic
+    for a given (n_rows, seed, slab_rows)."""
     import pyarrow.parquet as pq
 
     if os.path.exists(path):
         return path
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    tbl = synthesize_tokens_table(n_rows, seed)
-    pq.write_table(tbl, path, row_group_size=row_group_size)
-    return tbl and path
+    tmp = path + ".tmp"
+    writer = None
+    try:
+        for start in range(0, n_rows, slab_rows):
+            rows = min(slab_rows, n_rows - start)
+            tbl = synthesize_tokens_table(rows, seed + start // slab_rows,
+                                          id_offset=start)
+            if writer is None:
+                writer = pq.ParquetWriter(tmp, tbl.schema)
+            for rg_start in range(0, rows, row_group_size):
+                writer.write_table(tbl.slice(rg_start, row_group_size),
+                                   row_group_size=row_group_size)
+        if writer is not None:
+            writer.close()
+            writer = None
+        os.replace(tmp, path)
+    finally:
+        if writer is not None:
+            writer.close()
+    return path
 
 
 def read_tokens(spark, path: str, fmt: str = "auto"):

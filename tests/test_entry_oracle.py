@@ -55,9 +55,11 @@ def test_every_query_has_callable_signature():
     q = entry_mod.queries()
     o = entry_mod.oracle_sql()
     assert set(o) <= set(q)
-    # every oracle-less query is flagged intentionally
+    # every oracle-less query is flagged intentionally (float cosine folds
+    # and engine introspection are rows-only by design)
     no_oracle = set(q) - set(o)
-    assert no_oracle <= {"codec_selection", "compression_manifest"}
+    assert no_oracle <= {"codec_selection", "compression_manifest",
+                         "simhash", "ann_cosine_topk", "ann_cosine_lsh"}
 
 
 @pytest.mark.parametrize("name", sorted(entry_mod.oracle_sql().keys()))
@@ -72,5 +74,6 @@ def test_query_matches_oracle(spark, duck, name):
 
 def test_rows_only_queries_run(spark):
     q = entry_mod.queries()
-    for name in ("codec_selection", "compression_manifest"):
+    for name in ("codec_selection", "compression_manifest", "simhash",
+                 "ann_cosine_topk", "ann_cosine_lsh"):
         assert q[name](spark, SF_DIR).count() > 0
