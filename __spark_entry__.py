@@ -127,6 +127,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("lang", "source"))
     q["lang_profile"] = lang_profile
 
+    # --- point lookup via stats+bloom chunk pruning ---
+    def point_lookup(spark: SparkSession, sf: str) -> DataFrame:
+        from parquet_cpp_spark.operators import encode as encode_op
+        from parquet_cpp_spark.plans import lookup
+        src = tokens_src.tokens_from_documents(spark, sf, NUM_PARTS)
+        chunks = encode_op.encode_df(src, NUM_PARTS,
+                                     bloom_columns={"doc_id"})
+        return (lookup.point_lookup(chunks, "42")
+                .select("doc_id", "n_tok", "source"))
+    q["point_lookup"] = point_lookup
+
     # --- dedup / text-analysis / similarity operators ---
     from parquet_cpp_spark.functions import dedup, similarity, text
 
@@ -200,6 +211,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_docs,
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY lang, source ORDER BY lang, source
+        """,
+        "point_lookup": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok,
+                   source
+            FROM documents WHERE doc_id = 42
         """,
         "minhash_signatures": """
             SELECT doc_id,

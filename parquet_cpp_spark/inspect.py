@@ -1,0 +1,108 @@
+"""Debugging CLI — analog of the reference's tools
+(``/root/reference/tools/parquet_reader.cc``, ``parquet-dump-schema``,
+``parquet-scan.cc``):
+
+    python -m parquet_cpp_spark.inspect <chunks parquet file/dir>          # metadata
+    python -m parquet_cpp_spark.inspect <chunks parquet file/dir> --scan   # decode-all
+    python -m parquet_cpp_spark.inspect <blob.bin> --blob                  # one chunk
+
+Reads the chunk DataFrame's parquet directly via pyarrow (no Spark session
+needed for debugging).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from . import chunk as chunkmod
+
+
+def _load(path: str):
+    import pyarrow.dataset as ds
+    return ds.dataset(path, format="parquet").to_table()
+
+
+def cmd_meta(path: str) -> None:
+    tbl = _load(path)
+    cols = ["part_id", "col", "codec", "n_rows", "n_values", "raw_bytes",
+            "enc_bytes", "min_val", "max_val"]
+    data = {c: tbl.column(c).to_pylist() for c in cols}
+    hdr = (f"{'part_id':>20} {'col':<8} {'codec':<22} {'n_rows':>9} "
+           f"{'n_values':>11} {'raw':>12} {'enc':>12} {'ratio':>6}  min..max")
+    print(hdr)
+    print("-" * len(hdr))
+    for i in range(tbl.num_rows):
+        raw, enc = data["raw_bytes"][i], data["enc_bytes"][i]
+        ratio = enc / raw if raw else 0.0
+        print(f"{data['part_id'][i]:>20} {data['col'][i]:<8} "
+              f"{data['codec'][i]:<22} {data['n_rows'][i]:>9} "
+              f"{data['n_values'][i]:>11} {raw:>12} {enc:>12} {ratio:>6.3f}  "
+              f"{data['min_val'][i]}..{data['max_val'][i]}")
+    total_raw = sum(data["raw_bytes"])
+    total_enc = sum(data["enc_bytes"])
+    print(f"\n{tbl.num_rows} chunks; raw={total_raw:,} enc={total_enc:,} "
+          f"ratio={total_enc / max(1, total_raw):.3f}")
+
+
+def cmd_scan(path: str) -> None:
+    """Decode-everything scan (ScanFileContents analog,
+    ``file_reader.cc:322-374``): per-partition cross-column row-count check
+    plus values/sec."""
+    tbl = _load(path)
+    by_part: dict[int, dict[str, bytes]] = {}
+    for pid, col, blob in zip(tbl.column("part_id").to_pylist(),
+                              tbl.column("col").to_pylist(),
+                              tbl.column("blob").to_pylist()):
+        by_part.setdefault(pid, {})[col] = blob
+    t0 = time.perf_counter()
+    total_rows = 0
+    total_values = 0
+    for pid, cols in by_part.items():
+        n_rows = set()
+        for col, blob in cols.items():
+            dec = chunkmod.decode_chunk(blob)
+            n_rows.add(dec.n_rows)
+            total_values += dec.n_values
+        if len(n_rows) != 1:
+            print(f"ERROR: row-count mismatch in part {pid}: {n_rows}")
+            sys.exit(1)
+        total_rows += n_rows.pop()
+    dt = time.perf_counter() - t0
+    print(f"{total_rows} rows ({total_values} values) scanned in {dt:.3f} s "
+          f"({total_values / max(dt, 1e-9) / 1e6:.1f} M values/s)")
+
+
+def cmd_blob(path: str) -> None:
+    with open(path, "rb") as f:
+        blob = f.read()
+    dec = chunkmod.decode_chunk(blob)
+    print(f"codec={chunkmod.CODEC_NAMES[dec.codec]} "
+          f"phys={chunkmod.PHYS_NAMES[dec.phys]} n_rows={dec.n_rows} "
+          f"n_values={dec.n_values}")
+    vals = dec.values
+    head = vals[:10] if not isinstance(vals, np.ndarray) else vals[:10].tolist()
+    print(f"first values: {head}")
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(prog="parquet_cpp_spark.inspect")
+    ap.add_argument("path")
+    ap.add_argument("--scan", action="store_true",
+                    help="decode everything and report M values/s")
+    ap.add_argument("--blob", action="store_true",
+                    help="path is a single raw chunk blob")
+    args = ap.parse_args(argv)
+    if args.blob:
+        cmd_blob(args.path)
+    elif args.scan:
+        cmd_scan(args.path)
+    else:
+        cmd_meta(args.path)
+
+
+if __name__ == "__main__":
+    main()

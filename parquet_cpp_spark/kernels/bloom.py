@@ -1,0 +1,189 @@
+"""Block-split Bloom filter (Putze et al.), as in the reference.
+
+Mirrors ``/root/reference/src/parquet/bloom_filter.h:119-240`` and the
+parquet-format BloomFilter spec: 32-byte blocks of 8 u32 words, one bit set
+per word chosen by SALT multipliers from the low 32 hash bits, block chosen
+by the high 32 bits; hash = murmur3_x64_128 (first 64 bits), as in
+``/root/reference/src/parquet/murmur3.cc``. Serialization =
+[u32 num_bytes][u32 hash_id][u32 algorithm_id][bitset]
+(``bloom_filter.h:214-216``, ``bloom_filter.cc``).
+
+Insert/check over int64 key arrays are fully vectorized (numpy uint64
+wrapping arithmetic); arbitrary byte keys go through the scalar murmur3.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+# SALT constants from the parquet-format spec / reference bloom_filter.h:152
+SALT = np.array([0x47b6137b, 0x44974d91, 0x8824ad5b, 0xa2b7289d,
+                 0x705495c7, 0x2df1424b, 0x9efc4947, 0x5c6bfb31],
+                dtype=np.uint32)
+
+_C1 = np.uint64(0x87c37b91114253d5)
+_C2 = np.uint64(0x4cf5ad432745937f)
+_MASK = (1 << 64) - 1
+
+BYTES_PER_BLOCK = 32
+MIN_BYTES = 32
+MAX_BYTES = 128 * 1024 * 1024
+
+
+def _rotl64(x: np.ndarray, r: int) -> np.ndarray:
+    return (x << np.uint64(r)) | (x >> np.uint64(64 - r))
+
+
+def _fmix64(k: np.ndarray) -> np.ndarray:
+    k = k ^ (k >> np.uint64(33))
+    k = k * np.uint64(0xff51afd7ed558ccd)
+    k = k ^ (k >> np.uint64(33))
+    k = k * np.uint64(0xc4ceb9fe1a85ec53)
+    k = k ^ (k >> np.uint64(33))
+    return k
+
+
+def murmur3_64_int64(keys: np.ndarray) -> np.ndarray:
+    """murmur3_x64_128 (first 64 bits) of each int64 key's 8 LE bytes —
+    vectorized. Matches the scalar path for len=8 inputs."""
+    with np.errstate(over="ignore"):
+        k1 = keys.astype(np.uint64)
+        k1 = k1 * _C1
+        k1 = _rotl64(k1, 31)
+        k1 = k1 * _C2
+        h1 = k1.copy()  # seed 0 ^ k1
+        h2 = np.zeros(len(keys), dtype=np.uint64)
+        h1 = h1 ^ np.uint64(8)
+        h2 = h2 ^ np.uint64(8)
+        h1 = h1 + h2
+        h2 = h2 + h1
+        h1 = _fmix64(h1)
+        h2 = _fmix64(h2)
+        h1 = h1 + h2
+    return h1
+
+
+def murmur3_64_bytes(key: bytes) -> int:
+    """Scalar murmur3_x64_128 (first 64 bits), any length."""
+    h1 = h2 = 0
+    c1, c2 = 0x87c37b91114253d5, 0x4cf5ad432745937f
+    n = len(key)
+    nblocks = n // 16
+    for b in range(nblocks):
+        k1 = int.from_bytes(key[b * 16: b * 16 + 8], "little")
+        k2 = int.from_bytes(key[b * 16 + 8: b * 16 + 16], "little")
+        k1 = (k1 * c1) & _MASK
+        k1 = ((k1 << 31) | (k1 >> 33)) & _MASK
+        k1 = (k1 * c2) & _MASK
+        h1 ^= k1
+        h1 = ((h1 << 27) | (h1 >> 37)) & _MASK
+        h1 = (h1 + h2) & _MASK
+        h1 = (h1 * 5 + 0x52dce729) & _MASK
+        k2 = (k2 * c2) & _MASK
+        k2 = ((k2 << 33) | (k2 >> 31)) & _MASK
+        k2 = (k2 * c1) & _MASK
+        h2 ^= k2
+        h2 = ((h2 << 31) | (h2 >> 33)) & _MASK
+        h2 = (h2 + h1) & _MASK
+        h2 = (h2 * 5 + 0x38495ab5) & _MASK
+    tail = key[nblocks * 16:]
+    k1 = k2 = 0
+    if len(tail) > 8:
+        k2 = int.from_bytes(tail[8:], "little")
+        k2 = (k2 * c2) & _MASK
+        k2 = ((k2 << 33) | (k2 >> 31)) & _MASK
+        k2 = (k2 * c1) & _MASK
+        h2 ^= k2
+    if tail:
+        k1 = int.from_bytes(tail[:8], "little")
+        k1 = (k1 * c1) & _MASK
+        k1 = ((k1 << 31) | (k1 >> 33)) & _MASK
+        k1 = (k1 * c2) & _MASK
+        h1 ^= k1
+    h1 ^= n
+    h2 ^= n
+    h1 = (h1 + h2) & _MASK
+    h2 = (h2 + h1) & _MASK
+
+    def fmix(k):
+        k ^= k >> 33
+        k = (k * 0xff51afd7ed558ccd) & _MASK
+        k ^= k >> 33
+        k = (k * 0xc4ceb9fe1a85ec53) & _MASK
+        k ^= k >> 33
+        return k
+
+    h1 = fmix(h1)
+    h2 = fmix(h2)
+    h1 = (h1 + h2) & _MASK
+    return h1
+
+
+def optimal_num_bytes(ndv: int, fpp: float = 0.01) -> int:
+    """OptimalNumOfBits (``bloom_filter.h:164-178``), rounded up to a power
+    of two of whole blocks."""
+    bits = -8.0 * ndv / math.log(1.0 - fpp ** (1.0 / 8.0))
+    nbytes = int(bits) // 8 + 1
+    nbytes = max(MIN_BYTES, min(nbytes, MAX_BYTES))
+    return 1 << (nbytes - 1).bit_length()  # next power of two
+
+
+class BlockSplitBloomFilter:
+    def __init__(self, num_bytes: int = 1024):
+        if num_bytes & (num_bytes - 1) or num_bytes < MIN_BYTES:
+            raise ValueError("num_bytes must be a power of two >= 32")
+        self.words = np.zeros(num_bytes // 4, dtype=np.uint32)
+        self.num_blocks = num_bytes // BYTES_PER_BLOCK
+
+    def _block_and_masks(self, hashes: np.ndarray):
+        with np.errstate(over="ignore"):
+            block = ((hashes >> np.uint64(32)) *
+                     np.uint64(self.num_blocks)) >> np.uint64(32)
+            key = hashes.astype(np.uint32)
+            mul = key[:, None] * SALT[None, :]
+            masks = np.uint32(1) << (mul >> np.uint32(27))
+        return block.astype(np.int64), masks
+
+    def insert_hashes(self, hashes: np.ndarray) -> None:
+        block, masks = self._block_and_masks(hashes)
+        idx = (block[:, None] * 8 + np.arange(8)[None, :]).ravel()
+        np.bitwise_or.at(self.words, idx, masks.ravel())
+
+    def check_hashes(self, hashes: np.ndarray) -> np.ndarray:
+        block, masks = self._block_and_masks(hashes)
+        idx = block[:, None] * 8 + np.arange(8)[None, :]
+        return ((self.words[idx] & masks) == masks).all(axis=1)
+
+    def insert_int64(self, keys: np.ndarray) -> None:
+        self.insert_hashes(murmur3_64_int64(np.asarray(keys, dtype=np.int64)))
+
+    def check_int64(self, keys: np.ndarray) -> np.ndarray:
+        return self.check_hashes(
+            murmur3_64_int64(np.asarray(keys, dtype=np.int64)))
+
+    def insert_bytes(self, keys: list[bytes]) -> None:
+        self.insert_hashes(np.array([murmur3_64_bytes(k) for k in keys],
+                                    dtype=np.uint64))
+
+    def check_bytes(self, keys: list[bytes]) -> np.ndarray:
+        return self.check_hashes(np.array([murmur3_64_bytes(k) for k in keys],
+                                          dtype=np.uint64))
+
+    # serialization: [u32 num_bytes][u32 hash=0 murmur3][u32 alg=0 block]
+    def serialize(self) -> bytes:
+        bitset = self.words.tobytes()
+        return (len(bitset).to_bytes(4, "little")
+                + (0).to_bytes(4, "little") + (0).to_bytes(4, "little")
+                + bitset)
+
+    @classmethod
+    def deserialize(cls, buf) -> "BlockSplitBloomFilter":
+        mv = memoryview(buf)
+        num_bytes = int.from_bytes(mv[0:4], "little")
+        bf = cls.__new__(cls)
+        bf.words = np.frombuffer(mv[12: 12 + num_bytes],
+                                 dtype=np.uint32).copy()
+        bf.num_blocks = num_bytes // BYTES_PER_BLOCK
+        return bf

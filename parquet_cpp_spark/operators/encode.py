@@ -26,7 +26,7 @@ CHUNK_SCHEMA = (
     "part_id bigint, col string, codec string, encodings array<string>, "
     "n_rows bigint, n_values bigint, raw_bytes bigint, enc_bytes bigint, "
     "null_count bigint, min_val string, max_val string, "
-    "checksum string, blob binary"
+    "checksum string, bloom binary, blob binary"
 )
 
 # Column specs for the north-rule input table.
@@ -60,7 +60,8 @@ def _column_values(pdf: pd.DataFrame, col: str, phys: str):
 def make_encode_fn(columns: dict[str, str] | None = None,
                    codec_overrides: dict[str, str] | None = None,
                    dict_size_limit: int = 1 << 20,
-                   sort_key: str | None = "doc_id"):
+                   sort_key: str | None = "doc_id",
+                   bloom_columns: set[str] | frozenset[str] = frozenset()):
     """Build the applyInPandas function. ``codec_overrides`` maps column name
     to a codec name from ``chunk.CODEC_NAMES`` (the per-column-path encoding
     override of ``WriterProperties``, ``properties.h:379-404``); unset columns
@@ -83,6 +84,15 @@ def make_encode_fn(columns: dict[str, str] | None = None,
                 values, kernel_phys, row_lengths=row_lengths,
                 codec_override=overrides.get(col),
                 dict_size_limit=dict_size_limit)
+            bloom_blob = None
+            if col in bloom_columns and phys == "byte_array":
+                # per-chunk split-block bloom for point-lookup pruning
+                # (reference: bloom_filter.h:119-240)
+                from ..kernels import bloom as bloom_mod
+                bf = bloom_mod.BlockSplitBloomFilter(
+                    bloom_mod.optimal_num_bytes(len(values), 0.01))
+                bf.insert_bytes(values)
+                bloom_blob = bf.serialize()
             st = enc.stats
             rows.append({
                 "part_id": part_id,
@@ -97,6 +107,7 @@ def make_encode_fn(columns: dict[str, str] | None = None,
                 "min_val": st.min_val if st else None,
                 "max_val": st.max_val if st else None,
                 "checksum": hashlib.sha256(enc.blob).hexdigest(),
+                "bloom": bloom_blob,
                 "blob": enc.blob,
             })
         out = pd.DataFrame(rows)
@@ -114,7 +125,8 @@ def encode_df(df, num_parts: int, part_col: str = "part_id",
               columns: dict[str, str] | None = None,
               codec_overrides: dict[str, str] | None = None,
               dict_size_limit: int = 1 << 20,
-              sort_key: str | None = "doc_id"):
+              sort_key: str | None = "doc_id",
+              bloom_columns: set[str] | frozenset[str] = frozenset()):
     """DataFrame in (must already carry ``part_col``) -> chunk DataFrame.
 
     The groupBy is the engine's single shuffle; partitioning strategy
@@ -122,5 +134,6 @@ def encode_df(df, num_parts: int, part_col: str = "part_id",
     """
     from ..shipping import ensure_shipped
     ensure_shipped(df.sparkSession)
-    fn = make_encode_fn(columns, codec_overrides, dict_size_limit, sort_key)
+    fn = make_encode_fn(columns, codec_overrides, dict_size_limit, sort_key,
+                        bloom_columns)
     return df.groupBy(part_col).applyInPandas(fn, schema=CHUNK_SCHEMA)

@@ -62,7 +62,7 @@ def make_arrow_encode_fn(columns: dict[str, str] | None = None,
         ("raw_bytes", pa.int64()), ("enc_bytes", pa.int64()),
         ("null_count", pa.int64()), ("min_val", pa.string()),
         ("max_val", pa.string()), ("checksum", pa.string()),
-        ("blob", pa.binary()),
+        ("bloom", pa.binary()), ("blob", pa.binary()),
     ])
 
     def encode_task(batches):
@@ -99,6 +99,7 @@ def make_arrow_encode_fn(columns: dict[str, str] | None = None,
             rows["min_val"].append(st.min_val if st else None)
             rows["max_val"].append(st.max_val if st else None)
             rows["checksum"].append(hashlib.sha256(enc.blob).hexdigest())
+            rows["bloom"].append(None)
             rows["blob"].append(enc.blob)
             n_rows_seen.add(enc.n_rows)
         if len(n_rows_seen) > 1:

@@ -199,6 +199,11 @@ def candidates(values, phys: str) -> list[int]:
     on real bytes is the authoritative pick — analog of the reference
     verifying dict size at runtime rather than trusting the estimate,
     ``column_writer.cc:498-510``)."""
+    if phys == "boolean":
+        return [chunkmod.RLE, chunkmod.PLAIN]  # runoff decides; dict invalid
+    if phys in ("float", "double") or phys.startswith("flba"):
+        # reference behavior: dictionary unless disabled; PLAIN fallback
+        return [chunkmod.RLE_DICTIONARY, chunkmod.PLAIN]
     if phys == "byte_array":
         est = estimate_bytes_sizes(values)
         factor, cap = RUNOFF_FACTOR_BYTES, RUNOFF_MAX_BYTES
@@ -214,6 +219,10 @@ def candidates(values, phys: str) -> list[int]:
 def _plain_payload_bytes(values, phys: str) -> int:
     if phys == "byte_array":
         return sum(len(v) for v in values) + 4 * len(values)
+    if phys.startswith("flba"):
+        return sum(len(v) for v in values)
+    if phys == "boolean":
+        return (len(values) + 7) // 8
     itemsize = 4 if phys in ("int32", "float") else 8
     return itemsize * len(values)
 

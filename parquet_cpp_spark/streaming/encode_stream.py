@@ -1,0 +1,58 @@
+"""Streaming encode: readStream over arriving token files -> foreachBatch
+encode -> chunk + manifest sinks.
+
+The reference is batch-only (its encoders are streaming *accumulators*
+within a chunk, ``/root/reference/src/parquet/encoding.h:41-86``); the
+engine's streaming mode wraps the same encode pipeline in Structured
+Streaming. ``foreachBatch`` is the idiomatic sink here because each
+micro-batch must write two coordinated outputs (chunks + manifest rows) —
+exactly the checkpoint/resume unit the batch job uses, so a restarted
+stream resumes from the last committed micro-batch (Spark's checkpoint
+tracks the input files; the manifest tracks our partitions).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession, functions as F
+
+from ..operators.encode_arrow import encode_scan_local
+from ..plans.encode_job import manifest_from_chunks
+
+TOKEN_SCHEMA = ("doc_id string, tokens array<int>, n_tok int, source string")
+
+
+def start_encode_stream(spark: SparkSession, input_dir: str, out_dir: str,
+                        checkpoint_dir: str | None = None,
+                        codec_overrides: dict[str, str] | None = None,
+                        trigger_available_now: bool = True,
+                        max_files_per_trigger: int = 16):
+    """Start (and return) the streaming query. With
+    ``trigger_available_now`` the stream drains everything present and
+    stops — the batch-parity mode the tests use; without it, it runs
+    continuously with ``maxFilesPerTrigger`` rate control."""
+    chunks_path = os.path.join(out_dir, "chunks")
+    manifest_path = os.path.join(out_dir, "manifest")
+    checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
+
+    stream = (spark.readStream.schema(TOKEN_SCHEMA)
+              .option("maxFilesPerTrigger", str(max_files_per_trigger))
+              .parquet(input_dir))
+
+    def sink(batch_df, batch_id: int):
+        chunks = encode_scan_local(batch_df, codec_overrides=codec_overrides)
+        chunks.persist()
+        try:
+            chunks.write.mode("append").parquet(chunks_path)
+            (manifest_from_chunks(chunks)
+             .withColumn("batch_id", F.lit(batch_id))
+             .write.mode("append").parquet(manifest_path))
+        finally:
+            chunks.unpersist()
+
+    writer = (stream.writeStream.foreachBatch(sink)
+              .option("checkpointLocation", checkpoint_dir))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

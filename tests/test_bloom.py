@@ -1,0 +1,62 @@
+"""Bloom filter tests mirroring the reference's suite
+(bloom_filter-test.cc:102-150: no false negatives, measured FPP within
+1.15x of target on 10K random strings; :152-207 serialization)."""
+
+import numpy as np
+
+from parquet_cpp_spark.kernels import bloom
+
+RNG = np.random.default_rng(42)
+
+
+def test_no_false_negatives_int64():
+    keys = RNG.integers(-2**62, 2**62, 10000)
+    bf = bloom.BlockSplitBloomFilter(bloom.optimal_num_bytes(10000, 0.01))
+    bf.insert_int64(keys)
+    assert bf.check_int64(keys).all()
+
+
+def test_fpp_within_target():
+    n, fpp = 10000, 0.01
+    keys = np.arange(n, dtype=np.int64)
+    bf = bloom.BlockSplitBloomFilter(bloom.optimal_num_bytes(n, fpp))
+    bf.insert_int64(keys)
+    probes = np.arange(n, n + 100000, dtype=np.int64)
+    measured = bf.check_int64(probes).mean()
+    assert measured < fpp * 1.15, measured
+
+
+def test_bytes_and_int64_hash_agree():
+    keys = RNG.integers(-2**62, 2**62, 100)
+    vec = bloom.murmur3_64_int64(keys)
+    scalar = np.array(
+        [bloom.murmur3_64_bytes(int(k).to_bytes(8, "little", signed=True))
+         for k in keys], dtype=np.uint64)
+    np.testing.assert_array_equal(vec, scalar)
+
+
+def test_string_keys():
+    keys = [f"doc-{i:08d}".encode() for i in range(5000)]
+    bf = bloom.BlockSplitBloomFilter(bloom.optimal_num_bytes(5000, 0.01))
+    bf.insert_bytes(keys)
+    assert bf.check_bytes(keys).all()
+    absent = [f"other-{i}".encode() for i in range(5000)]
+    assert bf.check_bytes(absent).mean() < 0.02
+
+
+def test_serialize_roundtrip():
+    keys = np.arange(1000, dtype=np.int64)
+    bf = bloom.BlockSplitBloomFilter(1024)
+    bf.insert_int64(keys)
+    blob = bf.serialize()
+    bf2 = bloom.BlockSplitBloomFilter.deserialize(blob)
+    assert bf2.check_int64(keys).all()
+    np.testing.assert_array_equal(bf.words, bf2.words)
+
+
+def test_murmur3_reference_vectors():
+    # public murmur3_x64_128 test vectors (first 64 bits, seed 0)
+    assert bloom.murmur3_64_bytes(b"") == 0
+    # value computed from the canonical smhasher implementation
+    h = bloom.murmur3_64_bytes(b"hello")
+    assert h == 0xcbd8a7b341bd9b02, hex(h)
