@@ -138,6 +138,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("doc_id", "n_tok", "source"))
     q["point_lookup"] = point_lookup
 
+    # --- relational coverage over the TPC-H-ish tables ---
+    # money sums use integer cents (floor(x*100+0.5)) so both engines sum
+    # exactly — double summation order is engine-specific
+    def _cents(col):
+        return F.floor(F.col(col) * 100 + F.lit(0.5)).cast("bigint")
+
+    def pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+        li = spark.read.parquet(os.path.join(sf, "lineitem.parquet"))
+        disc = F.floor((F.col("l_extendedprice") *
+                        (1 - F.col("l_discount"))) * 100 + F.lit(0.5)) \
+            .cast("bigint")
+        return (li.filter(F.col("l_shipdate") <= "1998-09-02")
+                .groupBy("l_returnflag", "l_linestatus")
+                .agg(F.sum(_cents("l_quantity")).alias("sum_qty_cents"),
+                     F.sum(_cents("l_extendedprice")).alias("sum_base_cents"),
+                     F.sum(disc).alias("sum_disc_cents"),
+                     F.count("*").alias("count_order"))
+                .orderBy("l_returnflag", "l_linestatus"))
+    q["pricing_summary"] = pricing_summary
+
+    def top_customers(spark: SparkSession, sf: str) -> DataFrame:
+        orders = spark.read.parquet(os.path.join(sf, "orders.parquet"))
+        cust = spark.read.parquet(os.path.join(sf, "customer.parquet"))
+        return (orders.join(F.broadcast(cust),
+                            orders.o_custkey == cust.c_custkey)
+                .groupBy("c_custkey", "c_name")
+                .agg(F.sum(_cents("o_totalprice")).alias("total_cents"),
+                     F.count("*").alias("n_orders"))
+                .orderBy(F.desc("total_cents"), "c_custkey").limit(10))
+    q["top_customers"] = top_customers
+
+    def events_hourly(spark: SparkSession, sf: str) -> DataFrame:
+        ev = spark.read.parquet(os.path.join(sf, "events.parquet"))
+        return (ev.groupBy(F.date_trunc("hour", "ts").cast("string")
+                           .alias("hour"), "event_type")
+                .agg(F.count("*").alias("n"),
+                     F.countDistinct("user_id").alias("n_users"),
+                     F.min("event_id").alias("first_event"))
+                .orderBy("hour", "event_type"))
+    q["events_hourly"] = events_hourly
+
     # --- dedup / text-analysis / similarity operators ---
     from parquet_cpp_spark.functions import dedup, similarity, text
 
@@ -211,6 +252,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_docs,
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY lang, source ORDER BY lang, source
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+                       AS BIGINT) AS sum_qty_cents,
+                   CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS
+                       BIGINT)) AS BIGINT) AS sum_base_cents,
+                   CAST(SUM(CAST(floor((l_extendedprice * (1 - l_discount))
+                       * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS sum_disc_cents,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "top_customers": """
+            SELECT c_custkey, c_name,
+                   CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS
+                       BIGINT)) AS BIGINT) AS total_cents,
+                   COUNT(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_custkey, c_name
+            ORDER BY total_cents DESC, c_custkey LIMIT 10
+        """,
+        "events_hourly": """
+            SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
+                   event_type,
+                   COUNT(*) AS n,
+                   COUNT(DISTINCT user_id) AS n_users,
+                   MIN(event_id) AS first_event
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "point_lookup": """
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,

@@ -76,6 +76,7 @@ COMPRESSION_IDS = {v: k for k, v in COMPRESSION_NAMES.items()}
 
 FLAG_HAS_LEVELS = 1
 FLAG_FALLBACK = 2
+FLAG_HAS_NULLS = 4  # flat OPTIONAL column: def-level section present
 
 _HEADER_LEN = 4 + 1 + 1 + 1 + 1 + 1 + 4 + 4 + 4
 
@@ -322,14 +323,31 @@ def encode_chunk(values, phys: str, codec: int, *,
                  dict_size_limit: int = dictionary.DEFAULT_DICT_SIZE_LIMIT,
                  with_stats: bool = True,
                  compression: int = UNCOMPRESSED,
+                 valid_mask: np.ndarray | None = None,
                  levels_sections: tuple[bytes, int] | None = None) -> EncodedChunk:
     """Encode one column chunk. ``row_lengths`` is set for the list column
     (tokens): values are the flattened elements and levels are emitted.
     ``compression`` applies a block codec over all sections (the reference
     compresses the assembled page the same way, column_writer.cc:196-212).
-    ``phys`` accepts 'flba:N' for FIXED_LEN_BYTE_ARRAY (INT96 == 'flba:12')."""
+    ``phys`` accepts 'flba:N' for FIXED_LEN_BYTE_ARRAY (INT96 == 'flba:12').
+
+    ``valid_mask`` makes a flat column OPTIONAL: values are passed *spaced*
+    (one slot per row, nulls arbitrary) and stored dense after mask
+    selection — the reference's ``PutSpaced`` contract
+    (``encoding.h:68-76``); the mask becomes a def-level stream
+    (``column_reader.cc:348-368``) and null_count lands in the stats."""
     has_levels = row_lengths is not None
     phys, type_length = _parse_phys(phys)
+    null_count = 0
+    if valid_mask is not None:
+        if has_levels:
+            raise ValueError("valid_mask applies to flat columns only")
+        valid_mask = np.ascontiguousarray(valid_mask, dtype=bool)
+        null_count = int((~valid_mask).sum())
+        if phys in ("byte_array", "flba"):
+            values = [v for v, ok in zip(values, valid_mask) if ok]
+        else:
+            values = np.asarray(values)[valid_mask]
     if phys in ("byte_array", "flba"):
         n_values = len(values)
         raw = sum(len(v) + (4 if phys == "byte_array" else 0)
@@ -354,6 +372,13 @@ def encode_chunk(values, phys: str, codec: int, *,
         sections += lv_bytes
         encodings.append("RLE")  # level encoding, as the reference records it
         raw += 2 * n_slots  # levels are int16 in the reference's raw form
+    if valid_mask is not None:
+        n_rows = len(valid_mask)
+        deflev = valid_mask.astype(np.int8)
+        sections += n_rows.to_bytes(4, "little")
+        sections += rle.encode_length_prefixed(deflev, 1)
+        encodings.append("RLE")
+        raw += 2 * n_rows
 
     if phys == "byte_array":
         secs, encs, fallback = _encode_bytes_payload(values, codec,
@@ -374,13 +399,16 @@ def encode_chunk(values, phys: str, codec: int, *,
         sections = _compress(sections, compression)
 
     flags = (FLAG_HAS_LEVELS if has_levels else 0) | \
-        (FLAG_FALLBACK if fallback else 0)
+        (FLAG_FALLBACK if fallback else 0) | \
+        (FLAG_HAS_NULLS if valid_mask is not None else 0)
     header = (MAGIC + bytes([VERSION, codec, PHYS_IDS[phys], compression,
                              flags])
               + n_rows.to_bytes(4, "little")
               + n_values.to_bytes(4, "little")
-              + (0).to_bytes(4, "little"))
+              + null_count.to_bytes(4, "little"))
     stats = compute_stats(values, phys) if with_stats else None
+    if stats is not None:
+        stats.null_count = null_count
     return EncodedChunk(codec, PHYS_IDS[phys], n_rows, n_values, raw,
                         header + sections, encodings, stats)
 
@@ -393,6 +421,7 @@ class DecodedChunk:
     phys: int
     n_rows: int
     n_values: int
+    valid_mask: np.ndarray | None = None
 
 
 def decode_chunk(blob) -> DecodedChunk:
@@ -427,6 +456,13 @@ def decode_chunk(blob) -> DecodedChunk:
         rep, pos = rle.decode_length_prefixed(mv, n_slots, 1, pos)
         deflev, pos = rle.decode_length_prefixed(mv, n_slots, 1, pos)
         row_lengths = levels_mod.lengths_from_levels(rep, deflev)
+    valid_mask = None
+    if flags & FLAG_HAS_NULLS:
+        n_slots = int.from_bytes(mv[pos: pos + 4], "little")
+        pos += 4
+        dl, pos = rle.decode_length_prefixed(mv, n_slots, 1, pos,
+                                             out_dtype=np.uint8)
+        valid_mask = dl.astype(bool)
 
     fallback = bool(flags & FLAG_FALLBACK)
     if phys == "byte_array":
@@ -437,7 +473,8 @@ def decode_chunk(blob) -> DecodedChunk:
         values = _decode_boolean_payload(mv, pos, codec, n_values)
     else:
         values = _decode_int_payload(mv, pos, codec, phys, n_values, fallback)
-    return DecodedChunk(values, row_lengths, codec, phys_id, n_rows, n_values)
+    return DecodedChunk(values, row_lengths, codec, phys_id, n_rows,
+                        n_values, valid_mask)
 
 
 def _decode_int_payload(mv, pos: int, codec: int, phys: str, n_values: int,

@@ -1,0 +1,83 @@
+"""Physical-plan shape assertions — the .explain() discipline as tests:
+filters push to the parquet scan, metadata queries prune the blob column,
+small sides broadcast, and the direct source shuffles only descriptors."""
+
+import os
+
+import pytest
+
+pyspark = pytest.importorskip("pyspark")
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from parquet_cpp_spark.session import get_spark
+    return get_spark(master="local[4]", app_name="pcs-plans",
+                     shuffle_partitions=4)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_to_parquet(spark):
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    q = docs.filter(F.col("doc_id") == 42).select("doc_id", "source")
+    plan = _plan(q)
+    assert "PushedFilters" in plan and "doc_id" in plan.split("PushedFilters")[1][:200]
+
+
+def test_column_pruning_reaches_scan(spark):
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    q = docs.select("doc_id").groupBy().count()
+    plan = _plan(q)
+    # ReadSchema must not include the wide text column
+    read_schema = plan.split("ReadSchema")[1][:200]
+    assert "text" not in read_schema
+
+
+def test_chunk_metadata_query_prunes_blob(spark, tmp_path):
+    from parquet_cpp_spark.operators.encode_arrow import encode_scan_local
+    from parquet_cpp_spark.sources import tokens as T
+    src = T.tokens_from_documents(spark, SF_DIR, 4)
+    p = str(tmp_path / "chunks")
+    encode_scan_local(src).write.parquet(p)
+    meta = (spark.read.parquet(p)
+            .groupBy("col", "codec").agg(F.sum("enc_bytes").alias("b")))
+    plan = _plan(meta)
+    read_schema = plan.split("ReadSchema")[1][:400]
+    assert "blob" not in read_schema  # stats queries never touch payloads
+    assert meta.count() > 0
+
+
+def test_point_lookup_uses_broadcast(spark):
+    from parquet_cpp_spark.operators import encode as encode_op
+    from parquet_cpp_spark.plans import lookup
+    from parquet_cpp_spark.sources import tokens as T
+    src = T.tokens_from_documents(spark, SF_DIR, 8)
+    chunks = encode_op.encode_df(src, 8, bloom_columns={"doc_id"})
+    parts = lookup.prune_partitions(chunks, "doc_id", "42")
+    pruned = chunks.join(F.broadcast(parts), "part_id")
+    assert "Broadcast" in _plan(pruned)
+
+
+def test_similarity_broadcasts_probes(spark):
+    from parquet_cpp_spark.functions import similarity
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    q = similarity.topk_inner_product_quantized(emb, [0, 1], k=3)
+    assert "Broadcast" in _plan(q)
+
+
+def test_direct_source_shuffles_only_descriptors(spark):
+    from parquet_cpp_spark.sources.parquet_direct import encode_parquet_direct
+    chunks = encode_parquet_direct(
+        spark, os.path.join(SF_DIR, "documents.parquet"),
+        columns={"text": "byte_array"})
+    plan = _plan(chunks)
+    # the exchange feeding the encode task carries (file, rg) only
+    exch = plan.split("Exchange")[1][:300] if "Exchange" in plan else ""
+    assert "file" in exch and "text" not in exch

@@ -88,3 +88,40 @@ def test_gzip_compresses_text_chunks():
 def test_available_compressions_reports_stdlib():
     av = chunkmod.available_compressions()
     assert chunkmod.UNCOMPRESSED in av and chunkmod.GZIP in av
+
+
+def test_nullable_spaced_roundtrip():
+    """PutSpaced/DecodeSpaced parity (encoding.h:68-76, :110-131): spaced
+    values + validity mask in, dense storage, mask round-trips, null_count
+    in stats."""
+    mask = RNG.random(1000) > 0.3
+    vals = RNG.integers(0, 1000, 1000).astype(np.int32)
+    enc = chunkmod.encode_chunk(vals, "int32", chunkmod.RLE_DICTIONARY,
+                                valid_mask=mask)
+    assert enc.stats.null_count == int((~mask).sum())
+    assert enc.n_values == int(mask.sum()) and enc.n_rows == 1000
+    dec = chunkmod.decode_chunk(enc.blob)
+    np.testing.assert_array_equal(dec.valid_mask, mask)
+    np.testing.assert_array_equal(np.asarray(dec.values, np.int32),
+                                  vals[mask])
+
+
+def test_nullable_strings_roundtrip():
+    mask = np.array([True, False, True, True, False])
+    vals = [b"a", b"SKIP", b"c", b"d", b"SKIP"]
+    enc = chunkmod.encode_chunk(vals, "byte_array", chunkmod.PLAIN,
+                                valid_mask=mask)
+    dec = chunkmod.decode_chunk(enc.blob)
+    assert dec.values == [b"a", b"c", b"d"]
+    np.testing.assert_array_equal(dec.valid_mask, mask)
+
+
+def test_all_null_chunk():
+    # reference analog: all-null chunks (column_writer-test.cc:507-527)
+    mask = np.zeros(100, dtype=bool)
+    enc = chunkmod.encode_chunk(np.zeros(100, dtype=np.int32), "int32",
+                                chunkmod.PLAIN, valid_mask=mask)
+    assert enc.n_values == 0 and enc.stats.null_count == 100
+    dec = chunkmod.decode_chunk(enc.blob)
+    assert len(dec.values) == 0
+    assert not dec.valid_mask.any()
