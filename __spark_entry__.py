@@ -200,6 +200,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fingerprints"] = lambda spark, sf: text.fingerprints(_docs(spark, sf))
     q["ann_ip_topk"] = lambda spark, sf: similarity.topk_inner_product_quantized(
         _emb(spark, sf), probe_ids=[0, 1, 2, 3, 4], k=10)
+    q["neardup_cosine"] = lambda spark, sf: similarity.neardup_cosine_exact(
+        _emb(spark, sf))
+    q["neardup_jaccard"] = lambda spark, sf: dedup.neardup_jaccard(
+        _docs(spark, sf))
+    # LSH-gated variant: recall<1 by construction -> rows-only check
+    q["neardup_cosine_lsh"] = lambda spark, sf: similarity.neardup_cosine_lsh(
+        _emb(spark, sf))
     # float cosine variants: rows-only checks (float fold order is
     # engine-specific, so no SQL oracle)
     q["ann_cosine_topk"] = lambda spark, sf: similarity.topk_cosine(
@@ -351,6 +358,49 @@ def oracle_sql() -> dict[str, str]:
                    md5(array_to_string(string_split(text, ' ')[1:8], ' '))
                        AS fp_prefix
             FROM documents
+        """,
+        "neardup_cosine": """
+            WITH q AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                           x -> floor(CAST(x AS DOUBLE) * 100 + 0.5)) AS qe
+                FROM embeddings),
+            s AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                         CAST(list_dot_product(a.qe, b.qe) AS BIGINT) AS dot,
+                         CAST(list_dot_product(a.qe, a.qe) AS BIGINT) AS na2,
+                         CAST(list_dot_product(b.qe, b.qe) AS BIGINT) AS nb2
+                  FROM q a, q b WHERE a.vec_id < b.vec_id)
+            SELECT a_id, b_id FROM s
+            WHERE dot > 0 AND 10000 * dot * dot >= 900 * na2 * nb2
+        """,
+        "neardup_jaccard": """
+            WITH sig AS (
+                SELECT doc_id,
+                       min(md5(w || ':0')) s0, min(md5(w || ':1')) s1,
+                       min(md5(w || ':2')) s2, min(md5(w || ':3')) s3
+                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                      FROM documents)
+                GROUP BY doc_id),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                FROM sig a JOIN sig b
+                  ON ((a.s0 = b.s0 AND a.s1 = b.s1) OR
+                      (a.s2 = b.s2 AND a.s3 = b.s3))
+                 AND a.doc_id < b.doc_id),
+            ws AS (SELECT doc_id,
+                          list_distinct(string_split(text, ' ')) AS wset
+                   FROM documents)
+            SELECT a_id, b_id,
+                   CAST(floor(100.0 * len(list_intersect(wa.wset, wb.wset)) /
+                        (len(wa.wset) + len(wb.wset) -
+                         len(list_intersect(wa.wset, wb.wset))))
+                        AS INTEGER) AS jaccard_pct
+            FROM cand
+            JOIN ws wa ON wa.doc_id = a_id
+            JOIN ws wb ON wb.doc_id = b_id
+            WHERE floor(100.0 * len(list_intersect(wa.wset, wb.wset)) /
+                  (len(wa.wset) + len(wb.wset) -
+                   len(list_intersect(wa.wset, wb.wset)))) >= 30
         """,
         "ann_ip_topk": """
             WITH q AS (

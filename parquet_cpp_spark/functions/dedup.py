@@ -68,6 +68,40 @@ def minhash_dedup(docs: DataFrame, text_col: str = "text",
     return kept
 
 
+def neardup_jaccard(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", seeds=DEFAULT_SEEDS,
+                    bands=((0, 1), (2, 3)),
+                    min_jaccard_pct: int = 30) -> DataFrame:
+    """n-gram (word-set) Jaccard near-dup pairs, gated by MinHash-LSH
+    candidates: only pairs sharing a band bucket are compared, then the
+    exact word-set Jaccard (integer percentage, floor) filters them.
+    Returns (a_id, b_id, jaccard_pct)."""
+    sigs = minhash_signatures(docs, text_col, id_col, seeds)
+    words = docs.select(
+        F.col(id_col),
+        F.array_distinct(_words(text_col)).alias("wset"))
+    cand = None
+    for i, j in bands:
+        a = sigs.select(F.col(id_col).alias("a_id"),
+                        F.col(f"sig{i}").alias("bi"),
+                        F.col(f"sig{j}").alias("bj"))
+        b = sigs.select(F.col(id_col).alias("b_id"),
+                        F.col(f"sig{i}").alias("bi"),
+                        F.col(f"sig{j}").alias("bj"))
+        p = a.join(b, ["bi", "bj"]).filter(F.col("a_id") < F.col("b_id")) \
+            .select("a_id", "b_id")
+        cand = p if cand is None else cand.union(p)
+    cand = cand.distinct()
+    wa = words.select(F.col(id_col).alias("a_id"), F.col("wset").alias("wa"))
+    wb = words.select(F.col(id_col).alias("b_id"), F.col("wset").alias("wb"))
+    joined = cand.join(wa, "a_id").join(wb, "b_id")
+    inter = F.size(F.array_intersect("wa", "wb"))
+    union = F.size("wa") + F.size("wb") - inter
+    jac = F.floor(F.lit(100) * inter / union).cast("int")
+    return (joined.select("a_id", "b_id", jac.alias("jaccard_pct"))
+            .filter(F.col("jaccard_pct") >= min_jaccard_pct))
+
+
 def simhash(docs: DataFrame, text_col: str = "text",
             id_col: str = "doc_id", bits: int = 16) -> DataFrame:
     """SimHash signature: bit b of the signature is the majority vote over

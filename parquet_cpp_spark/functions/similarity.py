@@ -81,6 +81,65 @@ def topk_cosine(emb: DataFrame, probe_ids: list[int], k: int = 10) -> DataFrame:
             .select("probe_id", "vec_id", "score", "rank"))
 
 
+# near-dup quantization scale: coarser than retrieval (100 vs 1000) so every
+# intermediate of the integer cosine test stays within exact int64/double
+# range: dot <= ~1e7, dot^2*1e4 <= ~1e18 < 2^63
+NEARDUP_SCALE = 100
+
+
+def neardup_cosine_exact(emb: DataFrame, tau_sq_x10000: int = 900) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, EXACT integer arithmetic:
+    pair (a, b) qualifies iff dot > 0 and
+    ``10000 * dot^2 >= tau_sq_x10000 * |a|^2 * |b|^2`` over vectors
+    quantized to ints — bit-reproducible across engines and executors.
+    Brute-force O(n^2) baseline (the correctness oracle for the LSH scale
+    path below)."""
+    qcol = F.transform(F.col("embedding"), lambda x: F.floor(
+        x.cast("double") * NEARDUP_SCALE + F.lit(0.5)).cast("long"))
+    q = emb.select(F.col("vec_id").alias("a_id"), qcol.alias("qa"))
+    q2 = emb.select(F.col("vec_id").alias("b_id"), qcol.alias("qb"))
+    pairs = q.crossJoin(q2).filter(F.col("a_id") < F.col("b_id"))
+    dot = F.aggregate(F.zip_with("qa", "qb", lambda a, b: a * b),
+                      F.lit(0).cast("long"), lambda acc, x: acc + x)
+    na2 = F.aggregate(F.transform("qa", lambda a: a * a),
+                      F.lit(0).cast("long"), lambda acc, x: acc + x)
+    nb2 = F.aggregate(F.transform("qb", lambda b: b * b),
+                      F.lit(0).cast("long"), lambda acc, x: acc + x)
+    scored = pairs.select("a_id", "b_id", dot.alias("dot"),
+                          na2.alias("na2"), nb2.alias("nb2"))
+    return (scored.filter((F.col("dot") > 0) &
+                          (F.lit(10000) * F.col("dot") * F.col("dot") >=
+                           F.lit(tau_sq_x10000) * F.col("na2") * F.col("nb2")))
+            .select("a_id", "b_id"))
+
+
+def neardup_cosine_lsh(emb: DataFrame, tau_sq_x10000: int = 900,
+                       n_planes: int = 4, dim: int = 64) -> DataFrame:
+    """Scale path: only pairs sharing an LSH bucket are scored (bucket join
+    instead of cross join). Recall < 1 by construction (rows-only check)."""
+    b = lsh_bucket(emb, n_planes, dim)
+    qcol = F.transform(F.col("embedding"), lambda x: F.floor(
+        x.cast("double") * NEARDUP_SCALE + F.lit(0.5)).cast("long"))
+    left = b.select(F.col("vec_id").alias("a_id"),
+                    F.col("bucket").alias("ab"), qcol.alias("qa"))
+    right = b.select(F.col("vec_id").alias("b_id"),
+                     F.col("bucket").alias("bb"), qcol.alias("qb"))
+    pairs = left.join(right, (F.col("ab") == F.col("bb")) &
+                      (F.col("a_id") < F.col("b_id")))
+    dot = F.aggregate(F.zip_with("qa", "qb", lambda a, b: a * b),
+                      F.lit(0).cast("long"), lambda acc, x: acc + x)
+    na2 = F.aggregate(F.transform("qa", lambda a: a * a),
+                      F.lit(0).cast("long"), lambda acc, x: acc + x)
+    nb2 = F.aggregate(F.transform("qb", lambda b: b * b),
+                      F.lit(0).cast("long"), lambda acc, x: acc + x)
+    scored = pairs.select("a_id", "b_id", dot.alias("dot"),
+                          na2.alias("na2"), nb2.alias("nb2"))
+    return (scored.filter((F.col("dot") > 0) &
+                          (F.lit(10000) * F.col("dot") * F.col("dot") >=
+                           F.lit(tau_sq_x10000) * F.col("na2") * F.col("nb2")))
+            .select("a_id", "b_id"))
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim)).tolist()
