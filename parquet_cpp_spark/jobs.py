@@ -1,0 +1,121 @@
+"""Job entry points for spark-submit deployment.
+
+The north rule's deployment mode is ``spark-submit --py-files`` on a
+multi-executor cluster; these mains are the artifacts you submit:
+
+    spark-submit --py-files parquet_cpp_spark.zip \
+        -m parquet_cpp_spark.jobs encode \
+        --input /data/tokens --out /data/encoded --resume
+
+    python -m parquet_cpp_spark.jobs encode --input ... --out ...   # local
+    python -m parquet_cpp_spark.jobs decode --chunks ... --out ...
+    python -m parquet_cpp_spark.jobs verify --input ... --chunks ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(args):
+    from .session import get_spark
+    return get_spark(master=args.master)
+
+
+def cmd_encode(args) -> None:
+    spark = _spark(args)
+    from pyspark.sql import functions as F
+    from .plans import encode_job
+    from .sources.parquet_direct import encode_parquet_direct
+    from .sources.tokens import read_tokens
+
+    overrides = dict(kv.split("=") for kv in (args.codec or []))
+    if args.resume or args.shuffle:
+        df = read_tokens(spark, args.input)
+        num_parts = args.parts or encode_job.plan_num_parts(df.count())
+        out = encode_job.run_checkpointed(spark, df, args.out, num_parts,
+                                          codec_overrides=overrides or None)
+        print(json.dumps({"mode": "checkpointed", **out}))
+    else:
+        chunks = encode_parquet_direct(spark, args.input,
+                                       codec_overrides=overrides or None)
+        chunks.write.mode("overwrite").parquet(args.out + "/chunks")
+        stats = spark.read.parquet(args.out + "/chunks").agg(
+            F.sum("raw_bytes").alias("raw"),
+            F.sum("enc_bytes").alias("enc")).collect()[0]
+        print(json.dumps({"mode": "direct", "chunks_path": args.out + "/chunks",
+                          "raw_bytes": stats.raw, "enc_bytes": stats.enc,
+                          "ratio": round(stats.enc / max(1, stats.raw), 4)}))
+    spark.stop()
+
+
+def cmd_decode(args) -> None:
+    spark = _spark(args)
+    from .operators.decode_arrow import decode_chunks_arrow
+    dec = decode_chunks_arrow(spark.read.parquet(args.chunks))
+    dec.drop("part_id").write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"rows": spark.read.parquet(args.out).count(),
+                      "out": args.out}))
+    spark.stop()
+
+
+def cmd_verify(args) -> None:
+    """Round-trip verification job: decode chunks, join back to the input on
+    doc_id, assert token-array equality per row (the reference's oracle)."""
+    spark = _spark(args)
+    from pyspark.sql import functions as F
+    from .operators.decode_arrow import decode_chunks_arrow
+    from .sources.tokens import read_tokens
+
+    src = read_tokens(spark, args.input)
+    dec = decode_chunks_arrow(spark.read.parquet(args.chunks)) \
+        .select(F.col("doc_id").alias("d_doc_id"),
+                F.col("tokens").alias("d_tokens"))
+    joined = src.join(dec, src.doc_id == dec.d_doc_id, "full_outer")
+    # eqNullSafe: missing rows and null-vs-value rows all count as mismatch
+    bad = joined.filter(
+        ~F.col("tokens").eqNullSafe(F.col("d_tokens"))).count()
+    total = src.count()
+    print(json.dumps({"rows": total, "mismatches": bad,
+                      "bit_identical": bad == 0}))
+    spark.stop()
+    if bad:
+        sys.exit(1)
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(prog="parquet_cpp_spark.jobs")
+    ap.add_argument("--master", default=None)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    enc = sub.add_parser("encode")
+    enc.add_argument("--input", required=True)
+    enc.add_argument("--out", required=True)
+    enc.add_argument("--parts", type=int, default=None)
+    enc.add_argument("--codec", action="append",
+                     help="col=CODEC override, repeatable")
+    enc.add_argument("--resume", action="store_true",
+                     help="checkpointed mode with manifest resume")
+    enc.add_argument("--shuffle", action="store_true",
+                     help="explicit repartition pipeline instead of "
+                          "scan-local")
+    enc.set_defaults(fn=cmd_encode)
+
+    dec = sub.add_parser("decode")
+    dec.add_argument("--chunks", required=True)
+    dec.add_argument("--out", required=True)
+    dec.set_defaults(fn=cmd_decode)
+
+    ver = sub.add_parser("verify")
+    ver.add_argument("--input", required=True)
+    ver.add_argument("--chunks", required=True)
+    ver.set_defaults(fn=cmd_verify)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -138,52 +138,46 @@ def decode(buf, pos: int = 0, out_dtype=np.int64) -> tuple[np.ndarray, int]:
     segments: list = []
     mini_bytes = mini_size // 8
     zz = decode_zigzag_varint
+    pad = b"\x00" * miniblocks
     for b in range(n_blocks):
         m, pos = zz(mv, pos)
         mins_l.append(m)
-        n_used = nd - b * block_size
-        if n_used > block_size:
-            n_used = miniblocks
-        else:
-            n_used = (n_used + mini_size - 1) // mini_size
-        seg_w = 0
-        for i in range(miniblocks):
-            w = mv[pos + i] if i < n_used else 0
-            widths_l.append(w)
-            seg_w += w
+        ws = bytes(mv[pos: pos + miniblocks])
         pos += miniblocks
-        seg_len = seg_w * mini_bytes
+        rem = nd - b * block_size
+        if rem <= block_size:  # final block: zero the unused widths
+            n_used = (rem + mini_size - 1) // mini_size
+            if n_used < miniblocks:
+                ws = ws[:n_used] + pad[: miniblocks - n_used]
+        widths_l.extend(ws)
+        seg_len = sum(ws) * mini_bytes
         segments.append(mv[pos: pos + seg_len])
         pos += seg_len
     mins = np.asarray(mins_l, dtype=np.int64)
     widths = np.asarray(widths_l, dtype=np.int64)
 
-    # Pass 2: one unpackbits over the whole payload, ragged-scatter into a
-    # (miniblock, value, bit) cube, then weights + cumsum — all vectorized.
+    # Pass 2: group miniblocks by width — every miniblock of width w is
+    # exactly w*mini_size/8 bytes, so one fancy-indexed gather + one
+    # unpackbits + one weights-matmul decodes ALL miniblocks of that width
+    # (typically 1-3 distinct widths per chunk; no ragged scatter at all).
     nmini = n_blocks * miniblocks
+    vals = np.zeros((nmini, mini_size), dtype=np.int64)
     w_max = int(widths.max()) if nmini else 0
     if w_max:
         payload = np.frombuffer(b"".join(segments), dtype=np.uint8)
-        sel = np.arange(w_max, dtype=np.int64)
-        vals = np.empty((nmini, mini_size), dtype=np.int64)
-        step = max(1, (1 << 16) // mini_size)
-        bit_offsets = np.zeros(nmini + 1, dtype=np.int64)
-        np.cumsum(widths * mini_size, out=bit_offsets[1:])
-        for s in range(0, nmini, step):
-            e = min(s + step, nmini)
-            wsl = widths[s:e]
-            lo_bit, hi_bit = int(bit_offsets[s]), int(bit_offsets[e])
-            seg = payload[lo_bit // 8: (hi_bit + 7) // 8]
-            bits = np.unpackbits(seg, bitorder="little",
-                                 count=hi_bit - lo_bit)
-            flat = np.zeros(((e - s) * mini_size, w_max), dtype=np.uint8)
-            per_value_w = np.repeat(wsl, mini_size)
-            mask = sel[None, :] < per_value_w[:, None]
-            flat[mask] = bits
-            vals[s:e] = bitpack.values_from_bits(flat, w_max, np.int64) \
-                .reshape(e - s, mini_size)
-    else:
-        vals = np.zeros((nmini, mini_size), dtype=np.int64)
+        byte_offsets = np.zeros(nmini, dtype=np.int64)
+        np.cumsum(widths[:-1] * (mini_size // 8), out=byte_offsets[1:])
+        for w in np.unique(widths):
+            if w == 0:
+                continue
+            ids = np.flatnonzero(widths == w)
+            nb = int(w) * (mini_size // 8)
+            rows = payload[byte_offsets[ids][:, None]
+                           + np.arange(nb)[None, :]]
+            bits = np.unpackbits(rows, axis=1, bitorder="little") \
+                .reshape(len(ids) * mini_size, int(w))
+            vals[ids] = bitpack.values_from_bits(bits, int(w), np.int64) \
+                .reshape(len(ids), mini_size)
 
     deltas = vals.reshape(n_blocks, block_size)
     deltas += mins[:, None]
