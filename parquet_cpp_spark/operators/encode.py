@@ -61,11 +61,20 @@ def make_encode_fn(columns: dict[str, str] | None = None,
                    codec_overrides: dict[str, str] | None = None,
                    dict_size_limit: int = 1 << 20,
                    sort_key: str | None = "doc_id",
-                   bloom_columns: set[str] | frozenset[str] = frozenset()):
+                   bloom_columns: set[str] | frozenset[str] = frozenset(),
+                   props: "object | None" = None):
     """Build the applyInPandas function. ``codec_overrides`` maps column name
     to a codec name from ``chunk.CODEC_NAMES`` (the per-column-path encoding
     override of ``WriterProperties``, ``properties.h:379-404``); unset columns
-    use the auto-selector."""
+    use the auto-selector. A ``properties.WriterProperties`` instance can
+    supply all knobs at once."""
+    compression = chunkmod.UNCOMPRESSED
+    if props is not None:
+        codec_overrides = codec_overrides or props.codec_overrides
+        dict_size_limit = props.dictionary_pagesize_limit
+        sort_key = props.sort_key
+        bloom_columns = bloom_columns or props.bloom_columns
+        compression = props.compression_id
     columns = columns or TOKEN_TABLE_COLUMNS
     overrides = {k: chunkmod.CODEC_IDS[v]
                  for k, v in (codec_overrides or {}).items()}
@@ -83,7 +92,8 @@ def make_encode_fn(columns: dict[str, str] | None = None,
             enc = selector.encode_best(
                 values, kernel_phys, row_lengths=row_lengths,
                 codec_override=overrides.get(col),
-                dict_size_limit=dict_size_limit)
+                dict_size_limit=dict_size_limit,
+                compression=compression)
             bloom_blob = None
             if col in bloom_columns and phys == "byte_array":
                 # per-chunk split-block bloom for point-lookup pruning
@@ -126,7 +136,8 @@ def encode_df(df, num_parts: int, part_col: str = "part_id",
               codec_overrides: dict[str, str] | None = None,
               dict_size_limit: int = 1 << 20,
               sort_key: str | None = "doc_id",
-              bloom_columns: set[str] | frozenset[str] = frozenset()):
+              bloom_columns: set[str] | frozenset[str] = frozenset(),
+              props: "object | None" = None):
     """DataFrame in (must already carry ``part_col``) -> chunk DataFrame.
 
     The groupBy is the engine's single shuffle; partitioning strategy
@@ -135,5 +146,5 @@ def encode_df(df, num_parts: int, part_col: str = "part_id",
     from ..shipping import ensure_shipped
     ensure_shipped(df.sparkSession)
     fn = make_encode_fn(columns, codec_overrides, dict_size_limit, sort_key,
-                        bloom_columns)
+                        bloom_columns, props)
     return df.groupBy(part_col).applyInPandas(fn, schema=CHUNK_SCHEMA)

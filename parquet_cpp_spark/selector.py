@@ -230,6 +230,7 @@ def _plain_payload_bytes(values, phys: str) -> int:
 def encode_best(values, phys: str, *, row_lengths=None,
                 codec_override: int | None = None,
                 dict_size_limit: int = 1 << 20,
+                compression: int = 0,
                 guard_with_plain: bool = True) -> "chunkmod.EncodedChunk":
     """Encode with the selected (or forced) codec. When estimates are close,
     encode the top candidates and keep the actual-smallest; always fall back
@@ -241,6 +242,7 @@ def encode_best(values, phys: str, *, row_lengths=None,
         return chunkmod.encode_chunk(values, phys, codec_override,
                                      row_lengths=row_lengths,
                                      dict_size_limit=dict_size_limit,
+                                     compression=compression,
                                      levels_sections=levels_sections)
 
     best: chunkmod.EncodedChunk | None = None
@@ -248,6 +250,7 @@ def encode_best(values, phys: str, *, row_lengths=None,
         enc = chunkmod.encode_chunk(values, phys, codec,
                                     row_lengths=row_lengths,
                                     dict_size_limit=dict_size_limit,
+                                    compression=compression,
                                     levels_sections=levels_sections)
         if best is None or enc.enc_bytes < best.enc_bytes:
             best = enc
@@ -261,6 +264,7 @@ def encode_best(values, phys: str, *, row_lengths=None,
         if plain_total < best.enc_bytes:
             plain_enc = chunkmod.encode_chunk(
                 values, phys, chunkmod.PLAIN, row_lengths=row_lengths,
+                compression=compression,
                 levels_sections=levels_sections)
             if plain_enc.enc_bytes < best.enc_bytes:
                 return plain_enc

@@ -125,3 +125,32 @@ def test_all_null_chunk():
     dec = chunkmod.decode_chunk(enc.blob)
     assert len(dec.values) == 0
     assert not dec.valid_mask.any()
+
+
+def test_writer_properties_drive_operators():
+    """WriterProperties flows through the encode operator (config parity
+    with the reference's WriterProperties::Builder)."""
+    import pandas as pd
+    from parquet_cpp_spark.operators.encode import make_encode_fn
+    from parquet_cpp_spark.properties import WriterProperties
+
+    props = WriterProperties(codec_overrides={"tokens": "PLAIN"},
+                             compression="GZIP", sort_key=None)
+    fn = make_encode_fn(props=props)
+    pdf = pd.DataFrame({
+        "doc_id": [f"d{i}" for i in range(50)],
+        "tokens": [list(range(i % 7)) for i in range(50)],
+        "n_tok": [i % 7 for i in range(50)],
+        "source": ["web"] * 50,
+    })
+    out = fn((0,), pdf)
+    assert dict(zip(out["col"], out["codec"]))["tokens"] == "PLAIN"
+    blob = bytes(out[out["col"] == "tokens"]["blob"].iloc[0])
+    assert blob[7] == chunkmod.GZIP  # compression byte in the v2 header
+    dec = chunkmod.decode_chunk(blob)
+    assert dec.n_rows == 50
+
+    with pytest.raises(ValueError):
+        WriterProperties(codec_overrides={"x": "NOPE"})
+    with pytest.raises(ValueError):
+        WriterProperties(compression="XZ")
