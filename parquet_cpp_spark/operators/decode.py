@@ -22,7 +22,12 @@ def decode_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
     part_id = int(key[0])
     decoded: dict[str, chunkmod.DecodedChunk] = {}
     for col, blob in zip(pdf["col"], pdf["blob"]):
-        decoded[col] = chunkmod.decode_chunk(bytes(blob))
+        try:
+            decoded[col] = chunkmod.decode_chunk(bytes(blob))
+        except Exception as exc:
+            raise ValueError(
+                f"corrupt chunk: part_id={part_id} col={col!r}: {exc}"
+            ) from exc
 
     tok = decoded["tokens"]
     lengths = tok.row_lengths

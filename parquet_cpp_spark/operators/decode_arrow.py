@@ -63,7 +63,12 @@ def decode_chunks_arrow(chunks_df, part_col: str = "part_id"):
         blobs = tbl.column("blob").to_pylist()
         by_part: dict[int, dict] = {}
         for pid, col, blob in zip(part_ids.tolist(), cols, blobs):
-            by_part.setdefault(pid, {})[col] = chunkmod.decode_chunk(blob)
+            try:
+                by_part.setdefault(pid, {})[col] = chunkmod.decode_chunk(blob)
+            except Exception as exc:
+                raise ValueError(
+                    f"corrupt chunk: part_id={pid} col={col!r}: {exc}"
+                ) from exc
         for pid in sorted(by_part):
             yield _decode_part(pid, by_part[pid])
 

@@ -69,12 +69,14 @@ def make_encode_fn(columns: dict[str, str] | None = None,
     use the auto-selector. A ``properties.WriterProperties`` instance can
     supply all knobs at once."""
     compression = chunkmod.UNCOMPRESSED
+    allow_dictionary = True
     if props is not None:
         codec_overrides = codec_overrides or props.codec_overrides
         dict_size_limit = props.dictionary_pagesize_limit
         sort_key = props.sort_key
         bloom_columns = bloom_columns or props.bloom_columns
         compression = props.compression_id
+        allow_dictionary = props.dictionary_enabled
     columns = columns or TOKEN_TABLE_COLUMNS
     overrides = {k: chunkmod.CODEC_IDS[v]
                  for k, v in (codec_overrides or {}).items()}
@@ -93,7 +95,8 @@ def make_encode_fn(columns: dict[str, str] | None = None,
                 values, kernel_phys, row_lengths=row_lengths,
                 codec_override=overrides.get(col),
                 dict_size_limit=dict_size_limit,
-                compression=compression)
+                compression=compression,
+                allow_dictionary=allow_dictionary)
             bloom_blob = None
             if col in bloom_columns and phys == "byte_array":
                 # per-chunk split-block bloom for point-lookup pruning

@@ -193,23 +193,28 @@ def select_bytes_codec(values: list[bytes]) -> int:
     return _ranked(estimate_bytes_sizes(values))[0]
 
 
-def candidates(values, phys: str) -> list[int]:
+def candidates(values, phys: str,
+               allow_dictionary: bool = True) -> list[int]:
     """Codecs worth actually encoding: the estimate winner plus any within
     the runoff factor (closed-form estimates are approximate; the runoff
     on real bytes is the authoritative pick — analog of the reference
     verifying dict size at runtime rather than trusting the estimate,
-    ``column_writer.cc:498-510``)."""
+    ``column_writer.cc:498-510``). ``allow_dictionary=False`` mirrors the
+    reference's enable_dictionary(false) writer property."""
     if phys == "boolean":
         return [chunkmod.RLE, chunkmod.PLAIN]  # runoff decides; dict invalid
     if phys in ("float", "double") or phys.startswith("flba"):
         # reference behavior: dictionary unless disabled; PLAIN fallback
-        return [chunkmod.RLE_DICTIONARY, chunkmod.PLAIN]
+        return [chunkmod.RLE_DICTIONARY, chunkmod.PLAIN] if allow_dictionary \
+            else [chunkmod.PLAIN]
     if phys == "byte_array":
         est = estimate_bytes_sizes(values)
         factor, cap = RUNOFF_FACTOR_BYTES, RUNOFF_MAX_BYTES
     else:
         est = estimate_int_sizes(values, phys)
         factor, cap = RUNOFF_FACTOR_INT, RUNOFF_MAX_INT
+    if not allow_dictionary:
+        est.pop(chunkmod.RLE_DICTIONARY, None)
     order = _ranked(est)
     best = est[order[0]]
     out = [c for c in order if est[c] <= best * factor]
@@ -231,6 +236,7 @@ def encode_best(values, phys: str, *, row_lengths=None,
                 codec_override: int | None = None,
                 dict_size_limit: int = 1 << 20,
                 compression: int = 0,
+                allow_dictionary: bool = True,
                 guard_with_plain: bool = True) -> "chunkmod.EncodedChunk":
     """Encode with the selected (or forced) codec. When estimates are close,
     encode the top candidates and keep the actual-smallest; always fall back
@@ -246,7 +252,7 @@ def encode_best(values, phys: str, *, row_lengths=None,
                                      levels_sections=levels_sections)
 
     best: chunkmod.EncodedChunk | None = None
-    for codec in candidates(values, phys):
+    for codec in candidates(values, phys, allow_dictionary):
         enc = chunkmod.encode_chunk(values, phys, codec,
                                     row_lengths=row_lengths,
                                     dict_size_limit=dict_size_limit,

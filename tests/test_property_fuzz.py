@@ -1,0 +1,99 @@
+"""Property-based fuzzing of the codec kernels (hypothesis).
+
+Generalizes the reference's seeded-random round-trip strategy
+(encoding-test.cc generators, util/test-common.h:126-202) into generated
+inputs: arbitrary int32 arrays, arbitrary byte strings, arbitrary row-length
+structures — every codec must round-trip element-exactly, and the chunk
+layer must round-trip with any (codec, compression, mask) combination it
+accepts.
+"""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from parquet_cpp_spark import chunk as chunkmod
+from parquet_cpp_spark import selector
+from parquet_cpp_spark.kernels import (bytearray_codecs, delta, dictionary,
+                                       fsst, rle)
+
+int32s = st.integers(min_value=-(2**31), max_value=2**31 - 1)
+small_nonneg = st.integers(min_value=0, max_value=2**20 - 1)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(int32s, max_size=700))
+def test_fuzz_delta_roundtrip(xs):
+    vals = np.array(xs, dtype=np.int32)
+    if len(vals) == 0:
+        return
+    out, _ = delta.decode(delta.encode(vals))
+    np.testing.assert_array_equal(out.astype(np.int32), vals)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(small_nonneg, min_size=1, max_size=700),
+       st.integers(min_value=20, max_value=32))
+def test_fuzz_rle_roundtrip(xs, width):
+    vals = np.array(xs, dtype=np.int64)
+    out, _ = rle.decode(rle.encode(vals, width), len(vals), width)
+    np.testing.assert_array_equal(out, vals)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(int32s, min_size=1, max_size=500))
+def test_fuzz_dictionary_roundtrip(xs):
+    vals = np.array(xs, dtype=np.int32)
+    out = dictionary.decode(dictionary.encode(vals, "int32"), "int32")
+    np.testing.assert_array_equal(np.asarray(out, dtype=np.int32), vals)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.binary(max_size=40), max_size=200))
+def test_fuzz_string_codecs(xs):
+    for enc, dec in [
+        (bytearray_codecs.encode_delta_length,
+         bytearray_codecs.decode_delta_length),
+        (bytearray_codecs.encode_delta_byte_array,
+         bytearray_codecs.decode_delta_byte_array),
+    ]:
+        out, _ = dec(enc(list(xs)))
+        assert out == list(xs)
+    if xs:
+        out, _ = fsst.decode(fsst.encode(list(xs)))
+        assert out == list(xs)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=60),
+                min_size=1, max_size=120),
+       st.sampled_from(["auto", "PLAIN", "RLE_DICTIONARY",
+                        "DELTA_BINARY_PACKED"]),
+       st.sampled_from([chunkmod.UNCOMPRESSED, chunkmod.GZIP]))
+def test_fuzz_chunk_list_column(lengths, codec, compression):
+    lengths = np.array(lengths, dtype=np.int64)
+    rng = np.random.default_rng(int(lengths.sum()) + len(lengths))
+    vals = rng.integers(0, 1 << 17, int(lengths.sum())).astype(np.int32)
+    if codec == "auto":
+        enc = selector.encode_best(vals, "int32", row_lengths=lengths,
+                                   compression=compression)
+    else:
+        enc = chunkmod.encode_chunk(vals, "int32",
+                                    chunkmod.CODEC_IDS[codec],
+                                    row_lengths=lengths,
+                                    compression=compression)
+    dec = chunkmod.decode_chunk(enc.blob)
+    np.testing.assert_array_equal(dec.row_lengths, lengths)
+    np.testing.assert_array_equal(np.asarray(dec.values, np.int32), vals)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.booleans(), min_size=1, max_size=300))
+def test_fuzz_nullable_mask(mask_list):
+    mask = np.array(mask_list, dtype=bool)
+    vals = np.arange(len(mask), dtype=np.int32)
+    enc = chunkmod.encode_chunk(vals, "int32", chunkmod.PLAIN,
+                                valid_mask=mask)
+    dec = chunkmod.decode_chunk(enc.blob)
+    np.testing.assert_array_equal(dec.valid_mask, mask)
+    np.testing.assert_array_equal(np.asarray(dec.values, np.int32),
+                                  vals[mask])

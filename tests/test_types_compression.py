@@ -154,3 +154,24 @@ def test_writer_properties_drive_operators():
         WriterProperties(codec_overrides={"x": "NOPE"})
     with pytest.raises(ValueError):
         WriterProperties(compression="XZ")
+
+
+def test_dictionary_disabled_property():
+    """enable_dictionary(false) parity: the selector never proposes dict."""
+    import pandas as pd
+    from parquet_cpp_spark.operators.encode import make_encode_fn
+    from parquet_cpp_spark.properties import WriterProperties
+
+    pdf = pd.DataFrame({
+        "doc_id": [f"d{i}" for i in range(2000)],
+        "tokens": [[i % 5] * 20 for i in range(2000)],  # dict would win
+        "n_tok": [20] * 2000,
+        "source": ["web"] * 2000,
+    })
+    fn = make_encode_fn(props=WriterProperties(dictionary_enabled=False,
+                                               sort_key=None))
+    out = fn((0,), pdf)
+    assert "RLE_DICTIONARY" not in set(out["codec"])
+    fn2 = make_encode_fn(props=WriterProperties(sort_key=None))
+    out2 = fn2((0,), pdf)
+    assert "RLE_DICTIONARY" in set(out2["codec"])  # default allows it
