@@ -69,6 +69,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         spark, sf, {"doc_id": "DELTA_LENGTH_BYTE_ARRAY",
                     "source": "DELTA_LENGTH_BYTE_ARRAY"})
 
+    def rt_gzip(spark: SparkSession, sf: str) -> DataFrame:
+        """Block-compressed chunks (GZIP over assembled sections) round-trip."""
+        from parquet_cpp_spark.operators import encode as encode_op
+        from parquet_cpp_spark.properties import WriterProperties
+        src = tokens_src.tokens_from_documents(spark, sf, NUM_PARTS)
+        chunks = encode_op.encode_df(
+            src, NUM_PARTS, props=WriterProperties(compression="GZIP"))
+        return encode_job.decode_pipeline(chunks).select(*_OUT_COLS)
+    q["rt_gzip"] = rt_gzip
+
     # --- chunk statistics vs SQL aggregation (stats oracle) ---
     def chunk_stats_tokens(spark: SparkSession, sf: str) -> DataFrame:
         ch = _chunks(spark, sf).filter(F.col("col") == "tokens")
@@ -207,6 +217,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # LSH-gated variant: recall<1 by construction -> rows-only check
     q["neardup_cosine_lsh"] = lambda spark, sf: similarity.neardup_cosine_lsh(
         _emb(spark, sf))
+    # IVF scale path: coarse-quantizer cells prune candidates (rows-only)
+    q["ann_cosine_ivf"] = lambda spark, sf: similarity.topk_cosine_ivf(
+        _emb(spark, sf), probe_ids=[0, 1, 2], k=5)
     # float cosine variants: rows-only checks (float fold order is
     # engine-specific, so no SQL oracle)
     q["ann_cosine_topk"] = lambda spark, sf: similarity.topk_cosine(
@@ -228,6 +241,7 @@ def oracle_sql() -> dict[str, str]:
         "rt_fsst": identity,
         "rt_delta_byte_array": identity,
         "rt_delta_length_byte_array": identity,
+        "rt_gzip": identity,
         "chunk_stats_tokens": f"""
             SELECT doc_id % {NUM_PARTS} AS part_id,
                    COUNT(t) AS n_values,

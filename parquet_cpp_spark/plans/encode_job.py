@@ -48,6 +48,19 @@ def add_part_id(df: DataFrame, num_parts: int,
         "part_id", F.pmod(F.xxhash64(F.col(key)), F.lit(num_parts)))
 
 
+def plan_salted_parts(df: DataFrame, total_parts: int,
+                      source_col: str = "source",
+                      weight_col: str = "n_tok") -> dict[str, int]:
+    """Proportional salt spread per source: a source carrying p% of the
+    token payload gets ~p% of the partitions (>=1). One cheap aggregation
+    over (source, sum(weight)) — at 100 TB this scans only two columns."""
+    totals = (df.groupBy(source_col)
+              .agg(F.sum(weight_col).alias("w")).collect())
+    grand = sum(r.w for r in totals) or 1
+    return {r[source_col]: max(1, round(total_parts * r.w / grand))
+            for r in totals}
+
+
 def add_salted_part_id(df: DataFrame, parts_per_source: dict[str, int],
                        source_col: str = "source",
                        key: str = "doc_id") -> DataFrame:

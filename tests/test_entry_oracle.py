@@ -60,7 +60,7 @@ def test_every_query_has_callable_signature():
     no_oracle = set(q) - set(o)
     assert no_oracle <= {"codec_selection", "compression_manifest",
                          "simhash", "ann_cosine_topk", "ann_cosine_lsh",
-                         "neardup_cosine_lsh"}
+                         "neardup_cosine_lsh", "ann_cosine_ivf"}
 
 
 @pytest.mark.parametrize("name", sorted(entry_mod.oracle_sql().keys()))
@@ -76,5 +76,6 @@ def test_query_matches_oracle(spark, duck, name):
 def test_rows_only_queries_run(spark):
     q = entry_mod.queries()
     for name in ("codec_selection", "compression_manifest", "simhash",
-                 "ann_cosine_topk", "ann_cosine_lsh", "neardup_cosine_lsh"):
+                 "ann_cosine_topk", "ann_cosine_lsh", "neardup_cosine_lsh",
+                 "ann_cosine_ivf"):
         assert q[name](spark, SF_DIR).count() > 0

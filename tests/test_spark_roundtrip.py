@@ -140,3 +140,18 @@ def test_salted_partitioning_spreads_hot_source(spark):
         assert per_source["web"] > 1  # hot source split across salt buckets
     decoded = encode_job.decode_pipeline(encode_job.encode_pipeline(salted, 16))
     assert _collect_sorted(decoded) == _collect_sorted(src)
+
+
+def test_plan_salted_parts_proportional(spark):
+    src = tokens_src.tokens_from_documents(spark, SF_DIR, num_parts=4)
+    spread = encode_job.plan_salted_parts(src, 20)
+    assert sum(spread.values()) >= len(spread)  # every source gets >=1
+    # the heaviest source gets the largest spread
+    weights = {r.source: r.w for r in
+               src.groupBy("source").agg(F.sum("n_tok").alias("w")).collect()}
+    heaviest = max(weights, key=weights.get)
+    assert spread[heaviest] == max(spread.values())
+    salted = encode_job.add_salted_part_id(src.drop("part_id"), spread)
+    decoded = encode_job.decode_pipeline(
+        encode_job.encode_pipeline(salted, sum(spread.values())))
+    assert _collect_sorted(decoded) == _collect_sorted(src)
