@@ -98,19 +98,66 @@ def encode(values: np.ndarray) -> bytes:
             bits = bitpack.bits_of(minis.ravel(), w_max) \
                 .reshape(len(minis), MINI_SIZE, w_max)
             mask = sel[None, None, :] < widths.astype(np.int64)[:, None, None]
-            stream = np.packbits(bits[np.broadcast_to(mask, bits.shape)],
-                                 bitorder="little").tobytes()
-            byte_offsets = np.zeros(len(widths) + 1, dtype=np.int64)
-            np.cumsum(widths.astype(np.int64) * (MINI_SIZE // 8),
-                      out=byte_offsets[1:])
-        for b in range(n_blocks):
-            out += encode_zigzag_varint(int(mins[b]))
-            out += widths[b * MINIBLOCKS: (b + 1) * MINIBLOCKS].tobytes()
-            if w_max:
-                lo = byte_offsets[b * MINIBLOCKS]
-                hi = byte_offsets[(b + 1) * MINIBLOCKS]
-                out += stream[lo:hi]
+            stream = np.frombuffer(
+                np.packbits(bits[np.broadcast_to(mask, bits.shape)],
+                            bitorder="little").tobytes(), dtype=np.uint8)
+        else:
+            stream = np.zeros(0, dtype=np.uint8)
+        out += _emit_blocks(mins, widths, stream, n_blocks)
     return bytes(out)
+
+
+def _emit_blocks(mins: np.ndarray, widths: np.ndarray, stream: np.ndarray,
+                 n_blocks: int) -> bytes:
+    """Vectorized interleave of [zigzag-varint min_delta][width bytes]
+    [payload slice] per block — one scatter instead of a per-block loop.
+
+    Varints are emitted as fixed 5-slot rows with a validity mask (LEB128
+    continuation bits computed vectorized), then compacted together with the
+    width bytes and the contiguous payload via a single fancy-indexed
+    assignment per stream."""
+    # zigzag, vectorized (values fit int64; arithmetic shift keeps sign)
+    zz = ((mins.astype(np.int64) << 1) ^ (mins.astype(np.int64) >> 63)) \
+        .astype(np.uint64)
+    # varint bytes: up to 10 groups of 7 bits for uint64, but min_delta of
+    # int32 data fits 5 groups; compute needed length per value
+    n_groups = 5
+    if len(zz) and int(zz.max()) >> 35:
+        n_groups = 10
+    shifts = (np.arange(n_groups, dtype=np.uint64) * np.uint64(7))
+    groups = (zz[:, None] >> shifts[None, :]) & np.uint64(0x7F)
+    nonzero = groups != 0
+    nonzero[:, 0] = True  # at least one byte
+    vlen = n_groups - np.argmax(nonzero[:, ::-1], axis=1)
+    valid = np.arange(n_groups)[None, :] < vlen[:, None]
+    cont = valid.copy()
+    cont[np.arange(len(zz)), vlen - 1] = False  # last byte: no continuation
+    vbytes = (groups | (cont.astype(np.uint64) << np.uint64(7))) \
+        .astype(np.uint8)
+
+    mb = len(widths) // n_blocks  # miniblocks per block
+    pay_per_block = widths.astype(np.int64).reshape(n_blocks, mb) \
+        .sum(axis=1) * (MINI_SIZE // 8)
+    block_len = vlen + mb + pay_per_block
+    dest0 = np.zeros(n_blocks, dtype=np.int64)
+    np.cumsum(block_len[:-1], out=dest0[1:])
+    total = int(block_len.sum())
+    outb = np.empty(total, dtype=np.uint8)
+
+    # varint bytes: dest = block start + group index (masked)
+    vdest = dest0[:, None] + np.arange(n_groups)[None, :]
+    outb[vdest[valid]] = vbytes[valid]
+    # width bytes: dest = block start + vlen + [0..mb)
+    wdest = (dest0 + vlen)[:, None] + np.arange(mb)[None, :]
+    outb[wdest.ravel()] = widths
+    # payload: dest = block start + vlen + mb + offset within block payload
+    if len(stream):
+        pay_start = dest0 + vlen + mb
+        shift = np.repeat(pay_start, pay_per_block)
+        shift -= np.repeat(np.concatenate(([0], np.cumsum(pay_per_block)[:-1])),
+                           pay_per_block)
+        outb[np.arange(len(stream), dtype=np.int64) + shift] = stream
+    return outb.tobytes()
 
 
 def decode(buf, pos: int = 0, out_dtype=np.int64) -> tuple[np.ndarray, int]:

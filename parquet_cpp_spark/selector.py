@@ -251,8 +251,23 @@ def encode_best(values, phys: str, *, row_lengths=None,
                                      compression=compression,
                                      levels_sections=levels_sections)
 
+    cands = candidates(values, phys, allow_dictionary)
+
+    # Byte-array runoff on a contiguous sample: string codecs (FSST
+    # training + greedy match) are the expensive ones, so pick the winner on
+    # ~4K strings and pay the full encode only once. Dictionary is excluded
+    # from sampled scoring (its cost amortizes with column size), so when
+    # dict is a candidate fall back to the full runoff.
+    if (phys == "byte_array" and codec_override is None and len(cands) > 1
+            and len(values) > 8192
+            and chunkmod.RLE_DICTIONARY not in cands):
+        sample = _window(values, 4096)
+        best_c = min(cands, key=lambda c: chunkmod.encode_chunk(
+            sample, phys, c, with_stats=False).enc_bytes)
+        cands = [best_c]
+
     best: chunkmod.EncodedChunk | None = None
-    for codec in candidates(values, phys, allow_dictionary):
+    for codec in cands:
         enc = chunkmod.encode_chunk(values, phys, codec,
                                     row_lengths=row_lengths,
                                     dict_size_limit=dict_size_limit,
