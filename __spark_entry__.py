@@ -69,6 +69,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         spark, sf, {"doc_id": "DELTA_LENGTH_BYTE_ARRAY",
                     "source": "DELTA_LENGTH_BYTE_ARRAY"})
 
+    def rt_salted(spark: SparkSession, sf: str) -> DataFrame:
+        """Round-trip through the skew-aware salted partitioning path."""
+        src = tokens_src.tokens_from_documents(spark, sf, NUM_PARTS) \
+            .drop("part_id")
+        spread = encode_job.plan_salted_parts(src, NUM_PARTS * 2)
+        salted = encode_job.add_salted_part_id(src, spread)
+        chunks = encode_job.encode_pipeline(salted, NUM_PARTS * 2)
+        return encode_job.decode_pipeline(chunks).select(*_OUT_COLS)
+    q["rt_salted"] = rt_salted
+
     def rt_gzip(spark: SparkSession, sf: str) -> DataFrame:
         """Block-compressed chunks (GZIP over assembled sections) round-trip."""
         from parquet_cpp_spark.operators import encode as encode_op
@@ -242,6 +252,7 @@ def oracle_sql() -> dict[str, str]:
         "rt_delta_byte_array": identity,
         "rt_delta_length_byte_array": identity,
         "rt_gzip": identity,
+        "rt_salted": identity,
         "chunk_stats_tokens": f"""
             SELECT doc_id % {NUM_PARTS} AS part_id,
                    COUNT(t) AS n_values,
