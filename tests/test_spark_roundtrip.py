@@ -155,3 +155,23 @@ def test_plan_salted_parts_proportional(spark):
     decoded = encode_job.decode_pipeline(
         encode_job.encode_pipeline(salted, sum(spread.values())))
     assert _collect_sorted(decoded) == _collect_sorted(src)
+
+
+def test_dict_fallback_through_pipeline(spark):
+    """FIXTURES F4 fallback oracle at the Spark level: a chunk whose
+    dictionary overflows the limit records encodings
+    [PLAIN_DICTIONARY, PLAIN, RLE] (column_writer-test.cc:495-505) and
+    still round-trips."""
+    src = tokens_src.tokens_from_documents(spark, SF_DIR, num_parts=2)
+    chunks = encode_job.encode_pipeline(
+        src, 2, codec_overrides={"tokens": "RLE_DICTIONARY"},
+        dict_size_limit=64).cache()
+    try:
+        encs = {tuple(r.encodings) for r in
+                chunks.filter(F.col("col") == "tokens").collect()}
+        assert ("RLE", "PLAIN_DICTIONARY", "PLAIN") in encs or \
+            ("PLAIN_DICTIONARY", "PLAIN", "RLE") in encs, encs
+        decoded = encode_job.decode_pipeline(chunks)
+        assert _collect_sorted(decoded) == _collect_sorted(src)
+    finally:
+        chunks.unpersist()
