@@ -44,8 +44,17 @@ def _decode_part(part_id: int, cols: dict):
     ], names=["part_id", "doc_id", "tokens", "n_tok", "source"])
 
 
-def decode_chunks_arrow(chunks_df, part_col: str = "part_id"):
-    """Chunk DataFrame -> reconstructed token table (Arrow fast path)."""
+def decode_chunks_arrow(chunks_df, part_col: str = "part_id",
+                        assume_colocated: bool = False):
+    """Chunk DataFrame -> reconstructed token table (Arrow fast path).
+
+    ``assume_colocated=True`` skips the blob shuffle entirely: valid when
+    the chunk rows of each partition are adjacent in one input split, which
+    is how our sinks write them (one task's chunk set per file). The
+    assumption is self-checking — a split partition decodes with a missing
+    column and fails loudly (KeyError on 'tokens'/'doc_id') rather than
+    producing wrong rows, so callers can fall back to the shuffled path.
+    """
     import pyspark.sql.functions as F  # noqa: F401
 
     from ..shipping import ensure_shipped
@@ -72,5 +81,5 @@ def decode_chunks_arrow(chunks_df, part_col: str = "part_id"):
         for pid in sorted(by_part):
             yield _decode_part(pid, by_part[pid])
 
-    return (chunks_df.repartition(part_col)
-            .mapInArrow(task, schema=DECODED_SCHEMA))
+    src = chunks_df if assume_colocated else chunks_df.repartition(part_col)
+    return src.mapInArrow(task, schema=DECODED_SCHEMA)

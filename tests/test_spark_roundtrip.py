@@ -175,3 +175,13 @@ def test_dict_fallback_through_pipeline(spark):
         assert _collect_sorted(decoded) == _collect_sorted(src)
     finally:
         chunks.unpersist()
+
+
+def test_colocated_decode_matches(spark, tmp_path):
+    from parquet_cpp_spark.operators.decode_arrow import decode_chunks_arrow
+    from parquet_cpp_spark.operators.encode_arrow import encode_scan_local
+    src = tokens_src.tokens_from_documents(spark, SF_DIR, num_parts=4)
+    p = str(tmp_path / "chunks")
+    encode_scan_local(src).write.parquet(p)
+    dec = decode_chunks_arrow(spark.read.parquet(p), assume_colocated=True)
+    assert _collect_sorted(dec) == _collect_sorted(src)
