@@ -218,6 +218,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(spark, sf))
     q["lang_id"] = lambda spark, sf: text.lang_id(_docs(spark, sf))
     q["fingerprints"] = lambda spark, sf: text.fingerprints(_docs(spark, sf))
+    q["shingle_fingerprints"] = lambda spark, sf: text.shingle_fingerprints(
+        _docs(spark, sf))
     q["ann_ip_topk"] = lambda spark, sf: similarity.topk_inner_product_quantized(
         _emb(spark, sf), probe_ids=[0, 1, 2, 3, 4], k=10)
     q["neardup_cosine"] = lambda spark, sf: similarity.neardup_cosine_exact(
@@ -426,6 +428,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE floor(100.0 * len(list_intersect(wa.wset, wb.wset)) /
                   (len(wa.wset) + len(wb.wset) -
                    len(list_intersect(wa.wset, wb.wset)))) >= 30
+        """,
+        "shingle_fingerprints": """
+            SELECT doc_id,
+                   list_min(sh) AS fp_min,
+                   list_sort(sh)[1:4] AS fp_set
+            FROM (SELECT doc_id,
+                         list_transform(range(1, len(w) - 1),
+                             i -> md5(w[i] || '|' || w[i+1] || '|' || w[i+2]))
+                             AS sh
+                  FROM (SELECT doc_id, string_split(text, ' ') AS w
+                        FROM documents))
         """,
         "ann_ip_topk": """
             WITH q AS (

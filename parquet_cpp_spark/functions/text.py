@@ -72,6 +72,27 @@ def lang_id(docs: DataFrame, text_col: str = "text",
     return docs.select(id_col, pred.alias("lang_pred"))
 
 
+def shingle_fingerprints(docs: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", k: int = 4) -> DataFrame:
+    """Rolling-hash (winnowing-style) document fingerprints: hash every
+    3-word shingle, keep the minimum (classic winnowing selects window
+    minima; the global minimum plus the k smallest form a robust
+    fingerprint set stable under local edits). Shingles are built with
+    shifted-slice zips — pure JVM expressions, no UDF."""
+    words = _words(text_col)
+    n = F.size(words)
+    s1 = F.slice(words, 1, n - 2)
+    s2 = F.slice(words, 2, n - 2)
+    s3 = F.slice(words, 3, n - 2)
+    pairs = F.zip_with(s1, s2, lambda a, b: F.concat(a, F.lit("|"), b))
+    shingles = F.zip_with(pairs, s3,
+                          lambda p, c: F.md5(F.concat(p, F.lit("|"), c)))
+    return docs.select(
+        id_col,
+        F.array_min(shingles).alias("fp_min"),
+        F.slice(F.sort_array(shingles), 1, k).alias("fp_set"))
+
+
 def fingerprints(docs: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id", prefix_words: int = 8) -> DataFrame:
     """Content fingerprints: full-text md5 + md5 of the first k words
