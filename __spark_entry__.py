@@ -24,7 +24,18 @@ from parquet_cpp_spark.plans import encode_job
 from parquet_cpp_spark.sources import tokens as tokens_src
 
 NUM_PARTS = 8
-_OUT_COLS = ("doc_id", "tokens", "n_tok", "source")
+
+
+def _digest(df: DataFrame) -> DataFrame:
+    """Project the decoded token array to a per-row md5 digest so the driver
+    correctness harness (which sorts column values to canonicalize) can hash
+    the result — a raw array<int32> column is unsortable in pandas. The
+    digest keeps full round-trip sensitivity: any single corrupted token
+    changes tok_hash."""
+    tok_str = F.array_join(
+        F.transform("tokens", lambda x: x.cast("string")), " ")
+    return df.select("doc_id", F.md5(tok_str).alias("tok_hash"),
+                     "n_tok", "source")
 
 
 def _roundtrip(spark: SparkSession, sf_dir: str,
@@ -32,7 +43,7 @@ def _roundtrip(spark: SparkSession, sf_dir: str,
     src = tokens_src.tokens_from_documents(spark, sf_dir, NUM_PARTS)
     chunks = encode_job.encode_pipeline(src, NUM_PARTS,
                                         codec_overrides=codec_overrides)
-    return encode_job.decode_pipeline(chunks).select(*_OUT_COLS)
+    return _digest(encode_job.decode_pipeline(chunks))
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -76,7 +87,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         spread = encode_job.plan_salted_parts(src, NUM_PARTS * 2)
         salted = encode_job.add_salted_part_id(src, spread)
         chunks = encode_job.encode_pipeline(salted, NUM_PARTS * 2)
-        return encode_job.decode_pipeline(chunks).select(*_OUT_COLS)
+        return _digest(encode_job.decode_pipeline(chunks))
     q["rt_salted"] = rt_salted
 
     def rt_gzip(spark: SparkSession, sf: str) -> DataFrame:
@@ -86,7 +97,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         src = tokens_src.tokens_from_documents(spark, sf, NUM_PARTS)
         chunks = encode_op.encode_df(
             src, NUM_PARTS, props=WriterProperties(compression="GZIP"))
-        return encode_job.decode_pipeline(chunks).select(*_OUT_COLS)
+        return _digest(encode_job.decode_pipeline(chunks))
     q["rt_gzip"] = rt_gzip
 
     # --- chunk statistics vs SQL aggregation (stats oracle) ---
@@ -116,9 +127,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- training-data pipeline operators over `documents` ---
     def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+        # groups on md5(text), never on raw text: at 100 TB the shuffle keys
+        # must be fixed-width (functions/dedup.exact_dedup)
+        from parquet_cpp_spark.functions import dedup as dedup_fn
         docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
-        return (docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
-                .select("doc_id"))
+        return dedup_fn.exact_dedup(docs)
     q["dedup_exact"] = dedup_exact
 
     def token_count(spark: SparkSession, sf: str) -> DataFrame:
@@ -267,7 +280,8 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
             GROUP BY 1 ORDER BY 1
         """,
-        "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "dedup_exact":
+            "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)",
         "token_count": """
             SELECT doc_id,
                    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words
@@ -432,7 +446,8 @@ def oracle_sql() -> dict[str, str]:
         "shingle_fingerprints": """
             SELECT doc_id,
                    list_min(sh) AS fp_min,
-                   list_sort(sh)[1:4] AS fp_set
+                   coalesce(array_to_string(list_sort(sh)[1:4], ','), '')
+                       AS fp_set
             FROM (SELECT doc_id,
                          list_transform(range(1, len(w) - 1),
                              i -> md5(w[i] || '|' || w[i+1] || '|' || w[i+2]))

@@ -80,17 +80,21 @@ def shingle_fingerprints(docs: DataFrame, text_col: str = "text",
     fingerprint set stable under local edits). Shingles are built with
     shifted-slice zips — pure JVM expressions, no UDF."""
     words = _words(text_col)
-    n = F.size(words)
-    s1 = F.slice(words, 1, n - 2)
-    s2 = F.slice(words, 2, n - 2)
-    s3 = F.slice(words, 3, n - 2)
+    # clamp: docs of <3 words have no 3-shingles (slice len must be >= 0)
+    n = F.greatest(F.size(words) - 2, F.lit(0))
+    s1 = F.slice(words, 1, n)
+    s2 = F.slice(words, 2, n)
+    s3 = F.slice(words, 3, n)
     pairs = F.zip_with(s1, s2, lambda a, b: F.concat(a, F.lit("|"), b))
     shingles = F.zip_with(pairs, s3,
                           lambda p, c: F.md5(F.concat(p, F.lit("|"), c)))
+    # fp_set is joined to a scalar so the result is canonicalizable by the
+    # sort-based correctness harness (arrays are unsortable in pandas)
     return docs.select(
         id_col,
         F.array_min(shingles).alias("fp_min"),
-        F.slice(F.sort_array(shingles), 1, k).alias("fp_set"))
+        F.array_join(F.slice(F.sort_array(shingles), 1, k), ",")
+        .alias("fp_set"))
 
 
 def fingerprints(docs: DataFrame, text_col: str = "text",

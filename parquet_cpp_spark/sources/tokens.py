@@ -47,10 +47,19 @@ def tokens_from_documents_sql(sf_dir: str, num_parts: int = 8) -> str:
 
 def tokens_oracle_sql(num_parts: int = 8) -> str:
     """DuckDB SQL computing the identical token table on the pre-registered
-    ``documents`` view — the identity oracle for round-trip queries."""
+    ``documents`` view — the identity oracle for round-trip queries.
+
+    The token array is projected as a per-row md5 digest of the
+    space-joined values (``tok_hash``) rather than the raw ``array<int32>``:
+    the correctness harness canonicalizes by sorting column values, which
+    list columns cannot support, while a digest keeps the full sensitivity
+    of the oracle (any single corrupted token flips the hash). The
+    ``coalesce`` matters: DuckDB's ``array_to_string`` yields NULL on an
+    empty list where Spark's ``array_join`` yields ''."""
     return f"""
         SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-               {_TOKEN_EXPR_DUCKDB} AS tokens,
+               md5(coalesce(array_to_string({_TOKEN_EXPR_DUCKDB}, ' '), ''))
+                   AS tok_hash,
                CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok,
                source
         FROM documents

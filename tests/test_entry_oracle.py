@@ -37,12 +37,12 @@ def duck():
 
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Emulates the driver's canonicalizer exactly: sort columns by name,
+    then sort_values over all columns. Crucially it does NOT convert list
+    columns to tuples — the driver can't, so a query returning an array
+    column must fail here too (round 1 shipped 11 err'd correctness rows
+    because this helper used to mask exactly that)."""
     df = df.reindex(sorted(df.columns), axis=1)
-    for c in df.columns:
-        if len(df) and isinstance(df[c].iloc[0], (list, tuple)) or \
-                (len(df) and hasattr(df[c].iloc[0], "__len__")
-                 and not isinstance(df[c].iloc[0], str)):
-            df[c] = df[c].map(lambda x: tuple(x))
     return df.sort_values(list(df.columns), ignore_index=True)
 
 
