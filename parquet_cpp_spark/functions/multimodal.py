@@ -91,23 +91,32 @@ def extract_features(media: DataFrame, strict: bool = False,
                 cuts.append(len(pdf))
             for lo, hi in zip(cuts[:-1], cuts[1:]):
                 sub = pdf.iloc[lo:hi]
-                feats, ok = [], []
-                for _, r in sub.iterrows():
-                    try:
-                        if r["kind"] == "image":
-                            f = _decode_image(bytes(r["payload"]),
-                                              r["width"], r["height"], strict)
-                        elif r["kind"] == "audio":
-                            f = _decode_audio(bytes(r["payload"]),
-                                              r["sample_rate"], strict)
-                        else:  # video: frame-sample stub = image stub
-                            f = _decode_image(bytes(r["payload"]),
-                                              r["width"], r["height"], strict)
-                        feats.append(f.tolist())
-                        ok.append(True)
-                    except NotImplementedError:
-                        feats.append(None)
-                        ok.append(False)
+                m = len(sub)
+                kinds = sub["kind"].to_numpy()
+                payloads = sub["payload"].to_numpy()
+                widths = sub["width"].to_numpy()
+                heights = sub["height"].to_numpy()
+                rates = sub["sample_rate"].to_numpy()
+                feats: list = [None] * m
+                ok = np.zeros(m, dtype=bool)
+                # dispatch once per kind, decode over the kind's slice
+                # (a real imaging/audio lib batches per modality the same
+                # way; no per-row pandas objects)
+                for kind in np.unique(kinds):
+                    idx = np.flatnonzero(kinds == kind)
+                    for i in idx.tolist():
+                        try:
+                            if kind == "audio":
+                                f = _decode_audio(bytes(payloads[i]),
+                                                  rates[i], strict)
+                            else:  # image; video frame-sample = image stub
+                                f = _decode_image(bytes(payloads[i]),
+                                                  widths[i], heights[i],
+                                                  strict)
+                            feats[i] = f.tolist()
+                            ok[i] = True
+                        except NotImplementedError:
+                            pass
                 yield pd.DataFrame({
                     "media_id": sub["media_id"],
                     "kind": sub["kind"],

@@ -32,6 +32,12 @@ def cmd_encode(args) -> None:
     from .sources.tokens import read_tokens
 
     overrides = dict(kv.split("=") for kv in (args.codec or []))
+    props = None
+    if args.compression != "UNCOMPRESSED" or args.no_dictionary:
+        from .properties import WriterProperties
+        props = WriterProperties(codec_overrides=overrides,
+                                 dictionary_enabled=not args.no_dictionary,
+                                 compression=args.compression)
     if args.resume or args.shuffle:
         df = read_tokens(spark, args.input)
         num_parts = args.parts or encode_job.plan_num_parts(df.count())
@@ -40,7 +46,8 @@ def cmd_encode(args) -> None:
         print(json.dumps({"mode": "checkpointed", **out}))
     else:
         chunks = encode_parquet_direct(spark, args.input,
-                                       codec_overrides=overrides or None)
+                                       codec_overrides=overrides or None,
+                                       props=props)
         chunks.write.mode("overwrite").parquet(args.out + "/chunks")
         stats = spark.read.parquet(args.out + "/chunks").agg(
             F.sum("raw_bytes").alias("raw"),
@@ -96,6 +103,11 @@ def main(argv=None) -> None:
     enc.add_argument("--parts", type=int, default=None)
     enc.add_argument("--codec", action="append",
                      help="col=CODEC override, repeatable")
+    enc.add_argument("--compression", default="UNCOMPRESSED",
+                     help="block codec over assembled chunk sections")
+    enc.add_argument("--no-dictionary", action="store_true",
+                     help="disable dictionary encoding (reference "
+                          "enable_dictionary(false))")
     enc.add_argument("--resume", action="store_true",
                      help="checkpointed mode with manifest resume")
     enc.add_argument("--shuffle", action="store_true",

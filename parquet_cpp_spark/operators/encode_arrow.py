@@ -49,9 +49,20 @@ def _arrow_column_values(tbl, col: str, phys: str):
 
 def make_arrow_encode_fn(columns: dict[str, str] | None = None,
                          codec_overrides: dict[str, str] | None = None,
-                         dict_size_limit: int = 1 << 20):
+                         dict_size_limit: int = 1 << 20,
+                         props: "object | None" = None):
     import pyarrow as pa
 
+    # WriterProperties carries the same knobs here as on the applyInPandas
+    # path (operators.encode.make_encode_fn): compression, dictionary
+    # on/off, per-column overrides, dict page limit.
+    compression = chunkmod.UNCOMPRESSED
+    allow_dictionary = True
+    if props is not None:
+        codec_overrides = codec_overrides or props.codec_overrides
+        dict_size_limit = props.dictionary_pagesize_limit
+        compression = props.compression_id
+        allow_dictionary = props.dictionary_enabled
     columns = columns or TOKEN_TABLE_COLUMNS
     overrides = {k: chunkmod.CODEC_IDS[v]
                  for k, v in (codec_overrides or {}).items()}
@@ -85,7 +96,9 @@ def make_arrow_encode_fn(columns: dict[str, str] | None = None,
             enc = selector.encode_best(
                 values, kernel_phys, row_lengths=row_lengths,
                 codec_override=overrides.get(col),
-                dict_size_limit=dict_size_limit)
+                dict_size_limit=dict_size_limit,
+                compression=compression,
+                allow_dictionary=allow_dictionary)
             st = enc.stats
             rows["part_id"].append(part_id)
             rows["col"].append(col)
@@ -112,10 +125,12 @@ def make_arrow_encode_fn(columns: dict[str, str] | None = None,
 
 def encode_scan_local(df, columns: dict[str, str] | None = None,
                       codec_overrides: dict[str, str] | None = None,
-                      dict_size_limit: int = 1 << 20):
+                      dict_size_limit: int = 1 << 20,
+                      props: "object | None" = None):
     """DataFrame -> chunk DataFrame with no shuffle (one chunk set per scan
     task)."""
     from ..shipping import ensure_shipped
     ensure_shipped(df.sparkSession)
-    fn = make_arrow_encode_fn(columns, codec_overrides, dict_size_limit)
+    fn = make_arrow_encode_fn(columns, codec_overrides, dict_size_limit,
+                              props)
     return df.mapInArrow(fn, schema=CHUNK_SCHEMA)

@@ -126,10 +126,20 @@ def run_checkpointed(spark, df: DataFrame, out_dir: str, num_parts: int,
 
     done = None
     if os.path.exists(manifest_path):
-        done = spark.read.parquet(manifest_path).select("part_id")
+        done = spark.read.parquet(manifest_path).select("part_id").distinct()
         todo_df = df.join(F.broadcast(done), "part_id", "left_anti")
     else:
         todo_df = df
+    # Crash-window idempotency: a partition whose chunks were appended but
+    # whose manifest row never landed must NOT be re-encoded (a blind
+    # re-append would duplicate its chunk rows, inflating manifest sums and
+    # changing the partition checksum). Such orphans are skipped here and
+    # adopted into the manifest below.
+    orphan_ok = None
+    if os.path.exists(chunks_path):
+        have = spark.read.parquet(chunks_path).select("part_id").distinct()
+        todo_df = todo_df.join(F.broadcast(have), "part_id", "left_anti")
+        orphan_ok = have
 
     if fail_after_parts is not None:
         keep = [r.part_id for r in
@@ -142,10 +152,15 @@ def run_checkpointed(spark, df: DataFrame, out_dir: str, num_parts: int,
         chunks = encode_op.encode_df(todo_df, num_parts,
                                      codec_overrides=codec_overrides)
         chunks.write.mode("append").partitionBy("part_id").parquet(chunks_path)
+    if n_todo or orphan_ok is not None:
+        # manifest rows for every chunk-complete partition not yet recorded:
+        # the freshly encoded ones plus any orphans from a prior crash
         written = spark.read.parquet(chunks_path)
         if done is not None:
             written = written.join(F.broadcast(done), "part_id", "left_anti")
-        manifest_from_chunks(written).write.mode("append").parquet(manifest_path)
+        new_rows = manifest_from_chunks(written)
+        if n_todo or not new_rows.isEmpty():
+            new_rows.write.mode("append").parquet(manifest_path)
 
     return {"chunks_path": chunks_path, "manifest_path": manifest_path,
             "parts_processed": n_todo}

@@ -38,11 +38,14 @@ class WriterProperties:
         if self.compression not in chunkmod.COMPRESSION_IDS:
             raise ValueError(f"unknown compression {self.compression!r}")
         if not self.dictionary_enabled:
-            # reference: dictionary can be disabled per writer; the selector
-            # then never proposes it
-            self.codec_overrides = {
-                **{c: n for c, n in self.codec_overrides.items()},
-            }
+            # reference parity: a dictionary encoding cannot be forced while
+            # dictionaries are disabled (properties.h:224-232)
+            bad = [c for c, n in self.codec_overrides.items()
+                   if n in ("RLE_DICTIONARY", "PLAIN_DICTIONARY")]
+            if bad:
+                raise ValueError(
+                    f"dictionary_enabled=False conflicts with dictionary "
+                    f"codec override on column(s) {bad}")
 
     @property
     def compression_id(self) -> int:

@@ -277,9 +277,11 @@ def encode_best(values, phys: str, *, row_lengths=None,
             best = enc
     if guard_with_plain and best is not None and best.codec != chunkmod.PLAIN:
         # PLAIN's size is closed-form — only pay the encode pass if it wins.
-        # plain chunk = 20-byte header [+ levels sections] + 4-byte section
-        # length prefix + raw payload
-        plain_total = 20 + 4 + _plain_payload_bytes(values, phys)
+        # plain chunk = 21-byte header (4 magic + 5 fields + 3x u32,
+        # chunk._HEADER_LEN) [+ levels sections] + 4-byte section length
+        # prefix + raw payload
+        plain_total = chunkmod._HEADER_LEN + 4 + \
+            _plain_payload_bytes(values, phys)
         if levels_sections is not None:
             plain_total += len(levels_sections[0])
         if plain_total < best.enc_bytes:

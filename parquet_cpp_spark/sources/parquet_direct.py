@@ -44,7 +44,8 @@ def encode_parquet_direct(spark, path: str,
                           columns: dict[str, str] | None = None,
                           codec_overrides: dict[str, str] | None = None,
                           dict_size_limit: int = 1 << 20,
-                          slices_per_core: int = 4):
+                          slices_per_core: int = 4,
+                          props: "object | None" = None):
     """Encode a parquet token table without moving row data through the JVM.
 
     Returns the chunk DataFrame (same schema as operators.encode)."""
@@ -60,7 +61,7 @@ def encode_parquet_direct(spark, path: str,
         .repartition(n_parts, "file", "rg")
 
     encode_fn = make_arrow_encode_fn(columns, codec_overrides,
-                                     dict_size_limit)
+                                     dict_size_limit, props)
 
     def task(batches):
         import pyarrow.parquet as pq
