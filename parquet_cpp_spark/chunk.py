@@ -27,7 +27,8 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from .kernels import bitpack, bytearray_codecs, delta, dictionary, fsst, plain, rle
+from .kernels import (ba, bitpack, bytearray_codecs, delta, dictionary, fsst,
+                      plain, rle)
 from . import levels as levels_mod
 
 MAGIC = b"PQS1"
@@ -169,8 +170,11 @@ def compute_stats(values, phys: str) -> ChunkStats:
     if phys in ("byte_array", "flba"):
         if len(values) == 0:
             return ChunkStats(None, None, 0)
-        mn = min(values)
-        mx = max(values)
+        if isinstance(values, ba.ByteArrayView):
+            mn, mx = ba.minmax(values)
+        else:
+            mn = min(values)
+            mx = max(values)
         if len(mn) > 4096 or len(mx) > 4096:
             return ChunkStats(None, None, 0)
         return ChunkStats(mn.decode("utf-8", "replace"),
@@ -314,7 +318,8 @@ def _decode_flba_payload(mv, pos: int, codec: int, n_values: int,
         values, _ = plain.decode_flba(mv, n_values, type_length, pos)
         return values
     if codec == RLE_DICTIONARY:
-        return _decode_bytes_payload(mv, pos, codec, n_values, fallback)
+        return ba.to_list(_decode_bytes_payload(mv, pos, codec, n_values,
+                                                fallback))
     raise ValueError(f"codec {codec} unsupported for flba")
 
 
@@ -339,19 +344,25 @@ def encode_chunk(values, phys: str, codec: int, *,
     has_levels = row_lengths is not None
     phys, type_length = _parse_phys(phys)
     null_count = 0
+    if phys == "byte_array":
+        values = ba.as_view(values)
     if valid_mask is not None:
         if has_levels:
             raise ValueError("valid_mask applies to flat columns only")
         valid_mask = np.ascontiguousarray(valid_mask, dtype=bool)
         null_count = int((~valid_mask).sum())
-        if phys in ("byte_array", "flba"):
+        if phys == "byte_array":
+            values = ba.take(values, np.flatnonzero(valid_mask))
+        elif phys == "flba":
             values = [v for v, ok in zip(values, valid_mask) if ok]
         else:
             values = np.asarray(values)[valid_mask]
-    if phys in ("byte_array", "flba"):
+    if phys == "byte_array":
         n_values = len(values)
-        raw = sum(len(v) + (4 if phys == "byte_array" else 0)
-                  for v in values)
+        raw = values.total_bytes + 4 * n_values
+    elif phys == "flba":
+        n_values = len(values)
+        raw = sum(len(v) for v in values)
     elif phys == "boolean":
         values = np.ascontiguousarray(values, dtype=bool)
         n_values = len(values)
@@ -525,19 +536,21 @@ def _decode_int_payload(mv, pos: int, codec: int, phys: str, n_values: int,
 
 def _decode_bytes_payload(mv, pos: int, codec: int, n_values: int,
                           fallback: bool = False):
+    """byte_array payload -> ba.ByteArrayView (columnar; consumers convert
+    to Arrow zero-copy or to list[bytes] at the boundary)."""
     sec_len = int.from_bytes(mv[pos: pos + 4], "little")
     pos += 4
     if codec == PLAIN:
-        values, _ = plain.decode_byte_array(mv, n_values, pos)
+        values, _ = plain.decode_byte_array_view(mv, n_values, pos)
         return values
     if codec == DELTA_LENGTH_BYTE_ARRAY:
-        values, _ = bytearray_codecs.decode_delta_length(mv, pos)
+        values, _ = bytearray_codecs.decode_delta_length_view(mv, pos)
         return values
     if codec == DELTA_BYTE_ARRAY:
-        values, _ = bytearray_codecs.decode_delta_byte_array(mv, pos)
+        values, _ = bytearray_codecs.decode_delta_byte_array_view(mv, pos)
         return values
     if codec == FSST:
-        values, _ = fsst.decode(mv, pos)
+        values, _ = fsst.decode_view(mv, pos)
         return values
     if codec == RLE_DICTIONARY:
         dict_blob = bytes(mv[pos: pos + sec_len])

@@ -84,7 +84,8 @@ def cmd_blob(path: str) -> None:
           f"phys={chunkmod.PHYS_NAMES[dec.phys]} n_rows={dec.n_rows} "
           f"n_values={dec.n_values}")
     vals = dec.values
-    head = vals[:10] if not isinstance(vals, np.ndarray) else vals[:10].tolist()
+    head = vals[:10].tolist() if isinstance(vals, np.ndarray) \
+        else list(vals[:10])
     print(f"first values: {head}")
 
 

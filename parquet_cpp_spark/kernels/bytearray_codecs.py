@@ -10,70 +10,156 @@ decoder ``encoding-internal.h:925-975``, encoder
 ``decode_benchmark.cc:154-197``): prefix lengths (vs the previous value) are
 DELTA_BINARY_PACKED; suffixes are a DELTA_LENGTH_BYTE_ARRAY stream;
 ``value[i] = value[i-1][:prefix_len[i]] + suffix[i]``.
+
+All kernels run on ``ba.ByteArrayView`` (uint8 data + int64 offsets) with no
+per-row Python: prefix lengths come from one vectorized adjacent-byte
+compare over all value pairs at once, and prefix reconstruction on decode
+resolves the chain ``value[i][j] = value[k][j]`` (k = last value at or
+before i whose prefix ends by j) one byte-column at a time.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-from . import delta
+from . import ba, delta
 
 
-def encode_delta_length(values: list[bytes]) -> bytes:
-    lens = np.fromiter((len(v) for v in values), dtype=np.int64,
-                       count=len(values))
-    lens_blob = delta.encode(lens)
-    payload = b"".join(values)
-    return len(lens_blob).to_bytes(4, "little") + lens_blob + payload
+def encode_delta_length(values) -> bytes:
+    view = ba.as_view(values)
+    lens_blob = delta.encode(view.lengths)
+    return (len(lens_blob).to_bytes(4, "little") + lens_blob
+            + view.data.tobytes())
 
 
-def decode_delta_length(buf, pos: int = 0) -> tuple[list[bytes], int]:
+def decode_delta_length_view(buf, pos: int = 0) -> tuple[ba.ByteArrayView, int]:
     mv = memoryview(buf) if not isinstance(buf, memoryview) else buf
     lens_blob_len = int.from_bytes(mv[pos: pos + 4], "little")
     pos += 4
     lens, _ = delta.decode(mv[pos: pos + lens_blob_len])
     pos += lens_blob_len
-    out: list[bytes] = []
-    for ln in lens.tolist():
-        out.append(bytes(mv[pos: pos + ln]))
-        pos += ln
-    return out, pos
+    n = len(lens)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    total = int(offsets[-1])
+    data = np.frombuffer(mv, dtype=np.uint8, count=total, offset=pos)
+    return ba.ByteArrayView(data, offsets), pos + total
 
 
-def _common_prefix_len(a: bytes, b: bytes) -> int:
-    m = min(len(a), len(b))
-    i = 0
-    while i < m and a[i] == b[i]:
-        i += 1
-    return i
+def decode_delta_length(buf, pos: int = 0) -> tuple[list[bytes], int]:
+    view, pos = decode_delta_length_view(buf, pos)
+    return ba.to_list(view), pos
 
 
-def encode_delta_byte_array(values: list[bytes]) -> bytes:
-    n = len(values)
-    prefix_lens = np.zeros(n, dtype=np.int64)
-    suffixes: list[bytes] = []
-    prev = b""
-    for i, v in enumerate(values):
-        p = _common_prefix_len(prev, v) if i else 0
-        prefix_lens[i] = p
-        suffixes.append(v[p:])
-        prev = v
-    prefix_blob = delta.encode(prefix_lens) if n else delta.encode(np.zeros(0, dtype=np.int64))
+def _prefix_lengths(view: ba.ByteArrayView) -> np.ndarray:
+    """Common-prefix length of each value vs its predecessor (value 0 -> 0),
+    for all pairs at once: compare data[prev] with data[cur] over the
+    min-length span of every adjacent pair, then take the first mismatch
+    position per pair."""
+    n = len(view)
+    prefix = np.zeros(n, dtype=np.int64)
+    if n < 2:
+        return prefix
+    lens = view.lengths
+    m = np.minimum(lens[:-1], lens[1:])          # comparable span per pair
+    seg = np.zeros(n, dtype=np.int64)            # pair-segment bounds
+    np.cumsum(m, out=seg[1:])
+    total = int(seg[-1])
+    if total == 0:
+        return prefix
+    intra = np.arange(total, dtype=np.int64) - np.repeat(seg[:-1], m)
+    prev_idx = np.repeat(view.offsets[:-2], m) + intra
+    cur_idx = np.repeat(view.offsets[1:-1], m) + intra
+    neq = view.data[prev_idx] != view.data[cur_idx]
+    first = m.copy()                             # default: full span matches
+    nz = np.flatnonzero(neq)
+    if len(nz):
+        seg_id = np.searchsorted(seg, nz, side="right") - 1
+        uniq, first_at = np.unique(seg_id, return_index=True)
+        first[uniq] = intra[nz[first_at]]
+    prefix[1:] = first
+    return prefix
+
+
+def encode_delta_byte_array(values) -> bytes:
+    view = ba.as_view(values)
+    n = len(view)
+    prefix_lens = _prefix_lengths(view)
+    # suffix stream: the tail of each value past its shared prefix
+    suf_lens = view.lengths - prefix_lens
+    suf_offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(suf_lens, out=suf_offsets[1:])
+    total = int(suf_offsets[-1])
+    if total:
+        intra = np.arange(total, dtype=np.int64) - \
+            np.repeat(suf_offsets[:-1], suf_lens)
+        src = np.repeat(view.offsets[:-1] + prefix_lens, suf_lens) + intra
+        suf_data = view.data[src]
+    else:
+        suf_data = np.array([], dtype=np.uint8)
+    suffixes = ba.ByteArrayView(suf_data, suf_offsets)
+    prefix_blob = delta.encode(prefix_lens)
     suffix_blob = encode_delta_length(suffixes)
     return len(prefix_blob).to_bytes(4, "little") + prefix_blob + suffix_blob
 
 
-def decode_delta_byte_array(buf, pos: int = 0) -> tuple[list[bytes], int]:
+# beyond this prefix depth the byte-column reconstruction loop stops paying
+# off; fall back to the sequential walk (pathological shared-prefix data)
+_MAX_VECTOR_PREFIX = 4096
+
+
+def decode_delta_byte_array_view(buf, pos: int = 0) -> tuple[ba.ByteArrayView, int]:
     mv = memoryview(buf) if not isinstance(buf, memoryview) else buf
     prefix_blob_len = int.from_bytes(mv[pos: pos + 4], "little")
     pos += 4
     prefix_lens, _ = delta.decode(mv[pos: pos + prefix_blob_len])
+    prefix_lens = prefix_lens.astype(np.int64, copy=False)
     pos += prefix_blob_len
-    suffixes, pos = decode_delta_length(mv, pos)
-    out: list[bytes] = []
-    prev = b""
-    for p, suf in zip(prefix_lens.tolist(), suffixes):
-        v = prev[:p] + suf
-        out.append(v)
-        prev = v
-    return out, pos
+    suffixes, pos = decode_delta_length_view(mv, pos)
+
+    n = len(prefix_lens)
+    suf_lens = suffixes.lengths
+    out_lens = prefix_lens + suf_lens
+    out_offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(out_lens, out=out_offsets[1:])
+    out = np.empty(int(out_offsets[-1]), dtype=np.uint8)
+
+    # 1) suffix bytes land directly after each value's prefix slot
+    total_suf = suffixes.total_bytes
+    if total_suf:
+        intra = np.arange(total_suf, dtype=np.int64) - \
+            np.repeat(suffixes.offsets[:-1], suf_lens)
+        dst = np.repeat(out_offsets[:-1] + prefix_lens, suf_lens) + intra
+        out[dst] = suffixes.data
+
+    # 2) prefix bytes: value i's byte j (< prefix_lens[i]) equals byte j of
+    #    the last value k <= i with prefix_lens[k] <= j — which stored that
+    #    byte in its own suffix at position j - prefix_lens[k]. One
+    #    running-max pass per byte column resolves every chain at once.
+    maxp = int(prefix_lens.max()) if n else 0
+    if maxp and maxp <= _MAX_VECTOR_PREFIX:
+        idx = np.arange(n, dtype=np.int64)
+        for j in range(maxp):
+            need = np.flatnonzero(prefix_lens > j)
+            if not len(need):
+                continue
+            k = np.maximum.accumulate(
+                np.where(prefix_lens <= j, idx, -1))[need]
+            out[out_offsets[need] + j] = \
+                suffixes.data[suffixes.offsets[k] + (j - prefix_lens[k])]
+    elif maxp:
+        prev = b""
+        vals = []
+        soffs = suffixes.offsets
+        for i in range(n):
+            p = int(prefix_lens[i])
+            v = prev[:p] + suffixes.data[soffs[i]: soffs[i + 1]].tobytes()
+            vals.append(v)
+            prev = v
+        return ba.from_list(vals), pos
+    return ba.ByteArrayView(out, out_offsets), pos
+
+
+def decode_delta_byte_array(buf, pos: int = 0) -> tuple[list[bytes], int]:
+    view, pos = decode_delta_byte_array_view(buf, pos)
+    return ba.to_list(view), pos

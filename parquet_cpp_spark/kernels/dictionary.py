@@ -24,7 +24,7 @@ from dataclasses import dataclass
 import numpy as np
 import pandas as pd
 
-from . import plain, rle
+from . import ba, plain, rle
 
 DEFAULT_DICT_SIZE_LIMIT = 1 << 20  # properties.h:83 DEFAULT_DICTIONARY_PAGE_SIZE_LIMIT
 
@@ -56,26 +56,35 @@ def _plain_sizes(uniques, phys: str) -> np.ndarray:
     if phys in ("int64", "double"):
         return np.full(len(uniques), 8, dtype=np.int64)
     if phys == "byte_array":
-        return np.fromiter((len(u) + 4 for u in uniques), dtype=np.int64,
-                           count=len(uniques))
+        return ba.as_view(uniques).lengths + 4
     raise ValueError(f"dictionary unsupported for {phys}")
 
 
 def _plain_encode(values, phys: str) -> bytes:
     if phys == "byte_array":
-        return plain.encode_byte_array(list(values))
+        return plain.encode_byte_array(values)
     return plain.encode_fixed(np.asarray(values), phys)
+
+
+def _factorize_bytes(view: "ba.ByteArrayView"):
+    """Arrow hash-table dictionary build: first-appearance unique order, the
+    same emitted order as the reference's open-addressing DictEncoder
+    (encoding-internal.h:644-656) and as pandas.factorize — but C end to
+    end, no object arrays."""
+    import pyarrow.compute as pc
+
+    d = pc.dictionary_encode(ba.to_arrow(view))
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return codes, ba.from_arrow(d.dictionary)
 
 
 def encode(values, phys: str,
            dict_size_limit: int = DEFAULT_DICT_SIZE_LIMIT) -> DictEncoded:
-    """values: np.ndarray for fixed types, or a sequence of ``bytes`` for
-    byte_array."""
+    """values: np.ndarray for fixed types, or list[bytes] / ba.ByteArrayView
+    for byte_array."""
     if phys == "byte_array":
-        arr = np.empty(len(values), dtype=object)
-        arr[:] = list(values)
-        codes, uniques = pd.factorize(arr, use_na_sentinel=False)
-        uniques = list(uniques)
+        values = ba.as_view(values)
+        codes, uniques = _factorize_bytes(values)
     else:
         codes, uniques = pd.factorize(np.asarray(values), use_na_sentinel=False)
         uniques = np.asarray(uniques)
@@ -100,8 +109,8 @@ def encode(values, phys: str,
         num_entries = int(running_max[split - 1]) + 1 if split > 0 else 0
 
     if phys == "byte_array":
-        dict_vals = uniques[:num_entries]
-        rest_vals = list(values)[split:]
+        dict_vals = ba.slice_rows(uniques, 0, num_entries)
+        rest_vals = ba.slice_rows(values, split, n)
     else:
         dict_vals = uniques[:num_entries]
         rest_vals = np.asarray(values)[split:]
@@ -129,7 +138,7 @@ def decode(enc: "DictEncoded | tuple", phys: str, *, dict_blob=None,
         plain_blob, n_plain_values = enc.plain_blob, enc.n_plain_values
 
     if phys == "byte_array":
-        uniques, _ = plain.decode_byte_array(dict_blob, num_entries)
+        uniques, _ = plain.decode_byte_array_view(dict_blob, num_entries)
     else:
         uniques, _ = plain.decode_fixed(dict_blob, num_entries, phys)
 
@@ -137,10 +146,10 @@ def decode(enc: "DictEncoded | tuple", phys: str, *, dict_blob=None,
     codes, _ = rle.decode(indices_blob, n_dict_values, bw, 1)
 
     if phys == "byte_array":
-        head = [uniques[c] for c in codes.tolist()]
+        head = ba.take(uniques, codes)  # fused vectorized gather
         if n_plain_values:
-            tail, _ = plain.decode_byte_array(plain_blob, n_plain_values)
-            head.extend(tail)
+            tail, _ = plain.decode_byte_array_view(plain_blob, n_plain_values)
+            head = ba.concat(head, tail)
         return head
     head = np.asarray(uniques)[codes]
     if n_plain_values:

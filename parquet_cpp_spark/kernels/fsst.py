@@ -12,7 +12,16 @@ input (no RNG), candidate selection tie-breaks on (gain desc, symbol bytes
 asc), so the same chunk always produces the same table on every executor —
 required for reproducible encode across retries (SURVEY §7 hard part (c)).
 
-Blob layout (self-contained):
+Vectorization: the greedy scan is sequential *within* a string but
+independent *across* strings, so encode/decode run in rounds over a frontier
+of per-string cursors — each round matches every active string's next token
+at once (8-byte little-endian windows against per-length sorted symbol-key
+tables via searchsorted; the paper's SIMD batching transposed into numpy).
+Token streams are reassembled with one lexsort + scatter. Per-string loops
+appear nowhere; output bytes are identical to the scalar greedy reference
+implementation (the golden blob test pins this).
+
+Blob layout (self-contained, unchanged since v1):
     [u8 n_symbols][n_symbols x (u8 len + bytes)]
     [u32 n_strings]
     [u32 lens_blob_len][DELTA_BINARY_PACKED(encoded byte length per string)]
@@ -23,7 +32,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from . import delta
+from . import ba, delta
 
 ESCAPE = 255
 MAX_SYMBOLS = 255
@@ -32,7 +41,7 @@ SAMPLE_BYTES = 1 << 14  # 16 KiB training sample
 TRAIN_ITERATIONS = 5
 
 
-def train(values: list[bytes]) -> list[bytes]:
+def train(values) -> list[bytes]:
     """Build a deterministic symbol table from a sample of the input."""
     sample: list[bytes] = []
     budget = SAMPLE_BYTES
@@ -70,9 +79,8 @@ def train(values: list[bytes]) -> list[bytes]:
 
 
 def _build_tables(symbols: list[bytes]):
-    """length -> {symbol bytes: code}, lengths tried longest-first. Greedy
-    longest-match then costs at most len(lengths) (<= 8) dict probes per
-    position instead of a scan over all same-first-byte candidates."""
+    """length -> {symbol bytes: code}, lengths tried longest-first (used by
+    the scalar trainer loop over the 16 KiB sample)."""
     tables: dict[int, dict[bytes, int]] = {}
     for code, sym in enumerate(symbols):
         tables.setdefault(len(sym), {})[sym] = code
@@ -87,28 +95,114 @@ def _longest_match(s: bytes, i: int, ln: int, tables) -> int:
     return 0
 
 
-def encode(values: list[bytes]) -> bytes:
-    symbols = train(values)
-    tables = _build_tables(symbols)
-    out_parts: list[bytes] = []
-    enc_lens = np.empty(len(values), dtype=np.int64)
-    for vi, s in enumerate(values):
-        buf = bytearray()
-        append = buf.append
-        i, ln = 0, len(s)
-        while i < ln:
-            for L, tab in tables:
-                code = tab.get(s[i: i + L])
-                if code is not None:
-                    append(code)
-                    i += L
-                    break
-            else:
-                append(ESCAPE)
-                append(s[i])
-                i += 1
-        out_parts.append(bytes(buf))
-        enc_lens[vi] = len(buf)
+def _lookup_arrays(symbols: list[bytes]):
+    """Per symbol length (desc): (L, sorted u64 keys, codes) for vectorized
+    longest-match via searchsorted."""
+    by_len: dict[int, list[tuple[int, int]]] = {}
+    for code, sym in enumerate(symbols):
+        by_len.setdefault(len(sym), []).append(
+            (int.from_bytes(sym, "little"), code))
+    out = []
+    for L in sorted(by_len, reverse=True):
+        pairs = sorted(by_len[L])
+        keys = np.array([k for k, _ in pairs], dtype=np.uint64)
+        codes = np.array([c for _, c in pairs], dtype=np.int64)
+        out.append((L, keys, codes))
+    return out
+
+
+def _train_sample(view: ba.ByteArrayView) -> list[bytes]:
+    """First rows covering SAMPLE_BYTES, as bytes (what train() consumes)."""
+    k = int(np.searchsorted(view.offsets, SAMPLE_BYTES, side="left"))
+    k = min(len(view), max(1, k + 1))
+    return ba.to_list(ba.slice_rows(view, 0, k))
+
+
+def encode(values) -> bytes:
+    view = ba.as_view(values)
+    n = len(view)
+    symbols = train(_train_sample(view)) if n else []
+    lookup = _lookup_arrays(symbols)
+
+    data, offs, lens = view.data, view.offsets, view.lengths
+    dpad = np.concatenate([data, np.zeros(MAX_SYMBOL_LEN, dtype=np.uint8)])
+    win = np.arange(MAX_SYMBOL_LEN, dtype=np.int64)
+    masks = {L: np.uint64((1 << (8 * L)) - 1) if L < 8
+             else np.uint64(0xFFFFFFFFFFFFFFFF) for L, _, _ in lookup}
+
+    pos = offs[:-1].copy()
+    active = np.flatnonzero(lens > 0)
+    tok_sid: list[np.ndarray] = []
+    tok_b0: list[np.ndarray] = []
+    tok_b1: list[np.ndarray] = []
+    tok_two: list[np.ndarray] = []
+    tok_round: list[np.ndarray] = []
+    r = 0
+    while len(active):
+        p = pos[active]
+        rem = offs[active + 1] - p
+        w = np.ascontiguousarray(dpad[p[:, None] + win]).view("<u8").ravel()
+        code = np.full(len(active), ESCAPE, dtype=np.int64)
+        step = np.ones(len(active), dtype=np.int64)
+        unmatched = np.ones(len(active), dtype=bool)
+        for L, keys, codes in lookup:   # longest first == greedy
+            cand = np.flatnonzero(unmatched & (rem >= L))
+            if not len(cand):
+                continue
+            k = w[cand] & masks[L]
+            idx = np.searchsorted(keys, k)
+            hit = np.flatnonzero(
+                (idx < len(keys)) & (keys[np.minimum(idx, len(keys) - 1)] == k))
+            if not len(hit):
+                continue
+            rows = cand[hit]
+            code[rows] = codes[idx[hit]]
+            step[rows] = L
+            unmatched[rows] = False
+        tok_sid.append(active.copy())
+        tok_b0.append(code)
+        tok_b1.append(dpad[p])          # literal byte (escape tokens only)
+        tok_two.append(unmatched)       # escape -> 2 output bytes
+        tok_round.append(np.full(len(active), r, dtype=np.int64))
+        pos[active] = p + step
+        active = active[pos[active] < offs[active + 1]]
+        r += 1
+
+    if tok_sid:
+        sid = np.concatenate(tok_sid)
+        b0 = np.concatenate(tok_b0)
+        b1 = np.concatenate(tok_b1)
+        two = np.concatenate(tok_two)
+        rnd = np.concatenate(tok_round)
+        # a string is active in consecutive rounds from 0, so its r-th token
+        # is exactly its round-r token: per-string order needs no sort, just
+        # slot = tokens-before-this-string + round
+        ntok = np.bincount(sid, minlength=n)
+        base = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(ntok, out=base[1:])
+        slot = base[sid] + rnd
+        b0o = np.empty_like(b0)
+        b1o = np.empty_like(b1)
+        twoo = np.empty_like(two)
+        b0o[slot] = b0
+        b1o[slot] = b1
+        twoo[slot] = two
+        tlen = 1 + twoo.astype(np.int64)
+        tpos = np.zeros(len(tlen), dtype=np.int64)
+        np.cumsum(tlen[:-1], out=tpos[1:])
+        out = np.empty(int(tlen.sum()), dtype=np.uint8)
+        out[tpos] = b0o
+        esc = np.flatnonzero(twoo)
+        out[tpos[esc] + 1] = b1o[esc]
+        # encoded bytes per string = its token count + one extra byte per
+        # escape token
+        enc_lens = ntok.astype(np.int64)
+        if two.any():
+            enc_lens = enc_lens + np.bincount(sid[two], minlength=n)
+        payload = out.tobytes()
+    else:
+        enc_lens = np.zeros(n, dtype=np.int64)
+        payload = b""
 
     table = bytearray([len(symbols)])
     for sym in symbols:
@@ -116,12 +210,12 @@ def encode(values: list[bytes]) -> bytes:
         table += sym
     lens_blob = delta.encode(enc_lens)
     return (bytes(table)
-            + len(values).to_bytes(4, "little")
+            + n.to_bytes(4, "little")
             + len(lens_blob).to_bytes(4, "little") + lens_blob
-            + b"".join(out_parts))
+            + payload)
 
 
-def decode(buf, pos: int = 0) -> tuple[list[bytes], int]:
+def decode_view(buf, pos: int = 0) -> tuple[ba.ByteArrayView, int]:
     mv = memoryview(buf) if not isinstance(buf, memoryview) else buf
     n_symbols = mv[pos]
     pos += 1
@@ -136,21 +230,98 @@ def decode(buf, pos: int = 0) -> tuple[list[bytes], int]:
     lens_blob_len = int.from_bytes(mv[pos: pos + 4], "little")
     pos += 4
     enc_lens, _ = delta.decode(mv[pos: pos + lens_blob_len])
+    enc_lens = enc_lens.astype(np.int64, copy=False)
     pos += lens_blob_len
 
-    out: list[bytes] = []
-    for ln in enc_lens.tolist():
-        chunk = mv[pos: pos + ln]
-        pos += ln
-        parts: list[bytes] = []
-        i = 0
-        while i < ln:
-            c = chunk[i]
-            if c == ESCAPE:
-                parts.append(bytes(chunk[i + 1: i + 2]))
-                i += 2
-            else:
-                parts.append(symbols[c])
-                i += 1
-        out.append(b"".join(parts))
-    return out, pos
+    total_enc = int(enc_lens.sum())
+    enc = np.frombuffer(mv, dtype=np.uint8, count=total_enc, offset=pos)
+    end_pos = pos + total_enc
+
+    # symbol store: concatenated bytes + per-code (offset, length)
+    s_len = np.zeros(256, dtype=np.int64)
+    s_off = np.zeros(256, dtype=np.int64)
+    parts = []
+    acc = 0
+    for c, sym in enumerate(symbols):
+        s_len[c] = len(sym)
+        s_off[c] = acc
+        acc += len(sym)
+        parts.append(np.frombuffer(sym, dtype=np.uint8))
+    sym_data = np.concatenate(parts) if parts else np.array([], dtype=np.uint8)
+
+    eoffs = np.zeros(n_strings + 1, dtype=np.int64)
+    np.cumsum(enc_lens, out=eoffs[1:])
+    cur = eoffs[:-1].copy()
+    active = np.flatnonzero(enc_lens > 0)
+    tok_sid, tok_code, tok_esc, tok_lit, tok_round = [], [], [], [], []
+    r = 0
+    while len(active):
+        p = cur[active]
+        c = enc[p].astype(np.int64)
+        esc = c == ESCAPE
+        lit = enc[np.minimum(p + 1, max(total_enc - 1, 0))]
+        tok_sid.append(active.copy())
+        tok_code.append(c)
+        tok_esc.append(esc)
+        tok_lit.append(lit)
+        tok_round.append(np.full(len(active), r, dtype=np.int64))
+        cur[active] = p + 1 + esc
+        active = active[cur[active] < eoffs[active + 1]]
+        r += 1
+
+    if tok_sid:
+        sid = np.concatenate(tok_sid)
+        code = np.concatenate(tok_code)
+        esc = np.concatenate(tok_esc)
+        lit = np.concatenate(tok_lit)
+        rnd = np.concatenate(tok_round)
+        # per-string token order without sorting (see encode): a string is
+        # active in consecutive rounds from 0
+        ntok = np.bincount(sid, minlength=n_strings)
+        base = np.zeros(n_strings + 1, dtype=np.int64)
+        np.cumsum(ntok, out=base[1:])
+        slot = base[sid] + rnd
+        code_o = np.empty_like(code)
+        esc_o = np.empty_like(esc)
+        lit_o = np.empty_like(lit)
+        sid_o = np.empty_like(sid)
+        code_o[slot] = code
+        esc_o[slot] = esc
+        lit_o[slot] = lit
+        sid_o[slot] = sid
+        olen = np.where(esc_o, 1, s_len[code_o])
+        tdst = np.zeros(len(olen), dtype=np.int64)
+        np.cumsum(olen[:-1], out=tdst[1:])
+        total_out = int(olen.sum())
+        out = np.empty(total_out, dtype=np.uint8)
+        # symbol tokens: fixed fan-out per symbol length (max 8 scatter
+        # passes per length — no byte-granular index temporaries)
+        symtok = np.flatnonzero(~esc_o & (olen > 0))
+        if len(symtok):
+            sl = olen[symtok]
+            for L in range(1, MAX_SYMBOL_LEN + 1):
+                rows = symtok[sl == L]
+                if not len(rows):
+                    continue
+                d = tdst[rows]
+                s = s_off[code_o[rows]]
+                for k in range(L):
+                    out[d + k] = sym_data[s + k]
+        # escape tokens: single literal byte
+        esct = np.flatnonzero(esc_o)
+        if len(esct):
+            out[tdst[esct]] = lit_o[esct]
+        out_lens = np.bincount(sid_o, weights=olen, minlength=n_strings) \
+            .astype(np.int64)
+    else:
+        out = np.array([], dtype=np.uint8)
+        out_lens = np.zeros(n_strings, dtype=np.int64)
+
+    offsets = np.zeros(n_strings + 1, dtype=np.int64)
+    np.cumsum(out_lens, out=offsets[1:])
+    return ba.ByteArrayView(out, offsets), end_pos
+
+
+def decode(buf, pos: int = 0) -> tuple[list[bytes], int]:
+    view, pos = decode_view(buf, pos)
+    return ba.to_list(view), pos

@@ -43,33 +43,65 @@ def decode_boolean(buf, n_values: int, pos: int = 0) -> tuple[np.ndarray, int]:
     return bits.astype(bool), pos + nbytes
 
 
-def encode_byte_array(values: list[bytes]) -> bytes:
-    """u32-LE length + payload per value, vectorized via offset arithmetic."""
-    n = len(values)
+def encode_byte_array(values) -> bytes:
+    """u32-LE length + payload per value. The interleave runs in Arrow's C
+    element-wise join (one output pass): the length words become a
+    fixed_size_binary(4) array over the raw u32 buffer, joined with the
+    payload values. No per-value Python, and no large index temporaries —
+    this host is DRAM-bandwidth-bound, so an 8-byte-per-element fancy-index
+    scatter would cost more than the payload itself. Accepts list[bytes] or
+    a ``ba.ByteArrayView``."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from . import ba
+
+    view = ba.as_view(values)
+    n = len(view)
     if n == 0:
         return b""
-    lens = np.fromiter((len(v) for v in values), dtype=np.int64, count=n)
-    total = int(lens.sum()) + 4 * n
-    out = np.empty(total, dtype=np.uint8)
-    # Interleave: each item occupies [4-byte len][payload].
-    starts = np.zeros(n, dtype=np.int64)
-    np.cumsum(lens[:-1] + 4, out=starts[1:])
-    len_le = lens.astype("<u4").view(np.uint8).reshape(n, 4)
-    for i, (st, ln) in enumerate(zip(starts.tolist(), lens.tolist())):
-        out[st: st + 4] = len_le[i]
-        out[st + 4: st + 4 + ln] = np.frombuffer(values[i], dtype=np.uint8, count=ln)
-    return out.tobytes()
+    lens_le = view.lengths.astype("<u4").tobytes()
+    len_arr = pa.FixedSizeBinaryArray.from_buffers(
+        pa.binary(4), n, [None, pa.py_buffer(lens_le)]).cast(pa.large_binary())
+    joined = pc.binary_join_element_wise(
+        len_arr, ba.to_arrow(view), pa.scalar(b"", type=pa.large_binary()))
+    return joined.buffers()[2].to_pybytes()[: view.total_bytes + 4 * n]
+
+
+def decode_byte_array_view(buf, n_values: int, pos: int = 0):
+    """-> (ba.ByteArrayView, end_pos). The length-prefix walk is an
+    inherently sequential scan (p += 4 + len(p)) kept as a minimal
+    int.from_bytes loop; stripping the 4-byte prefixes is one Arrow C pass
+    (binary_slice over record spans [start_i, start_{i+1})."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from . import ba
+
+    if n_values == 0:
+        return ba.ByteArrayView(np.array([], dtype=np.uint8),
+                                np.zeros(1, dtype=np.int64)), pos
+    a = np.frombuffer(buf, dtype=np.uint8)
+    mv = buf if isinstance(buf, (bytes, memoryview)) else memoryview(buf)
+    starts = np.empty(n_values + 1, dtype=np.int64)
+    p = pos
+    fb = int.from_bytes
+    for i in range(n_values):
+        starts[i] = p
+        p += 4 + fb(mv[p: p + 4], "little")
+    starts[n_values] = p
+    records = pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(), n_values,
+        [None, pa.py_buffer(starts), pa.py_buffer(a)])
+    payload = pc.binary_slice(records, 4, 1 << 40)
+    return ba.from_arrow(payload), p
 
 
 def decode_byte_array(buf, n_values: int, pos: int = 0) -> tuple[list[bytes], int]:
-    mv = memoryview(buf)
-    out: list[bytes] = []
-    for _ in range(n_values):
-        ln = int.from_bytes(mv[pos: pos + 4], "little")
-        pos += 4
-        out.append(bytes(mv[pos: pos + ln]))
-        pos += ln
-    return out, pos
+    from . import ba
+
+    view, pos = decode_byte_array_view(buf, n_values, pos)
+    return ba.to_list(view), pos
 
 
 def encode_flba(values: list[bytes], type_length: int) -> bytes:

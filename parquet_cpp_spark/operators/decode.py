@@ -37,12 +37,21 @@ def decode_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
 
     out = pd.DataFrame({
         "part_id": np.full(tok.n_rows, part_id, dtype=np.int64),
-        "doc_id": [b.decode("utf-8") for b in decoded["doc_id"].values],
+        "doc_id": _str_series(decoded["doc_id"].values),
         "tokens": token_rows,
         "n_tok": np.asarray(decoded["n_tok"].values, dtype=np.int32),
-        "source": [b.decode("utf-8") for b in decoded["source"].values],
+        "source": _str_series(decoded["source"].values),
     })
     return out
+
+
+def _str_series(values):
+    """byte_array view/list -> pandas str values (C decode path for views)."""
+    from ..kernels import ba
+    if isinstance(values, ba.ByteArrayView):
+        import pyarrow as pa
+        return ba.to_arrow(values).cast(pa.large_string()).to_pandas()
+    return [b.decode("utf-8") for b in values]
 
 
 def decode_chunks(chunks_df, part_col: str = "part_id"):

@@ -19,6 +19,18 @@ from .. import chunk as chunkmod
 from .decode import DECODED_SCHEMA
 
 
+def _strings(values):
+    """byte_array view/list -> pa.StringArray (zero-copy from the view's
+    buffers; 32-bit offsets cap one partition's column at 2 GiB, same bound
+    as the list-offset check below)."""
+    import pyarrow as pa
+
+    from ..kernels import ba
+    if isinstance(values, ba.ByteArrayView):
+        return ba.to_arrow(values).cast(pa.string())
+    return pa.array(values, type=pa.binary()).cast(pa.string())
+
+
 def _decode_part(part_id: int, cols: dict):
     import pyarrow as pa
 
@@ -36,11 +48,11 @@ def _decode_part(part_id: int, cols: dict):
     n = tok.n_rows
     return pa.RecordBatch.from_arrays([
         pa.array(np.full(n, part_id, dtype=np.int64), type=pa.int64()),
-        pa.array(cols["doc_id"].values, type=pa.binary()).cast(pa.string()),
+        _strings(cols["doc_id"].values),
         tokens_arr,
         pa.array(np.asarray(cols["n_tok"].values, dtype=np.int32),
                  type=pa.int32()),
-        pa.array(cols["source"].values, type=pa.binary()).cast(pa.string()),
+        _strings(cols["source"].values),
     ], names=["part_id", "doc_id", "tokens", "n_tok", "source"])
 
 

@@ -50,9 +50,14 @@ def _column_values(pdf: pd.DataFrame, col: str, phys: str):
             flat = np.array([], dtype=np.int32)
         return flat, lengths
     if phys == "byte_array":
-        vals = [x.encode("utf-8") if isinstance(x, str) else bytes(x)
-                for x in pdf[col].tolist()]
-        return vals, None
+        import pyarrow as pa
+
+        from ..kernels import ba
+        s = pdf[col]
+        as_bytes = len(s) and isinstance(s.iloc[0], (bytes, bytearray))
+        arr = pa.Array.from_pandas(
+            s, type=pa.binary() if as_bytes else pa.string())
+        return ba.from_arrow(arr), None
     dt = np.int32 if phys == "int32" else np.int64
     return pdf[col].to_numpy(dtype=dt, copy=False), None
 

@@ -42,7 +42,8 @@ def _arrow_column_values(tbl, col: str, phys: str):
             np.int32, copy=False)
         return flat, lengths
     if phys == "byte_array":
-        return column.cast(pa.binary()).to_pylist(), None
+        from ..kernels import ba
+        return ba.from_arrow(column), None
     dt = np.int32 if phys == "int32" else np.int64
     return column.to_numpy(zero_copy_only=False).astype(dt, copy=False), None
 

@@ -19,7 +19,7 @@ from __future__ import annotations
 import numpy as np
 
 from . import chunk as chunkmod
-from .kernels import bitpack
+from .kernels import ba, bitpack
 
 SAMPLE_VALUES = 65536
 
@@ -40,6 +40,9 @@ def _sample(values, n: int):
         return values
     # Deterministic stride sample (no RNG -> reproducible across executors).
     step = len(values) // n
+    if isinstance(values, ba.ByteArrayView):
+        import numpy as np
+        return ba.take(values, np.arange(0, len(values), step)[:n])
     return values[::step][:n]
 
 
@@ -48,6 +51,8 @@ def _window(values, n: int):
     if len(values) <= n:
         return values
     start = (len(values) - n) // 2
+    if isinstance(values, ba.ByteArrayView):
+        return ba.slice_rows(values, start, start + n)
     return values[start: start + n]
 
 
@@ -128,9 +133,13 @@ def estimate_bytes_sizes(values: list[bytes]) -> dict[int, float]:
     if n == 0:
         return {chunkmod.PLAIN: 0.0}
     s = _sample(values, 4096)
+    if isinstance(s, ba.ByteArrayView):
+        lens = s.lengths
+        s = ba.to_list(s)
+    else:
+        lens = np.fromiter((len(v) for v in s), dtype=np.int64, count=len(s))
     sn = len(s)
     scale = n / sn
-    lens = np.fromiter((len(v) for v in s), dtype=np.int64, count=sn)
     total_payload = float(lens.sum()) * scale
 
     est: dict[int, float] = {}
@@ -223,6 +232,8 @@ def candidates(values, phys: str,
 
 def _plain_payload_bytes(values, phys: str) -> int:
     if phys == "byte_array":
+        if isinstance(values, ba.ByteArrayView):
+            return values.total_bytes + 4 * len(values)
         return sum(len(v) for v in values) + 4 * len(values)
     if phys.startswith("flba"):
         return sum(len(v) for v in values)
