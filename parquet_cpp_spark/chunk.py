@@ -437,6 +437,8 @@ class DecodedChunk:
 
 def decode_chunk(blob) -> DecodedChunk:
     mv = memoryview(blob)
+    if mv.format != "B":
+        mv = mv.cast("B")  # pyarrow Buffers expose signed 'b' views
     if bytes(mv[:4]) != MAGIC:
         raise ValueError("bad chunk magic")
     version, codec, phys_id = mv[4], mv[5], mv[6]

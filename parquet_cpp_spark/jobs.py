@@ -60,8 +60,8 @@ def cmd_encode(args) -> None:
 
 def cmd_decode(args) -> None:
     spark = _spark(args)
-    from .operators.decode_arrow import decode_chunks_arrow
-    dec = decode_chunks_arrow(spark.read.parquet(args.chunks))
+    from .operators.decode_arrow import decode_parquet_direct
+    dec = decode_parquet_direct(spark, args.chunks)
     dec.drop("part_id").write.mode("overwrite").parquet(args.out)
     print(json.dumps({"rows": spark.read.parquet(args.out).count(),
                       "out": args.out}))
@@ -73,11 +73,11 @@ def cmd_verify(args) -> None:
     doc_id, assert token-array equality per row (the reference's oracle)."""
     spark = _spark(args)
     from pyspark.sql import functions as F
-    from .operators.decode_arrow import decode_chunks_arrow
+    from .operators.decode_arrow import decode_parquet_direct
     from .sources.tokens import read_tokens
 
     src = read_tokens(spark, args.input)
-    dec = decode_chunks_arrow(spark.read.parquet(args.chunks)) \
+    dec = decode_parquet_direct(spark, args.chunks) \
         .select(F.col("doc_id").alias("d_doc_id"),
                 F.col("tokens").alias("d_tokens"))
     joined = src.join(dec, src.doc_id == dec.d_doc_id, "full_outer")

@@ -57,20 +57,28 @@ def _decode_part(part_id: int, cols: dict):
 
 
 def decode_chunks_arrow(chunks_df, part_col: str = "part_id",
-                        assume_colocated: bool = False):
+                        assume_colocated: bool | None = None):
     """Chunk DataFrame -> reconstructed token table (Arrow fast path).
 
     ``assume_colocated=True`` skips the blob shuffle entirely: valid when
     the chunk rows of each partition are adjacent in one input split, which
-    is how our sinks write them (one task's chunk set per file). The
-    assumption is self-checking — a split partition decodes with a missing
-    column and fails loudly (KeyError on 'tokens'/'doc_id') rather than
-    producing wrong rows, so callers can fall back to the shuffled path.
+    our encode operators guarantee (one part's chunk set per task) and our
+    sinks preserve (one task's chunk set per file). With the default
+    ``None``, colocation is taken from the ``_pcs_colocated`` marker the
+    encode operators set on the DataFrame they return — a pipelined
+    encode->decode runs shuffle-free, while chunks re-read from disk (no
+    marker) take the repartition path. At 100 TB the marker is the
+    difference between zero shuffle and re-shuffling the entire compressed
+    dataset once. The assumption is self-checking — a split partition
+    decodes with a missing column and fails loudly (KeyError on
+    'tokens'/'doc_id') rather than producing wrong rows, so callers can
+    fall back to the shuffled path.
     """
-    import pyspark.sql.functions as F  # noqa: F401
-
     from ..shipping import ensure_shipped
     ensure_shipped(chunks_df.sparkSession)
+
+    if assume_colocated is None:
+        assume_colocated = getattr(chunks_df, "_pcs_colocated", False)
 
     def task(batches):
         import pyarrow as pa
@@ -78,20 +86,77 @@ def decode_chunks_arrow(chunks_df, part_col: str = "part_id",
         batch_list = list(batches)
         if not batch_list:
             return
-        tbl = pa.Table.from_batches(batch_list)
-        part_ids = tbl.column("part_id").to_numpy(zero_copy_only=False)
-        cols = tbl.column("col").to_pylist()
-        blobs = tbl.column("blob").to_pylist()
-        by_part: dict[int, dict] = {}
-        for pid, col, blob in zip(part_ids.tolist(), cols, blobs):
-            try:
-                by_part.setdefault(pid, {})[col] = chunkmod.decode_chunk(blob)
-            except Exception as exc:
-                raise ValueError(
-                    f"corrupt chunk: part_id={pid} col={col!r}: {exc}"
-                ) from exc
-        for pid in sorted(by_part):
-            yield _decode_part(pid, by_part[pid])
+        yield from _decode_table(pa.Table.from_batches(batch_list))
 
     src = chunks_df if assume_colocated else chunks_df.repartition(part_col)
     return src.mapInArrow(task, schema=DECODED_SCHEMA)
+
+
+def _decode_table(tbl):
+    """Chunk-row Arrow table -> decoded record batches, one per part."""
+    part_ids = tbl.column("part_id").to_numpy(zero_copy_only=False)
+    cols = tbl.column("col").to_pylist()
+    blob_col = tbl.column("blob").combine_chunks()
+    by_part: dict[int, dict] = {}
+    for i, (pid, col) in enumerate(zip(part_ids.tolist(), cols)):
+        # zero-copy view of the blob (to_pylist would copy every blob
+        # into a Python bytes object before decode even starts)
+        blob = memoryview(blob_col[i].as_buffer())
+        try:
+            by_part.setdefault(pid, {})[col] = chunkmod.decode_chunk(blob)
+        except Exception as exc:
+            raise ValueError(
+                f"corrupt chunk: part_id={pid} col={col!r}: {exc}"
+            ) from exc
+    for pid in sorted(by_part):
+        yield _decode_part(pid, by_part[pid])
+
+
+def decode_parquet_direct(spark, chunks_path: str, slices_per_core: int = 2):
+    """Scale-shaped decode of chunk files on disk: the JVM shuffles only
+    file-path descriptors; each task pyarrow-reads whole chunk files and
+    decodes the parts it finds — the decode mirror of
+    ``sources.parquet_direct`` (reference column-chunk-granular reads,
+    ``file_reader.cc:63-135``). Whole files per task keep every part's
+    chunk set colocated by construction (each part is written by exactly
+    one encode task into one file), so no blob ever moves through a shuffle
+    or the JVM."""
+    import os
+
+    from ..shipping import ensure_shipped
+    ensure_shipped(spark)
+
+    files = []
+    for root, _dirs, names in os.walk(chunks_path):
+        files.extend(os.path.join(root, f) for f in sorted(names)
+                     if f.endswith(".parquet"))
+    if not files:
+        raise ValueError(f"no chunk files under {chunks_path}")
+    cores = spark.sparkContext.defaultParallelism
+    n_parts = min(len(files), max(1, cores * slices_per_core))
+    files_df = spark.createDataFrame([(f,) for f in files], "file string") \
+        .repartition(n_parts, "file")
+
+    def task(batches):
+        import re
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        for batch in batches:
+            for f in batch.column("file").to_pylist():
+                pf = pq.ParquetFile(f)
+                names = pf.schema_arrow.names
+                want = [c for c in ("part_id", "col", "blob") if c in names]
+                tbl = pf.read(columns=want)
+                if "part_id" not in want:
+                    # hive-partitioned layout: part_id lives in the dir name
+                    m = re.search(r"part_id=(-?\d+)", f)
+                    if m is None:
+                        raise ValueError(f"no part_id column or dir in {f}")
+                    pid = np.full(len(tbl), int(m.group(1)), dtype=np.int64)
+                    tbl = tbl.append_column("part_id",
+                                            pa.array(pid, type=pa.int64()))
+                yield from _decode_table(tbl)
+
+    return files_df.mapInArrow(task, schema=DECODED_SCHEMA)

@@ -155,4 +155,8 @@ def encode_df(df, num_parts: int, part_col: str = "part_id",
     ensure_shipped(df.sparkSession)
     fn = make_encode_fn(columns, codec_overrides, dict_size_limit, sort_key,
                         bloom_columns, props)
-    return df.groupBy(part_col).applyInPandas(fn, schema=CHUNK_SCHEMA)
+    out = df.groupBy(part_col).applyInPandas(fn, schema=CHUNK_SCHEMA)
+    # each applyInPandas group (= one partition's whole chunk set) is
+    # produced by one task, so a pipelined decode needs no blob shuffle
+    out._pcs_colocated = True
+    return out

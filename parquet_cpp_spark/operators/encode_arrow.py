@@ -134,4 +134,6 @@ def encode_scan_local(df, columns: dict[str, str] | None = None,
     ensure_shipped(df.sparkSession)
     fn = make_arrow_encode_fn(columns, codec_overrides, dict_size_limit,
                               props)
-    return df.mapInArrow(fn, schema=CHUNK_SCHEMA)
+    out = df.mapInArrow(fn, schema=CHUNK_SCHEMA)
+    out._pcs_colocated = True  # one part's whole chunk set per scan task
+    return out

@@ -27,7 +27,7 @@ import os
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..operators import decode as decode_op
+from ..operators import decode_arrow as decode_arrow_op
 from ..operators import encode as encode_op
 
 DEFAULT_TARGET_PARTITION_BYTES = 256 << 20
@@ -90,7 +90,10 @@ def encode_pipeline(df: DataFrame, num_parts: int,
 
 
 def decode_pipeline(chunks_df: DataFrame) -> DataFrame:
-    return decode_op.decode_chunks(chunks_df)
+    """Arrow-native decode. Pipelined encode->decode runs shuffle-free (the
+    encode operators mark their output colocated); chunks re-read from disk
+    take one repartition on part_id."""
+    return decode_arrow_op.decode_chunks_arrow(chunks_df)
 
 
 def manifest_from_chunks(chunks_df: DataFrame) -> DataFrame:

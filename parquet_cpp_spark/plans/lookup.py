@@ -16,7 +16,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F, types as T
 
-from ..operators import decode as decode_op
+from ..operators import decode_arrow as decode_arrow_op
 
 
 def prune_partitions(chunks_df: DataFrame, column: str, key: str) -> DataFrame:
@@ -49,4 +49,5 @@ def point_lookup(chunks_df: DataFrame, doc_id: str) -> DataFrame:
     matching rows."""
     parts = prune_partitions(chunks_df, "doc_id", doc_id)
     pruned = chunks_df.join(F.broadcast(parts), "part_id")
-    return decode_op.decode_chunks(pruned).filter(F.col("doc_id") == doc_id)
+    return decode_arrow_op.decode_chunks_arrow(pruned) \
+        .filter(F.col("doc_id") == doc_id)

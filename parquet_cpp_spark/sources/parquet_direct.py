@@ -73,4 +73,6 @@ def encode_parquet_direct(spark, path: str,
                 tbl = pq.ParquetFile(f).read_row_group(rg)
                 yield from encode_fn(tbl.to_batches())
 
-    return splits_df.mapInArrow(task, schema=CHUNK_SCHEMA)
+    out = splits_df.mapInArrow(task, schema=CHUNK_SCHEMA)
+    out._pcs_colocated = True  # one part's whole chunk set per task
+    return out
