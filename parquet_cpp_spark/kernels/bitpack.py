@@ -82,29 +82,47 @@ def pack(values: np.ndarray, bit_width: int) -> bytes:
     return b"".join(parts)
 
 
+def unpack_padded(padded: np.ndarray, n_values: int, bit_width: int,
+                  out_dtype=np.int64, bit0: int = 0) -> np.ndarray:
+    """Unpack an LSB-first bitstream given a uint8 array with >=8 bytes of
+    slack past the last value. Byte-window gather: value i's bits live in
+    the 4-byte (w<=25) or 8-byte (w<=57) little-endian window at byte
+    (bit0+i*w)//8 — ~4-8 bytes of memory traffic per value instead of the
+    8-64x blowup of a per-bit matrix (this host is DRAM-bandwidth-bound)."""
+    w = bit_width
+    bitpos = np.arange(n_values, dtype=np.int64) * w + bit0
+    bytepos = bitpos >> 3
+    if w <= 25:
+        shift = (bitpos & 7).astype(np.uint32)
+        win = padded[bytepos].astype(np.uint32)
+        # window bytes needed: ceil((7 + w) / 8) covers any shift in 0..7
+        for k in range(1, (w + 14) // 8):
+            win |= padded[bytepos + k].astype(np.uint32) << np.uint32(8 * k)
+        vals = (win >> shift) & np.uint32((1 << w) - 1)
+        return vals.astype(out_dtype, copy=False)
+    if w <= 57:
+        shift = (bitpos & 7).astype(np.uint64)
+        win = padded[bytepos].astype(np.uint64)
+        for k in range(1, 8):
+            win |= padded[bytepos + k].astype(np.uint64) << np.uint64(8 * k)
+        vals = (win >> shift) & np.uint64((1 << w) - 1)
+        return vals.astype(out_dtype, copy=False)
+    # 58..64 bits: rare; per-bit fallback
+    total_bits = bit0 + n_values * w
+    bits = np.unpackbits(padded[: (total_bits + 7) // 8],
+                         bitorder="little", count=total_bits)[bit0:]
+    return values_from_bits(bits.reshape(n_values, w), w, out_dtype)
+
+
 def unpack(buf: bytes | memoryview, n_values: int, bit_width: int,
            out_dtype=np.int64) -> np.ndarray:
     """Inverse of :func:`pack`. Reads exactly ``bytes_for(n, w)`` bytes."""
     if bit_width == 0 or n_values == 0:
         return np.zeros(n_values, dtype=out_dtype)
-    if n_values <= _BLOCK_VALUES:
-        total_bits = n_values * bit_width
-        nbytes = (total_bits + 7) // 8
-        raw = np.frombuffer(buf, dtype=np.uint8, count=nbytes)
-        bits = np.unpackbits(raw, bitorder="little", count=total_bits)
-        return values_from_bits(bits.reshape(n_values, bit_width), bit_width,
-                                out_dtype)
-    out = np.empty(n_values, dtype=out_dtype)
-    step = _BLOCK_VALUES
-    mv = memoryview(buf) if not isinstance(buf, memoryview) else buf
-    pos = 0
-    for i in range(0, n_values, step):
-        take = min(step, n_values - i)
-        nb = (take * bit_width + 7) // 8
-        out[i: i + take] = unpack(mv[pos: pos + nb], take, bit_width,
-                                  out_dtype)
-        pos += nb
-    return out
+    nbytes = bytes_for(n_values, bit_width)
+    raw = np.frombuffer(buf, dtype=np.uint8, count=nbytes)
+    padded = np.concatenate([raw, np.zeros(8, dtype=np.uint8)])
+    return unpack_padded(padded, n_values, bit_width, out_dtype)
 
 
 def width_for_max(max_value: int) -> int:

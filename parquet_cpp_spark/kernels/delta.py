@@ -184,10 +184,20 @@ def decode(buf, pos: int = 0, out_dtype=np.int64) -> tuple[np.ndarray, int]:
     widths_l: list[int] = []
     segments: list = []
     mini_bytes = mini_size // 8
-    zz = decode_zigzag_varint
     pad = b"\x00" * miniblocks
     for b in range(n_blocks):
-        m, pos = zz(mv, pos)
+        # zigzag varint, inlined (3 function calls per block add up over
+        # the ~n/128 block headers)
+        acc = 0
+        sh = 0
+        while True:
+            byte = mv[pos]
+            pos += 1
+            acc |= (byte & 0x7F) << sh
+            if byte < 0x80:
+                break
+            sh += 7
+        m = (acc >> 1) ^ -(acc & 1)
         mins_l.append(m)
         ws = bytes(mv[pos: pos + miniblocks])
         pos += miniblocks
@@ -204,27 +214,41 @@ def decode(buf, pos: int = 0, out_dtype=np.int64) -> tuple[np.ndarray, int]:
     widths = np.asarray(widths_l, dtype=np.int64)
 
     # Pass 2: group miniblocks by width — every miniblock of width w is
-    # exactly w*mini_size/8 bytes, so one fancy-indexed gather + one
-    # unpackbits + one weights-matmul decodes ALL miniblocks of that width
-    # (typically 1-3 distinct widths per chunk; no ragged scatter at all).
+    # exactly w*mini_size/8 bytes and byte-aligned, so all miniblocks of one
+    # width decode with one byte-window gather (value i of mini m sits in
+    # the 4-byte LE window at payload[B_m + (i*w)//8] >> (i*w)%8). ~4 bytes
+    # of traffic per value — no per-bit matrices (DRAM-bound host).
     nmini = n_blocks * miniblocks
     vals = np.zeros((nmini, mini_size), dtype=np.int64)
     w_max = int(widths.max()) if nmini else 0
     if w_max:
         payload = np.frombuffer(b"".join(segments), dtype=np.uint8)
+        padded = np.concatenate([payload, np.zeros(8, dtype=np.uint8)])
         byte_offsets = np.zeros(nmini, dtype=np.int64)
         np.cumsum(widths[:-1] * (mini_size // 8), out=byte_offsets[1:])
+        rel = np.arange(mini_size, dtype=np.int64)
         for w in np.unique(widths):
             if w == 0:
                 continue
+            w = int(w)
             ids = np.flatnonzero(widths == w)
-            nb = int(w) * (mini_size // 8)
-            rows = payload[byte_offsets[ids][:, None]
-                           + np.arange(nb)[None, :]]
-            bits = np.unpackbits(rows, axis=1, bitorder="little") \
-                .reshape(len(ids) * mini_size, int(w))
-            vals[ids] = bitpack.values_from_bits(bits, int(w), np.int64) \
-                .reshape(len(ids), mini_size)
+            if w <= 25:
+                rel_bit = rel * w
+                bytepos = byte_offsets[ids][:, None] + (rel_bit >> 3)[None, :]
+                shift = (rel_bit & 7).astype(np.uint32)
+                win = padded[bytepos].astype(np.uint32)
+                for k in range(1, (w + 14) // 8):
+                    win |= padded[bytepos + k].astype(np.uint32) \
+                        << np.uint32(8 * k)
+                vals[ids] = (win >> shift[None, :]) & np.uint32((1 << w) - 1)
+            else:
+                nb = w * (mini_size // 8)
+                rows = payload[byte_offsets[ids][:, None]
+                               + np.arange(nb)[None, :]]
+                bits = np.unpackbits(rows, axis=1, bitorder="little") \
+                    .reshape(len(ids) * mini_size, w)
+                vals[ids] = bitpack.values_from_bits(bits, w, np.int64) \
+                    .reshape(len(ids), mini_size)
 
     deltas = vals.reshape(n_blocks, block_size)
     deltas += mins[:, None]
