@@ -80,6 +80,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         spark, sf, {"doc_id": "DELTA_LENGTH_BYTE_ARRAY",
                     "source": "DELTA_LENGTH_BYTE_ARRAY"})
 
+    def rt_paged(spark: SparkSession, sf: str) -> DataFrame:
+        """Round-trip through multi-page chunks: a 64 KiB page flush forces
+        several pages per chunk (reference 1 MiB policy scaled to the sf
+        data; column_writer.cc:645-650)."""
+        src = tokens_src.tokens_from_documents(spark, sf, NUM_PARTS)
+        chunks = encode_job.encode_pipeline(src, NUM_PARTS,
+                                            page_size=64 << 10)
+        return _digest(encode_job.decode_pipeline(chunks))
+    q["rt_paged"] = rt_paged
+
     def rt_salted(spark: SparkSession, sf: str) -> DataFrame:
         """Round-trip through the skew-aware salted partitioning path."""
         src = tokens_src.tokens_from_documents(spark, sf, NUM_PARTS) \
@@ -267,6 +277,7 @@ def oracle_sql() -> dict[str, str]:
         "rt_delta_byte_array": identity,
         "rt_delta_length_byte_array": identity,
         "rt_gzip": identity,
+        "rt_paged": identity,
         "rt_salted": identity,
         "chunk_stats_tokens": f"""
             SELECT doc_id % {NUM_PARTS} AS part_id,

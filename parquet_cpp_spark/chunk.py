@@ -78,8 +78,16 @@ COMPRESSION_IDS = {v: k for k, v in COMPRESSION_NAMES.items()}
 FLAG_HAS_LEVELS = 1
 FLAG_FALLBACK = 2
 FLAG_HAS_NULLS = 4  # flat OPTIONAL column: def-level section present
+FLAG_PAGED = 8      # v3 multi-page chunk (page sequence after the header)
 
 _HEADER_LEN = 4 + 1 + 1 + 1 + 1 + 1 + 4 + 4 + 4
+
+VERSION_PAGED = 3
+# Reference page flush threshold: DEFAULT_PAGE_SIZE = 1 MiB
+# (/root/reference/src/parquet/properties.h:81), checked per mini-batch
+# (column_writer.cc:645-650). We split on the raw-size proxy of
+# EstimatedDataEncodedSize.
+DEFAULT_PAGE_SIZE = 1 << 20
 
 
 def _compress(payload: bytes, compression: int) -> bytes:
@@ -329,7 +337,8 @@ def encode_chunk(values, phys: str, codec: int, *,
                  with_stats: bool = True,
                  compression: int = UNCOMPRESSED,
                  valid_mask: np.ndarray | None = None,
-                 levels_sections: tuple[bytes, int] | None = None) -> EncodedChunk:
+                 levels_sections: tuple[bytes, int] | None = None,
+                 page_size: int | None = DEFAULT_PAGE_SIZE) -> EncodedChunk:
     """Encode one column chunk. ``row_lengths`` is set for the list column
     (tokens): values are the flattened elements and levels are emitted.
     ``compression`` applies a block codec over all sections (the reference
@@ -372,6 +381,14 @@ def encode_chunk(values, phys: str, codec: int, *,
         n_values = len(values)
         raw = values.dtype.itemsize * n_values
     n_rows = len(row_lengths) if has_levels else n_values
+
+    if (page_size and valid_mask is None
+            and phys in ("int32", "int64", "byte_array")
+            and raw > page_size and codec in _PAGEABLE):
+        return _encode_chunk_paged(
+            values, phys, codec, row_lengths=row_lengths,
+            dict_size_limit=dict_size_limit, with_stats=with_stats,
+            compression=compression, page_size=page_size)
 
     sections = b""
     encodings: list[str] = []
@@ -442,6 +459,8 @@ def decode_chunk(blob) -> DecodedChunk:
     if bytes(mv[:4]) != MAGIC:
         raise ValueError("bad chunk magic")
     version, codec, phys_id = mv[4], mv[5], mv[6]
+    if version == VERSION_PAGED:
+        return _decode_chunk_paged(mv)
     if version == VERSION:
         compression, flags = mv[7], mv[8]
         n_rows = int.from_bytes(mv[9:13], "little")
@@ -588,3 +607,404 @@ def _count_byte_array_entries(blob: bytes) -> int:
         pos += 4 + ln
         n += 1
     return n
+
+
+# ---------------------------------------------------------------------------
+# Multi-page chunks (v3) — reference page flush policy + Skip analog
+# ---------------------------------------------------------------------------
+# The reference flushes a data page whenever the encoder's estimated size
+# reaches DEFAULT_PAGE_SIZE (1 MiB), checked every 1024-value mini-batch
+# (/root/reference/src/parquet/column_writer.cc:645-650,716-721;
+# properties.h:81,84), and writes the dictionary page once, before the
+# buffered data pages (column_writer.cc:425-431). A fallen-back chunk's page
+# sequence is [dict-indexed pages..., PLAIN pages...] with encodings
+# [PLAIN_DICTIONARY, PLAIN, RLE] (column_writer-test.cc:478-506).
+#
+# v3 blob layout:
+#   header   := magic | u8 3 | u8 codec | u8 phys | u8 compression | u8 flags
+#               | u32 n_rows | u32 n_values | u32 null_count | u32 n_pages
+#   dict     := [u32 len + dict PLAIN blob][u32 num_entries][u8 bit_width]
+#               (only when codec is RLE_DICTIONARY)
+#   page*    := u32 page_len | u32 n_rows | u32 n_values | u8 page_codec
+#               | u8 has_stats | [stats] | u32 body_len | body
+#   body     := [levels sections (if list)] [payload sections]  — block-
+#               compressed as a unit when compression != 0, like the
+#               reference's per-page compress (column_writer.cc:196-212)
+#   stats    := fixed: i64 min | i64 max;  byte_array: u16+min | u16+max
+#
+# Per-page stats give the Skip/partial-read analog
+# (column_reader.h:268-281): decode_chunk_rows / page_index decode only the
+# pages a row range or point predicate needs.
+
+_PAGEABLE = {PLAIN, RLE, DELTA_BINARY_PACKED, RLE_DICTIONARY,
+             DELTA_LENGTH_BYTE_ARRAY, DELTA_BYTE_ARRAY, FSST}
+
+
+def _page_value_bounds(values, phys: str, page_size: int) -> np.ndarray:
+    """Value-index boundaries so each page's raw payload ~= page_size."""
+    if phys == "byte_array":
+        cum = values.offsets[1:] + 4 * np.arange(1, len(values) + 1,
+                                                 dtype=np.int64)
+        total = int(cum[-1]) if len(cum) else 0
+    else:
+        item = 4 if phys in ("int32", "float") else 8
+        cum = np.arange(1, len(values) + 1, dtype=np.int64) * item
+        total = int(cum[-1]) if len(cum) else 0
+    n_pages = max(1, (total + page_size - 1) // page_size)
+    marks = np.arange(1, n_pages, dtype=np.int64) * page_size
+    bounds = np.searchsorted(cum, marks, side="left") + 1
+    bounds = np.unique(np.concatenate(([0], bounds, [len(values)])))
+    return bounds
+
+
+def _rows_for_value_bounds(row_lengths: np.ndarray,
+                           vbounds: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Align value boundaries to row boundaries (list column): returns
+    (row_bounds, value_bounds) with pages closed on whole rows."""
+    cum = np.zeros(len(row_lengths) + 1, dtype=np.int64)
+    np.cumsum(row_lengths, out=cum[1:])
+    row_bounds = np.searchsorted(cum, vbounds[1:-1], side="left")
+    row_bounds = np.unique(np.concatenate(([0], row_bounds,
+                                           [len(row_lengths)])))
+    return row_bounds, cum[row_bounds]
+
+
+def _page_stats_bytes(values, phys: str, lo: int, hi: int) -> bytes:
+    """has_stats byte + packed min/max for one page (b'' stats if skipped)."""
+    if hi <= lo:
+        return bytes([0])
+    if phys == "byte_array":
+        mn, mx = ba.minmax(ba.slice_rows(values, lo, hi))
+        if len(mn) > 64 or len(mx) > 64:
+            return bytes([0])
+        return (bytes([1]) + len(mn).to_bytes(2, "little") + mn
+                + len(mx).to_bytes(2, "little") + mx)
+    seg = values[lo: hi]
+    mn, mx = int(seg.min()), int(seg.max())
+    return (bytes([1]) + mn.to_bytes(8, "little", signed=True)
+            + mx.to_bytes(8, "little", signed=True))
+
+
+def _page_body(values, phys: str, page_codec: int, lo: int, hi: int,
+               row_lengths, rlo: int, rhi: int,
+               dict_codes=None, dict_bw: int = 0) -> bytes:
+    """Levels + payload sections for one page (uncompressed form)."""
+    body = b""
+    if row_lengths is not None:
+        body += build_levels_sections(row_lengths[rlo: rhi])[0]
+    if page_codec == RLE_DICTIONARY:
+        payload = bytes([dict_bw]) + rle.encode(dict_codes[lo: hi], dict_bw)
+        body += _sec(payload)
+        return body
+    if phys == "byte_array":
+        seg = ba.slice_rows(values, lo, hi)
+        secs, _encs, _fb = _encode_bytes_payload(seg, page_codec, 1 << 62)
+    else:
+        seg = values[lo: hi]
+        secs, _encs, _fb, _x = _encode_int_payload(seg, page_codec, phys,
+                                                   1 << 62)
+    return body + secs
+
+
+def _encode_chunk_paged(values, phys: str, codec: int, *,
+                        row_lengths=None, dict_size_limit: int,
+                        with_stats: bool, compression: int,
+                        page_size: int) -> EncodedChunk:
+    has_levels = row_lengths is not None
+    if phys == "byte_array":
+        values = ba.as_view(values)
+        n_values = len(values)
+        raw = values.total_bytes + 4 * n_values
+    else:
+        values = np.ascontiguousarray(values)
+        n_values = len(values)
+        raw = values.dtype.itemsize * n_values
+    n_rows = len(row_lengths) if has_levels else n_values
+
+    # chunk-global dictionary (single dict page, like the reference)
+    dict_section = b""
+    dict_codes = None
+    dict_bw = 0
+    fallback = False
+    split = n_values
+    encodings: list[str] = []
+    if codec == RLE_DICTIONARY:
+        enc = dictionary.encode(values, phys if phys != "byte_array"
+                                else "byte_array", dict_size_limit)
+        dict_codes = enc.codes
+        split = enc.n_dict_values
+        fallback = enc.fallback
+        dict_bw = enc.indices_blob[0] if len(enc.indices_blob) else 0
+        dict_section = (_sec(enc.dict_blob)
+                        + enc.num_entries.to_bytes(4, "little")
+                        + bytes([dict_bw]))
+        encodings = ["PLAIN_DICTIONARY", "RLE"]
+        if fallback:
+            encodings = ["PLAIN_DICTIONARY", "PLAIN", "RLE"]
+
+    vbounds = _page_value_bounds(values, phys, page_size)
+    if codec == RLE_DICTIONARY and 0 < split < n_values:
+        # the dict->PLAIN fallback point closes a page, so the page sequence
+        # is [indexed pages..., plain pages...] like the reference's
+        vbounds = np.unique(np.concatenate((vbounds, [split])))
+    if has_levels:
+        rbounds, vbounds = _rows_for_value_bounds(row_lengths, vbounds)
+    else:
+        rbounds = vbounds
+
+    levels_raw = 0
+    pages: list[bytes] = []
+    for lo, hi, rlo, rhi in zip(vbounds[:-1], vbounds[1:],
+                                rbounds[:-1], rbounds[1:]):
+        lo, hi, rlo, rhi = int(lo), int(hi), int(rlo), int(rhi)
+        if codec == RLE_DICTIONARY:
+            page_codec = RLE_DICTIONARY if hi <= split else PLAIN
+        else:
+            page_codec = codec
+        body = _page_body(values, phys, page_codec, lo, hi,
+                          row_lengths, rlo, rhi, dict_codes, dict_bw)
+        if has_levels:
+            levels_raw += 2 * int(np.maximum(row_lengths[rlo: rhi],
+                                             1).sum())
+        if compression != UNCOMPRESSED:
+            body = _compress(body, compression)
+        stats_b = _page_stats_bytes(values, phys, lo, hi) if with_stats \
+            else bytes([0])
+        page = ((rhi - rlo).to_bytes(4, "little")
+                + (hi - lo).to_bytes(4, "little")
+                + bytes([page_codec]) + stats_b
+                + len(body).to_bytes(4, "little") + body)
+        pages.append(len(page).to_bytes(4, "little") + page)
+
+    if codec != RLE_DICTIONARY:
+        encodings = [CODEC_NAMES[codec]]
+    if has_levels:
+        encodings = ["RLE"] + [e for e in encodings if e != "RLE"]
+        raw += levels_raw
+
+    flags = FLAG_PAGED | (FLAG_HAS_LEVELS if has_levels else 0) | \
+        (FLAG_FALLBACK if fallback else 0)
+    header = (MAGIC + bytes([VERSION_PAGED, codec, PHYS_IDS[phys],
+                             compression, flags])
+              + n_rows.to_bytes(4, "little")
+              + n_values.to_bytes(4, "little")
+              + (0).to_bytes(4, "little")
+              + len(pages).to_bytes(4, "little"))
+    blob = header + dict_section + b"".join(pages)
+    stats = compute_stats(values, phys) if with_stats else None
+    return EncodedChunk(codec, PHYS_IDS[phys], n_rows, n_values, raw,
+                        blob, encodings, stats)
+
+
+def _parse_paged_header(mv):
+    codec, phys_id = mv[5], mv[6]
+    compression, flags = mv[7], mv[8]
+    n_rows = int.from_bytes(mv[9:13], "little")
+    n_values = int.from_bytes(mv[13:17], "little")
+    n_pages = int.from_bytes(mv[21:25], "little")
+    pos = 25
+    dict_view = None
+    num_entries = 0
+    dict_bw = 0
+    if codec == RLE_DICTIONARY:
+        dlen = int.from_bytes(mv[pos: pos + 4], "little")
+        pos += 4
+        dict_blob = mv[pos: pos + dlen]
+        pos += dlen
+        num_entries = int.from_bytes(mv[pos: pos + 4], "little")
+        pos += 4
+        dict_bw = mv[pos]
+        pos += 1
+        phys = PHYS_NAMES[phys_id]
+        if phys == "byte_array":
+            dict_view, _ = plain.decode_byte_array_view(dict_blob,
+                                                        num_entries)
+        else:
+            dict_view, _ = plain.decode_fixed(dict_blob, num_entries, phys)
+    return (codec, phys_id, compression, flags, n_rows, n_values, n_pages,
+            pos, dict_view, dict_bw)
+
+
+def _iter_pages(mv, n_pages: int, pos: int):
+    """Yields (page_n_rows, page_n_values, page_codec, stats, body_mv) —
+    stats is None or (min, max) with native types."""
+    for _ in range(n_pages):
+        page_len = int.from_bytes(mv[pos: pos + 4], "little")
+        pos += 4
+        end = pos + page_len
+        p_rows = int.from_bytes(mv[pos: pos + 4], "little")
+        p_vals = int.from_bytes(mv[pos + 4: pos + 8], "little")
+        p_codec = mv[pos + 8]
+        has_stats = mv[pos + 9]
+        p = pos + 10
+        stats = None
+        if has_stats:
+            if PHYS_NAMES.get(mv[6]) == "byte_array":
+                lmn = int.from_bytes(mv[p: p + 2], "little")
+                mn = bytes(mv[p + 2: p + 2 + lmn])
+                p += 2 + lmn
+                lmx = int.from_bytes(mv[p: p + 2], "little")
+                mx = bytes(mv[p + 2: p + 2 + lmx])
+                p += 2 + lmx
+                stats = (mn, mx)
+            else:
+                mn = int.from_bytes(mv[p: p + 8], "little", signed=True)
+                mx = int.from_bytes(mv[p + 8: p + 16], "little", signed=True)
+                p += 16
+                stats = (mn, mx)
+        body_len = int.from_bytes(mv[p: p + 4], "little")
+        body = mv[p + 4: p + 4 + body_len]
+        yield p_rows, p_vals, p_codec, stats, body
+        pos = end
+
+
+def _decode_page_body(body, phys: str, page_codec: int, p_rows: int,
+                      p_vals: int, compression: int, has_levels: bool,
+                      dict_view, dict_bw: int):
+    if compression != UNCOMPRESSED:
+        body = memoryview(_decompress(bytes(body), compression))
+    pos = 0
+    row_lengths = None
+    if has_levels:
+        n_slots = int.from_bytes(body[pos: pos + 4], "little")
+        pos += 4
+        rep, pos = rle.decode_length_prefixed(body, n_slots, 1, pos)
+        deflev, pos = rle.decode_length_prefixed(body, n_slots, 1, pos)
+        row_lengths = levels_mod.lengths_from_levels(rep, deflev)
+    if page_codec == RLE_DICTIONARY:
+        pos += 4  # section length prefix
+        bw = body[pos]
+        codes, _ = rle.decode(body, p_vals, bw, pos + 1)
+        if phys == "byte_array":
+            vals = ba.take(dict_view, codes)
+        else:
+            vals = np.asarray(dict_view)[codes]
+    elif phys == "byte_array":
+        vals = _decode_bytes_payload(body, pos, page_codec, p_vals)
+    else:
+        vals = _decode_int_payload(body, pos, page_codec, phys, p_vals)
+    return vals, row_lengths
+
+
+def _decode_chunk_paged(mv) -> DecodedChunk:
+    (codec, phys_id, compression, flags, n_rows, n_values, n_pages, pos,
+     dict_view, dict_bw) = _parse_paged_header(mv)
+    phys = PHYS_NAMES[phys_id]
+    has_levels = bool(flags & FLAG_HAS_LEVELS)
+    vals_parts = []
+    len_parts = []
+    for p_rows, p_vals, p_codec, _stats, body in _iter_pages(mv, n_pages,
+                                                             pos):
+        vals, rl = _decode_page_body(body, phys, p_codec, p_rows, p_vals,
+                                     compression, has_levels, dict_view,
+                                     dict_bw)
+        vals_parts.append(vals)
+        if rl is not None:
+            len_parts.append(rl)
+    if phys == "byte_array":
+        out = vals_parts[0]
+        for v in vals_parts[1:]:
+            out = ba.concat(out, v)
+    else:
+        out = np.concatenate(vals_parts) if vals_parts else \
+            np.array([], dtype=np.int64)
+    row_lengths = np.concatenate(len_parts) if len_parts else None
+    return DecodedChunk(out, row_lengths, codec, phys_id, n_rows, n_values)
+
+
+def page_index(blob) -> list[dict]:
+    """Per-page metadata without decoding: [{row_start, row_end, n_values,
+    codec, min, max}] — the filter-support view a Skip/partial read uses."""
+    mv = memoryview(blob)
+    if mv.format != "B":
+        mv = mv.cast("B")
+    if bytes(mv[:4]) != MAGIC or mv[4] != VERSION_PAGED:
+        raise ValueError("page_index requires a v3 paged chunk")
+    (codec, phys_id, compression, flags, n_rows, n_values, n_pages, pos,
+     _dv, _bw) = _parse_paged_header(mv)
+    out = []
+    row = 0
+    for p_rows, p_vals, p_codec, stats, _body in _iter_pages(mv, n_pages,
+                                                             pos):
+        out.append({"row_start": row, "row_end": row + p_rows,
+                    "n_values": p_vals, "codec": p_codec,
+                    "min": stats[0] if stats else None,
+                    "max": stats[1] if stats else None})
+        row += p_rows
+    return out
+
+
+def decode_chunk_rows(blob, row_start: int, row_stop: int) -> DecodedChunk:
+    """Partial decode: only the pages intersecting [row_start, row_stop),
+    trimmed to the exact row range — the analog of
+    ``TypedColumnReader::Skip`` + ReadBatch
+    (/root/reference/src/parquet/column_reader.h:268-281). Falls back to a
+    full decode + trim for single-page (v1/v2) blobs."""
+    mv = memoryview(blob)
+    if mv.format != "B":
+        mv = mv.cast("B")
+    if mv[4] != VERSION_PAGED:
+        dec = decode_chunk(mv)
+        return _trim_decoded(dec, row_start, row_stop)
+    (codec, phys_id, compression, flags, n_rows, n_values, n_pages, pos,
+     dict_view, dict_bw) = _parse_paged_header(mv)
+    phys = PHYS_NAMES[phys_id]
+    has_levels = bool(flags & FLAG_HAS_LEVELS)
+    vals_parts = []
+    len_parts = []
+    row = 0
+    first_row = None
+    for p_rows, p_vals, p_codec, _stats, body in _iter_pages(mv, n_pages,
+                                                             pos):
+        lo, hi = row, row + p_rows
+        row = hi
+        if hi <= row_start or lo >= row_stop:
+            continue
+        if first_row is None:
+            first_row = lo
+        vals, rl = _decode_page_body(body, phys, p_codec, p_rows, p_vals,
+                                     compression, has_levels, dict_view,
+                                     dict_bw)
+        vals_parts.append(vals)
+        if rl is not None:
+            len_parts.append(rl)
+    if not vals_parts:
+        empty = ba.from_list([]) if phys == "byte_array" else \
+            np.array([], dtype=np.int64)
+        return DecodedChunk(empty, np.zeros(0, dtype=np.int64)
+                            if has_levels else None,
+                            codec, phys_id, 0, 0)
+    if phys == "byte_array":
+        out = vals_parts[0]
+        for v in vals_parts[1:]:
+            out = ba.concat(out, v)
+    else:
+        out = np.concatenate(vals_parts)
+    row_lengths = np.concatenate(len_parts) if len_parts else None
+    dec = DecodedChunk(out, row_lengths, codec, phys_id,
+                       int(row_lengths.shape[0]) if row_lengths is not None
+                       else len(out),
+                       len(out))
+    return _trim_decoded(dec, row_start - first_row, row_stop - first_row)
+
+
+def _trim_decoded(dec: DecodedChunk, row_start: int,
+                  row_stop: int) -> DecodedChunk:
+    row_start = max(0, row_start)
+    if dec.row_lengths is not None:
+        row_stop = min(row_stop, len(dec.row_lengths))
+        cum = np.zeros(len(dec.row_lengths) + 1, dtype=np.int64)
+        np.cumsum(dec.row_lengths, out=cum[1:])
+        vlo, vhi = int(cum[row_start]), int(cum[row_stop])
+        rl = dec.row_lengths[row_start: row_stop]
+        vals = dec.values[vlo: vhi]
+        return DecodedChunk(vals, rl, dec.codec, dec.phys,
+                            row_stop - row_start, int(vhi - vlo))
+    n = len(dec.values)
+    row_stop = min(row_stop, n)
+    if isinstance(dec.values, ba.ByteArrayView):
+        vals = ba.slice_rows(dec.values, row_start, row_stop)
+    else:
+        vals = dec.values[row_start: row_stop]
+    return DecodedChunk(vals, None, dec.codec, dec.phys,
+                        row_stop - row_start, row_stop - row_start)

@@ -48,6 +48,8 @@ class DictEncoded:
     plain_blob: bytes         # PLAIN remainder after fallback (b"" if none)
     n_plain_values: int
     fallback: bool
+    codes: "np.ndarray | None" = None  # raw dict codes (paged writers re-RLE
+    #                                    them per page; not serialized)
 
 
 def _plain_sizes(uniques, phys: str) -> np.ndarray:
@@ -121,7 +123,7 @@ def encode(values, phys: str,
     indices_blob = bytes([bw]) + idx_payload
     plain_blob = _plain_encode(rest_vals, phys) if fallback else b""
     return DictEncoded(dict_blob, indices_blob, num_entries, split,
-                       plain_blob, n - split, fallback)
+                       plain_blob, n - split, fallback, codes)
 
 
 def decode(enc: "DictEncoded | tuple", phys: str, *, dict_blob=None,

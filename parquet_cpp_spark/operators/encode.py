@@ -67,7 +67,8 @@ def make_encode_fn(columns: dict[str, str] | None = None,
                    dict_size_limit: int = 1 << 20,
                    sort_key: str | None = "doc_id",
                    bloom_columns: set[str] | frozenset[str] = frozenset(),
-                   props: "object | None" = None):
+                   props: "object | None" = None,
+                   page_size: int | None = chunkmod.DEFAULT_PAGE_SIZE):
     """Build the applyInPandas function. ``codec_overrides`` maps column name
     to a codec name from ``chunk.CODEC_NAMES`` (the per-column-path encoding
     override of ``WriterProperties``, ``properties.h:379-404``); unset columns
@@ -82,6 +83,7 @@ def make_encode_fn(columns: dict[str, str] | None = None,
         bloom_columns = bloom_columns or props.bloom_columns
         compression = props.compression_id
         allow_dictionary = props.dictionary_enabled
+        page_size = getattr(props, "data_pagesize", page_size)
     columns = columns or TOKEN_TABLE_COLUMNS
     overrides = {k: chunkmod.CODEC_IDS[v]
                  for k, v in (codec_overrides or {}).items()}
@@ -101,7 +103,8 @@ def make_encode_fn(columns: dict[str, str] | None = None,
                 codec_override=overrides.get(col),
                 dict_size_limit=dict_size_limit,
                 compression=compression,
-                allow_dictionary=allow_dictionary)
+                allow_dictionary=allow_dictionary,
+                page_size=page_size)
             bloom_blob = None
             if col in bloom_columns and phys == "byte_array":
                 # per-chunk split-block bloom for point-lookup pruning
@@ -145,7 +148,8 @@ def encode_df(df, num_parts: int, part_col: str = "part_id",
               dict_size_limit: int = 1 << 20,
               sort_key: str | None = "doc_id",
               bloom_columns: set[str] | frozenset[str] = frozenset(),
-              props: "object | None" = None):
+              props: "object | None" = None,
+              page_size: int | None = chunkmod.DEFAULT_PAGE_SIZE):
     """DataFrame in (must already carry ``part_col``) -> chunk DataFrame.
 
     The groupBy is the engine's single shuffle; partitioning strategy
@@ -154,7 +158,7 @@ def encode_df(df, num_parts: int, part_col: str = "part_id",
     from ..shipping import ensure_shipped
     ensure_shipped(df.sparkSession)
     fn = make_encode_fn(columns, codec_overrides, dict_size_limit, sort_key,
-                        bloom_columns, props)
+                        bloom_columns, props, page_size)
     out = df.groupBy(part_col).applyInPandas(fn, schema=CHUNK_SCHEMA)
     # each applyInPandas group (= one partition's whole chunk set) is
     # produced by one task, so a pipelined decode needs no blob shuffle

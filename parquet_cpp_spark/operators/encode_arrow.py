@@ -51,7 +51,8 @@ def _arrow_column_values(tbl, col: str, phys: str):
 def make_arrow_encode_fn(columns: dict[str, str] | None = None,
                          codec_overrides: dict[str, str] | None = None,
                          dict_size_limit: int = 1 << 20,
-                         props: "object | None" = None):
+                         props: "object | None" = None,
+                         page_size: int | None = chunkmod.DEFAULT_PAGE_SIZE):
     import pyarrow as pa
 
     # WriterProperties carries the same knobs here as on the applyInPandas
@@ -64,6 +65,7 @@ def make_arrow_encode_fn(columns: dict[str, str] | None = None,
         dict_size_limit = props.dictionary_pagesize_limit
         compression = props.compression_id
         allow_dictionary = props.dictionary_enabled
+        page_size = getattr(props, "data_pagesize", page_size)
     columns = columns or TOKEN_TABLE_COLUMNS
     overrides = {k: chunkmod.CODEC_IDS[v]
                  for k, v in (codec_overrides or {}).items()}
@@ -99,7 +101,8 @@ def make_arrow_encode_fn(columns: dict[str, str] | None = None,
                 codec_override=overrides.get(col),
                 dict_size_limit=dict_size_limit,
                 compression=compression,
-                allow_dictionary=allow_dictionary)
+                allow_dictionary=allow_dictionary,
+                page_size=page_size)
             st = enc.stats
             rows["part_id"].append(part_id)
             rows["col"].append(col)

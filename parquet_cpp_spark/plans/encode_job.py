@@ -80,13 +80,18 @@ def add_salted_part_id(df: DataFrame, parts_per_source: dict[str, int],
 def encode_pipeline(df: DataFrame, num_parts: int,
                     codec_overrides: dict[str, str] | None = None,
                     columns: dict[str, str] | None = None,
-                    dict_size_limit: int = 1 << 20) -> DataFrame:
+                    dict_size_limit: int = 1 << 20,
+                    page_size: int | None = None) -> DataFrame:
     """tokens DataFrame -> chunk DataFrame (adds part_id if missing)."""
+    from .. import chunk as chunkmod
+    if page_size is None:
+        page_size = chunkmod.DEFAULT_PAGE_SIZE
     if "part_id" not in df.columns:
         df = add_part_id(df, num_parts)
     return encode_op.encode_df(df, num_parts, columns=columns,
                                codec_overrides=codec_overrides,
-                               dict_size_limit=dict_size_limit)
+                               dict_size_limit=dict_size_limit,
+                               page_size=page_size)
 
 
 def decode_pipeline(chunks_df: DataFrame) -> DataFrame:

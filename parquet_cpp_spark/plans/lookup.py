@@ -16,7 +16,6 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F, types as T
 
-from ..operators import decode_arrow as decode_arrow_op
 
 
 def prune_partitions(chunks_df: DataFrame, column: str, key: str) -> DataFrame:
@@ -44,10 +43,85 @@ def prune_partitions(chunks_df: DataFrame, column: str, key: str) -> DataFrame:
         .select("part_id")
 
 
+def _find_rows(blob, key: bytes):
+    """Row indices whose doc_id == key, decoding only the pages whose
+    [min, max] may contain it — the Skip/partial-read analog
+    (/root/reference/src/parquet/column_reader.h:268-281)."""
+    import pyarrow.compute as pc
+
+    from .. import chunk as chunkmod
+    from ..kernels import ba
+
+    mv = memoryview(blob)
+    if mv.format != "B":
+        mv = mv.cast("B")
+    hits: list[int] = []
+    if mv[4] == chunkmod.VERSION_PAGED:
+        for p in chunkmod.page_index(mv):
+            if p["min"] is not None and not (p["min"] <= key <= p["max"]):
+                continue
+            dec = chunkmod.decode_chunk_rows(mv, p["row_start"],
+                                             p["row_end"])
+            eq = pc.indices_nonzero(pc.equal(ba.to_arrow(dec.values), key))
+            hits.extend(p["row_start"] + int(i) for i in eq.to_pylist())
+        return hits
+    dec = chunkmod.decode_chunk(mv)
+    vals = dec.values if isinstance(dec.values, ba.ByteArrayView) \
+        else ba.from_list(list(dec.values))
+    eq = pc.indices_nonzero(pc.equal(ba.to_arrow(vals), key))
+    return [int(i) for i in eq.to_pylist()]
+
+
 def point_lookup(chunks_df: DataFrame, doc_id: str) -> DataFrame:
-    """Decode only the partitions that may contain ``doc_id`` and return the
-    matching rows."""
+    """Return the rows matching ``doc_id``, decoding as little as possible:
+    stats+bloom prune partitions; within a surviving partition, per-page
+    min/max prune the doc_id pages; only the hit rows' pages of the other
+    columns are decoded (decode_chunk_rows)."""
+    from ..operators.decode import DECODED_SCHEMA
+    from ..shipping import ensure_shipped
+    ensure_shipped(chunks_df.sparkSession)
+
     parts = prune_partitions(chunks_df, "doc_id", doc_id)
     pruned = chunks_df.join(F.broadcast(parts), "part_id")
-    return decode_arrow_op.decode_chunks_arrow(pruned) \
-        .filter(F.col("doc_id") == doc_id)
+    key = doc_id.encode("utf-8")
+
+    def task(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from .. import chunk as chunkmod
+        from ..kernels import ba
+
+        batch_list = list(batches)
+        if not batch_list:
+            return
+        tbl = pa.Table.from_batches(batch_list)
+        pids = tbl.column("part_id").to_numpy(zero_copy_only=False)
+        cols = tbl.column("col").to_pylist()
+        blob_col = tbl.column("blob").combine_chunks()
+        by_part: dict[int, dict] = {}
+        for i, (pid, c) in enumerate(zip(pids.tolist(), cols)):
+            by_part.setdefault(pid, {})[c] = \
+                memoryview(blob_col[i].as_buffer())
+        for pid, blobs in sorted(by_part.items()):
+            rows = _find_rows(blobs["doc_id"], key)
+            if not rows:
+                continue
+            toks, n_toks, sources = [], [], []
+            for r in rows:
+                t = chunkmod.decode_chunk_rows(blobs["tokens"], r, r + 1)
+                toks.append(np.asarray(t.values, dtype=np.int32))
+                n = chunkmod.decode_chunk_rows(blobs["n_tok"], r, r + 1)
+                n_toks.append(int(np.asarray(n.values)[0]))
+                s = chunkmod.decode_chunk_rows(blobs["source"], r, r + 1)
+                sources.append(s.values[0].decode("utf-8"))
+            yield pa.RecordBatch.from_arrays([
+                pa.array([pid] * len(rows), type=pa.int64()),
+                pa.array([doc_id] * len(rows), type=pa.string()),
+                pa.array([t.tolist() for t in toks],
+                         type=pa.list_(pa.int32())),
+                pa.array(n_toks, type=pa.int32()),
+                pa.array(sources, type=pa.string()),
+            ], names=["part_id", "doc_id", "tokens", "n_tok", "source"])
+
+    return pruned.mapInArrow(task, DECODED_SCHEMA)

@@ -15,6 +15,7 @@ from dataclasses import dataclass, field
 from . import chunk as chunkmod
 
 DEFAULT_DICT_PAGE_LIMIT = 1 << 20   # properties.h:83
+DEFAULT_DATA_PAGESIZE = 1 << 20     # properties.h:81
 DEFAULT_TARGET_PARTITION_BYTES = 256 << 20
 
 
@@ -25,6 +26,7 @@ class WriterProperties:
     codec_overrides: dict[str, str] = field(default_factory=dict)
     dictionary_enabled: bool = True
     dictionary_pagesize_limit: int = DEFAULT_DICT_PAGE_LIMIT
+    data_pagesize: int = DEFAULT_DATA_PAGESIZE  # page flush threshold
     statistics_enabled: bool = True
     compression: str = "UNCOMPRESSED"
     bloom_columns: frozenset[str] = frozenset()

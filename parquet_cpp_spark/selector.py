@@ -248,7 +248,9 @@ def encode_best(values, phys: str, *, row_lengths=None,
                 dict_size_limit: int = 1 << 20,
                 compression: int = 0,
                 allow_dictionary: bool = True,
-                guard_with_plain: bool = True) -> "chunkmod.EncodedChunk":
+                guard_with_plain: bool = True,
+                page_size: int | None = chunkmod.DEFAULT_PAGE_SIZE
+                ) -> "chunkmod.EncodedChunk":
     """Encode with the selected (or forced) codec. When estimates are close,
     encode the top candidates and keep the actual-smallest; always fall back
     to PLAIN if the pick loses to PLAIN on actual bytes (preserves the
@@ -260,7 +262,8 @@ def encode_best(values, phys: str, *, row_lengths=None,
                                      row_lengths=row_lengths,
                                      dict_size_limit=dict_size_limit,
                                      compression=compression,
-                                     levels_sections=levels_sections)
+                                     levels_sections=levels_sections,
+                                     page_size=page_size)
 
     cands = candidates(values, phys, allow_dictionary)
 
@@ -283,7 +286,8 @@ def encode_best(values, phys: str, *, row_lengths=None,
                                     row_lengths=row_lengths,
                                     dict_size_limit=dict_size_limit,
                                     compression=compression,
-                                    levels_sections=levels_sections)
+                                    levels_sections=levels_sections,
+                                    page_size=page_size)
         if best is None or enc.enc_bytes < best.enc_bytes:
             best = enc
     if guard_with_plain and best is not None and best.codec != chunkmod.PLAIN:
@@ -299,7 +303,7 @@ def encode_best(values, phys: str, *, row_lengths=None,
             plain_enc = chunkmod.encode_chunk(
                 values, phys, chunkmod.PLAIN, row_lengths=row_lengths,
                 compression=compression,
-                levels_sections=levels_sections)
+                levels_sections=levels_sections, page_size=page_size)
             if plain_enc.enc_bytes < best.enc_bytes:
                 return plain_enc
     return best
