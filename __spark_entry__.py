@@ -25,6 +25,12 @@ from parquet_cpp_spark.sources import tokens as tokens_src
 
 NUM_PARTS = 8
 
+# rt_nullable's token derivation: every token divisible by 7 becomes NULL
+# (mirrors the Spark-side transform in the query)
+_NULLABLE_TOKEN_EXPR_DUCKDB = (
+    f"list_transform({tokens_src._TOKEN_EXPR_DUCKDB}, "
+    "x -> CASE WHEN x % 7 <> 0 THEN x END)")
+
 
 def _digest(df: DataFrame) -> DataFrame:
     """Project the decoded token array to a per-row md5 digest so the driver
@@ -89,6 +95,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                             page_size=64 << 10)
         return _digest(encode_job.decode_pipeline(chunks))
     q["rt_paged"] = rt_paged
+
+    def rt_nullable(spark: SparkSession, sf: str) -> DataFrame:
+        """Round-trip of a list column with NULLABLE elements (max_def=2,
+        the reference's 3-level list encoding, schema.h:43-77): every token
+        divisible by 7 becomes NULL before encoding; the digest re-includes
+        nulls, so dropping or misplacing one flips the hash."""
+        src = tokens_src.tokens_from_documents(spark, sf, NUM_PARTS)
+        src = src.withColumn(
+            "tokens",
+            F.transform("tokens", lambda x: F.when(x % 7 != 0, x)))
+        chunks = encode_job.encode_pipeline(
+            src, NUM_PARTS,
+            columns={"doc_id": "byte_array", "tokens": "list<int32?>",
+                     "n_tok": "int32", "source": "byte_array"})
+        dec = encode_job.decode_pipeline(chunks)
+        tok_str = F.array_join(
+            F.transform("tokens",
+                        lambda x: F.coalesce(x.cast("string"), F.lit("N"))),
+            " ")
+        return dec.select("doc_id", F.md5(tok_str).alias("tok_hash"),
+                          "n_tok", "source")
+    q["rt_nullable"] = rt_nullable
 
     def rt_salted(spark: SparkSession, sf: str) -> DataFrame:
         """Round-trip through the skew-aware salted partitioning path."""
@@ -278,6 +306,16 @@ def oracle_sql() -> dict[str, str]:
         "rt_delta_length_byte_array": identity,
         "rt_gzip": identity,
         "rt_paged": identity,
+        "rt_nullable": f"""
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   md5(coalesce(array_to_string(list_transform(
+                       {_NULLABLE_TOKEN_EXPR_DUCKDB},
+                       t -> coalesce(CAST(t AS VARCHAR), 'N')), ' '), ''))
+                       AS tok_hash,
+                   CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok,
+                   source
+            FROM documents
+        """,
         "rt_salted": identity,
         "chunk_stats_tokens": f"""
             SELECT doc_id % {NUM_PARTS} AS part_id,

@@ -79,6 +79,8 @@ FLAG_HAS_LEVELS = 1
 FLAG_FALLBACK = 2
 FLAG_HAS_NULLS = 4  # flat OPTIONAL column: def-level section present
 FLAG_PAGED = 8      # v3 multi-page chunk (page sequence after the header)
+FLAG_LEVELS2 = 16   # general levels: [n_slots][max_rep][max_def][rep][def]
+#                     (nullable list elements and list-of-list; levels.py)
 
 _HEADER_LEN = 4 + 1 + 1 + 1 + 1 + 1 + 4 + 4 + 4
 
@@ -338,7 +340,9 @@ def encode_chunk(values, phys: str, codec: int, *,
                  compression: int = UNCOMPRESSED,
                  valid_mask: np.ndarray | None = None,
                  levels_sections: tuple[bytes, int] | None = None,
-                 page_size: int | None = DEFAULT_PAGE_SIZE) -> EncodedChunk:
+                 page_size: int | None = DEFAULT_PAGE_SIZE,
+                 elem_valid: np.ndarray | None = None,
+                 inner_lengths: np.ndarray | None = None) -> EncodedChunk:
     """Encode one column chunk. ``row_lengths`` is set for the list column
     (tokens): values are the flattened elements and levels are emitted.
     ``compression`` applies a block codec over all sections (the reference
@@ -349,8 +353,17 @@ def encode_chunk(values, phys: str, codec: int, *,
     (one slot per row, nulls arbitrary) and stored dense after mask
     selection — the reference's ``PutSpaced`` contract
     (``encoding.h:68-76``); the mask becomes a def-level stream
-    (``column_reader.cc:348-368``) and null_count lands in the stats."""
-    has_levels = row_lengths is not None
+    (``column_reader.cc:348-368``) and null_count lands in the stats.
+
+    Deeper trees (reference ``schema.h:43-77`` 3-level lists;
+    ``arrow-reader-writer-test.cc:1137-1928``):
+    ``elem_valid`` (with ``row_lengths`` counting SLOTS per row) makes list
+    *elements* nullable — values are the DENSE non-null elements, max_def=2.
+    ``inner_lengths`` (with ``row_lengths`` = inner lists per row) encodes
+    ``array<array<T>>`` — values are the fully flattened elements,
+    max_rep=2."""
+    deep = elem_valid is not None or inner_lengths is not None
+    has_levels = row_lengths is not None and not deep
     phys, type_length = _parse_phys(phys)
     null_count = 0
     if phys == "byte_array":
@@ -380,9 +393,9 @@ def encode_chunk(values, phys: str, codec: int, *,
         values = np.ascontiguousarray(values)
         n_values = len(values)
         raw = values.dtype.itemsize * n_values
-    n_rows = len(row_lengths) if has_levels else n_values
+    n_rows = len(row_lengths) if row_lengths is not None else n_values
 
-    if (page_size and valid_mask is None
+    if (page_size and valid_mask is None and not deep
             and phys in ("int32", "int64", "byte_array")
             and raw > page_size and codec in _PAGEABLE):
         return _encode_chunk_paged(
@@ -407,6 +420,24 @@ def encode_chunk(values, phys: str, codec: int, *,
         sections += rle.encode_length_prefixed(deflev, 1)
         encodings.append("RLE")
         raw += 2 * n_rows
+    if deep:
+        if row_lengths is None:
+            raise ValueError("elem_valid/inner_lengths require row_lengths")
+        if inner_lengths is not None:
+            rep, deflev = levels_mod.levels_from_nested_lengths(
+                row_lengths, inner_lengths)
+            max_rep = 2
+        else:
+            ev = np.ascontiguousarray(elem_valid, dtype=bool)
+            null_count = int((~ev).sum())
+            rep, deflev = levels_mod.levels_from_lengths_nullable(
+                row_lengths, ev)
+            max_rep = 1
+        sections += len(rep).to_bytes(4, "little") + bytes([max_rep, 2])
+        sections += rle.encode_length_prefixed(rep, 2)
+        sections += rle.encode_length_prefixed(deflev, 2)
+        encodings.append("RLE")
+        raw += 4 * len(rep)  # rep + def int16 pairs, reference raw form
 
     if phys == "byte_array":
         secs, encs, fallback = _encode_bytes_payload(values, codec,
@@ -428,7 +459,8 @@ def encode_chunk(values, phys: str, codec: int, *,
 
     flags = (FLAG_HAS_LEVELS if has_levels else 0) | \
         (FLAG_FALLBACK if fallback else 0) | \
-        (FLAG_HAS_NULLS if valid_mask is not None else 0)
+        (FLAG_HAS_NULLS if valid_mask is not None else 0) | \
+        (FLAG_LEVELS2 if deep else 0)
     header = (MAGIC + bytes([VERSION, codec, PHYS_IDS[phys], compression,
                              flags])
               + n_rows.to_bytes(4, "little")
@@ -449,7 +481,11 @@ class DecodedChunk:
     phys: int
     n_rows: int
     n_values: int
-    valid_mask: np.ndarray | None = None
+    valid_mask: np.ndarray | None = None   # flat OPTIONAL rows, or per-slot
+    #                                        element validity (FLAG_LEVELS2)
+    inner_lengths: np.ndarray | None = None  # list-of-list: elements per
+    #                                          inner list (row_lengths is
+    #                                          then inner lists per row)
 
 
 def decode_chunk(blob) -> DecodedChunk:
@@ -495,6 +531,20 @@ def decode_chunk(blob) -> DecodedChunk:
         dl, pos = rle.decode_length_prefixed(mv, n_slots, 1, pos,
                                              out_dtype=np.uint8)
         valid_mask = dl.astype(bool)
+    inner_lengths = None
+    if flags & FLAG_LEVELS2:
+        n_slots = int.from_bytes(mv[pos: pos + 4], "little")
+        pos += 4
+        max_rep = mv[pos]
+        pos += 2  # max_rep, max_def bytes
+        rep, pos = rle.decode_length_prefixed(mv, n_slots, 2, pos)
+        deflev, pos = rle.decode_length_prefixed(mv, n_slots, 2, pos)
+        if max_rep == 2:
+            row_lengths, inner_lengths = \
+                levels_mod.nested_from_levels(rep, deflev)
+        else:
+            row_lengths, valid_mask = \
+                levels_mod.nullable_from_levels(rep, deflev)
 
     fallback = bool(flags & FLAG_FALLBACK)
     if phys == "byte_array":
@@ -506,7 +556,7 @@ def decode_chunk(blob) -> DecodedChunk:
     else:
         values = _decode_int_payload(mv, pos, codec, phys, n_values, fallback)
     return DecodedChunk(values, row_lengths, codec, phys_id, n_rows,
-                        n_values, valid_mask)
+                        n_values, valid_mask, inner_lengths)
 
 
 def _decode_int_payload(mv, pos: int, codec: int, phys: str, n_values: int,
@@ -640,8 +690,36 @@ _PAGEABLE = {PLAIN, RLE, DELTA_BINARY_PACKED, RLE_DICTIONARY,
              DELTA_LENGTH_BYTE_ARRAY, DELTA_BYTE_ARRAY, FSST}
 
 
-def _page_value_bounds(values, phys: str, page_size: int) -> np.ndarray:
-    """Value-index boundaries so each page's raw payload ~= page_size."""
+_RATIO_SAMPLE_VALUES = 1 << 16
+
+
+def _encoded_ratio(values, phys: str, codec: int,
+                   dict_size_limit: int) -> float:
+    """Sampled encoded-bytes/raw-bytes ratio for the page-flush policy: the
+    reference flushes on EstimatedDataEncodedSize (encoded, not raw —
+    column_writer.cc:645-650), so page boundaries are placed where the
+    *estimated encoded* stream crosses page_size multiples. One contiguous
+    mid-window encode (<=64k values) prices the codec."""
+    n = len(values)
+    if n <= _RATIO_SAMPLE_VALUES:
+        return 1.0
+    start = (n - _RATIO_SAMPLE_VALUES) // 2
+    if phys == "byte_array":
+        sample = ba.slice_rows(values, start, start + _RATIO_SAMPLE_VALUES)
+        raw = sample.total_bytes + 4 * len(sample)
+    else:
+        sample = values[start: start + _RATIO_SAMPLE_VALUES]
+        raw = sample.dtype.itemsize * len(sample)
+    enc = encode_chunk(sample, phys, codec, with_stats=False,
+                       dict_size_limit=dict_size_limit, page_size=None)
+    return min(1.5, max(0.02, enc.enc_bytes / max(1, raw)))
+
+
+def _page_value_bounds(values, phys: str, page_size: int,
+                       ratio: float = 1.0) -> np.ndarray:
+    """Value-index boundaries so each page's *estimated encoded* payload
+    ~= page_size (raw cumulative bytes scaled by the sampled ratio)."""
+    eff = max(1, int(page_size / ratio))
     if phys == "byte_array":
         cum = values.offsets[1:] + 4 * np.arange(1, len(values) + 1,
                                                  dtype=np.int64)
@@ -650,8 +728,8 @@ def _page_value_bounds(values, phys: str, page_size: int) -> np.ndarray:
         item = 4 if phys in ("int32", "float") else 8
         cum = np.arange(1, len(values) + 1, dtype=np.int64) * item
         total = int(cum[-1]) if len(cum) else 0
-    n_pages = max(1, (total + page_size - 1) // page_size)
-    marks = np.arange(1, n_pages, dtype=np.int64) * page_size
+    n_pages = max(1, (total + eff - 1) // eff)
+    marks = np.arange(1, n_pages, dtype=np.int64) * eff
     bounds = np.searchsorted(cum, marks, side="left") + 1
     bounds = np.unique(np.concatenate(([0], bounds, [len(values)])))
     return bounds
@@ -742,7 +820,8 @@ def _encode_chunk_paged(values, phys: str, codec: int, *,
         if fallback:
             encodings = ["PLAIN_DICTIONARY", "PLAIN", "RLE"]
 
-    vbounds = _page_value_bounds(values, phys, page_size)
+    ratio = _encoded_ratio(values, phys, codec, dict_size_limit)
+    vbounds = _page_value_bounds(values, phys, page_size, ratio)
     if codec == RLE_DICTIONARY and 0 < split < n_values:
         # the dict->PLAIN fallback point closes a page, so the page sequence
         # is [indexed pages..., plain pages...] like the reference's

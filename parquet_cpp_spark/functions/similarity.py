@@ -161,13 +161,10 @@ def lsh_bucket(emb: DataFrame, n_planes: int = 8, dim: int = 64,
     return emb.withColumn("bucket", bucket)
 
 
-def ivf_assign(emb: DataFrame, n_centroids: int = 16, dim: int = 64,
-               seed: int = 11, iters: int = 5,
-               sample_rows: int = 2048) -> DataFrame:
-    """IVF coarse quantizer: k-means centroids trained driver-side on a
-    deterministic sample (seeded numpy Lloyd iterations), then broadcast as
-    plan literals; every vector gets its nearest-centroid cell id. At scale
-    the sample is a bounded collect and assignment is one scan."""
+def ivf_train(emb: DataFrame, n_centroids: int = 16, seed: int = 11,
+              iters: int = 5, sample_rows: int = 2048) -> np.ndarray:
+    """IVF coarse quantizer training: k-means centroids from a deterministic
+    bounded sample (seeded numpy Lloyd iterations, driver-side)."""
     sample = np.array(
         emb.select("embedding").limit(sample_rows).toPandas()
         ["embedding"].tolist(), dtype=np.float64)
@@ -180,6 +177,18 @@ def ivf_assign(emb: DataFrame, n_centroids: int = 16, dim: int = 64,
             pts = sample[assign == c]
             if len(pts):
                 cents[c] = pts.mean(axis=0)
+    return cents
+
+
+def ivf_assign(emb: DataFrame, n_centroids: int = 16, dim: int = 64,
+               seed: int = 11, iters: int = 5,
+               sample_rows: int = 2048,
+               centroids: np.ndarray | None = None) -> DataFrame:
+    """Every vector gets its nearest-centroid cell id. Centroids are trained
+    driver-side on a bounded sample (``ivf_train``) unless passed in, then
+    broadcast; assignment is one scan."""
+    cents = centroids if centroids is not None else \
+        ivf_train(emb, n_centroids, seed, iters, sample_rows)
 
     # nearest centroid via a vectorized pandas UDF (matmul argmin; literal
     # expression trees with n_centroids*dim constants blow up Catalyst
@@ -204,21 +213,29 @@ def ivf_assign(emb: DataFrame, n_centroids: int = 16, dim: int = 64,
 def topk_cosine_ivf(emb: DataFrame, probe_ids: list[int], k: int = 10,
                     n_centroids: int = 16, nprobe: int = 4,
                     dim: int = 64) -> DataFrame:
-    """IVF scale path: score only vectors in the probe's nprobe nearest
-    cells. Recall < 1 by construction (rows-only check), but the candidate
-    set shrinks ~n_centroids/nprobe-fold."""
-    cells = ivf_assign(emb, n_centroids, dim)
+    """IVF scale path: score only vectors in the probe's ``nprobe``
+    NEAREST cells (true centroid-distance ranking per probe, computed
+    driver-side over the bounded probe set and broadcast). Recall < 1 by
+    construction (rows-only check), but the candidate set shrinks
+    ~n_centroids/nprobe-fold."""
+    cents = ivf_train(emb, n_centroids)
+    cells = ivf_assign(emb, centroids=cents)
+    # rank cells per probe: a bounded collect (len(probe_ids) rows), then
+    # argsort of centroid distances — the real IVF probe schedule
+    probe_rows = (emb.filter(F.col("vec_id").isin(probe_ids))
+                  .select("vec_id", "embedding").collect())
+    pmat = np.array([list(r.embedding) for r in probe_rows],
+                    dtype=np.float64)
+    d2 = -2.0 * (pmat @ cents.T) + (cents ** 2).sum(axis=1)[None, :]
+    nearest = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
+    pairs = [(int(r.vec_id), int(c))
+             for r, cs in zip(probe_rows, nearest) for c in cs]
+    cand_cells = emb.sparkSession.createDataFrame(
+        pairs, "probe_id bigint, cell int")
     probes = (cells.filter(F.col("vec_id").isin(probe_ids))
               .select(F.col("vec_id").alias("probe_id"),
-                      F.col("ivf_cell").alias("pcell"),
                       F.col("embedding").cast("array<double>").alias("p")))
-    # candidate cells per probe: own cell (nprobe=1 behavior) plus neighbors
-    # via modular offsets — a deterministic stand-in for true cell ranking
-    cand_cells = probes.select(
-        "probe_id", "p",
-        F.explode(F.array(*[
-            F.pmod(F.col("pcell") + F.lit(i), F.lit(n_centroids))
-            for i in range(nprobe)])).alias("cell"))
+    cand_cells = cand_cells.join(probes, "probe_id")
     corpus = cells.select("vec_id", F.col("ivf_cell").alias("cell"),
                           F.col("embedding").cast("array<double>").alias("e"))
     cand = (corpus.join(F.broadcast(cand_cells), "cell")

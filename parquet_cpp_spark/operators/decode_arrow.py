@@ -37,14 +37,21 @@ def _decode_part(part_id: int, cols: dict):
     tok = cols["tokens"]
     lengths = tok.row_lengths
     flat = np.asarray(tok.values, dtype=np.int32)
-    if len(flat) >= (1 << 31):
-        raise ValueError("partition too large for int32 list offsets; "
-                         "lower the partition size")
     offsets = np.zeros(len(lengths) + 1, dtype=np.int32)
     np.cumsum(lengths, out=offsets[1:])
+    if int(offsets[-1]) >= (1 << 31):
+        raise ValueError("partition too large for int32 list offsets; "
+                         "lower the partition size")
+    if tok.valid_mask is not None:
+        # nullable elements: re-space the dense values and attach validity
+        valid = tok.valid_mask
+        spaced = np.zeros(len(valid), dtype=np.int32)
+        spaced[valid] = flat
+        elem = pa.array(spaced, type=pa.int32(), mask=~valid)
+    else:
+        elem = pa.array(flat, type=pa.int32())
     tokens_arr = pa.ListArray.from_arrays(
-        pa.array(offsets, type=pa.int32()),
-        pa.array(flat, type=pa.int32()))
+        pa.array(offsets, type=pa.int32()), elem)
     n = tok.n_rows
     return pa.RecordBatch.from_arrays([
         pa.array(np.full(n, part_id, dtype=np.int64), type=pa.int64()),

@@ -39,16 +39,14 @@ TOKEN_TABLE_COLUMNS = {
 
 
 def _column_values(pdf: pd.DataFrame, col: str, phys: str):
-    """Extract (values, row_lengths) for the kernels, vectorized."""
-    if phys == "list<int32>":
-        s = pdf[col]
-        lengths = np.fromiter((len(x) for x in s), dtype=np.int64, count=len(s))
-        if len(s):
-            flat = np.concatenate([np.asarray(x, dtype=np.int32) for x in s]) \
-                if lengths.sum() else np.array([], dtype=np.int32)
-        else:
-            flat = np.array([], dtype=np.int32)
-        return flat, lengths
+    """Extract (values, row_lengths, elem_valid) for the kernels,
+    vectorized (pandas -> Arrow once, then buffer reads)."""
+    if phys in ("list<int32>", "list<int32?>"):
+        import pyarrow as pa
+
+        from .encode_arrow import list_int32_values
+        arr = pa.Array.from_pandas(pdf[col], type=pa.list_(pa.int32()))
+        return list_int32_values(arr, nullable=phys.endswith("?>"))
     if phys == "byte_array":
         import pyarrow as pa
 
@@ -57,9 +55,9 @@ def _column_values(pdf: pd.DataFrame, col: str, phys: str):
         as_bytes = len(s) and isinstance(s.iloc[0], (bytes, bytearray))
         arr = pa.Array.from_pandas(
             s, type=pa.binary() if as_bytes else pa.string())
-        return ba.from_arrow(arr), None
+        return ba.from_arrow(arr), None, None
     dt = np.int32 if phys == "int32" else np.int64
-    return pdf[col].to_numpy(dtype=dt, copy=False), None
+    return pdf[col].to_numpy(dtype=dt, copy=False), None, None
 
 
 def make_encode_fn(columns: dict[str, str] | None = None,
@@ -96,15 +94,16 @@ def make_encode_fn(columns: dict[str, str] | None = None,
             pdf = pdf.sort_values(sort_key, kind="mergesort")
         rows = []
         for col, phys in columns.items():
-            values, row_lengths = _column_values(pdf, col, phys)
-            kernel_phys = "int32" if phys == "list<int32>" else phys
+            values, row_lengths, elem_valid = _column_values(pdf, col, phys)
+            kernel_phys = "int32" if phys.startswith("list<int32") else phys
             enc = selector.encode_best(
                 values, kernel_phys, row_lengths=row_lengths,
                 codec_override=overrides.get(col),
                 dict_size_limit=dict_size_limit,
                 compression=compression,
                 allow_dictionary=allow_dictionary,
-                page_size=page_size)
+                page_size=page_size,
+                elem_valid=elem_valid)
             bloom_blob = None
             if col in bloom_columns and phys == "byte_array":
                 # per-chunk split-block bloom for point-lookup pruning

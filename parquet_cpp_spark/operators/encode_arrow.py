@@ -28,24 +28,39 @@ from .. import selector
 from .encode import CHUNK_SCHEMA, TOKEN_TABLE_COLUMNS
 
 
-def _arrow_column_values(tbl, col: str, phys: str):
-    """(values, row_lengths) straight from Arrow buffers."""
-    import pyarrow as pa
+def list_int32_values(column, nullable: bool = False):
+    """Arrow list<int32> array -> (dense values, slot lengths per row,
+    element validity or None), straight from Arrow buffers. With
+    ``nullable`` the values are the DENSE non-null elements and the mask is
+    per slot — the layout chunk.encode_chunk(elem_valid=...) consumes."""
     import pyarrow.compute as pc
 
+    lengths = pc.list_value_length(column).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    # flatten() honors slicing, so values correspond 1:1 to the lengths
+    flat = column.flatten()
+    if nullable and flat.null_count:
+        valid = flat.is_valid().to_numpy(zero_copy_only=False)
+        dense = flat.drop_null().to_numpy(zero_copy_only=False) \
+            .astype(np.int32, copy=False)
+        return dense, lengths, valid
+    vals = flat.to_numpy(zero_copy_only=False).astype(np.int32, copy=False)
+    if nullable:
+        return vals, lengths, np.ones(len(vals), dtype=bool)
+    return vals, lengths, None
+
+
+def _arrow_column_values(tbl, col: str, phys: str):
+    """(values, row_lengths, elem_valid) straight from Arrow buffers."""
     column = tbl.column(col).combine_chunks()
-    if phys == "list<int32>":
-        # flatten() honors slicing, so values correspond 1:1 to the lengths
-        lengths = pc.list_value_length(column).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        flat = column.flatten().to_numpy(zero_copy_only=False).astype(
-            np.int32, copy=False)
-        return flat, lengths
+    if phys in ("list<int32>", "list<int32?>"):
+        return list_int32_values(column, nullable=phys.endswith("?>"))
     if phys == "byte_array":
         from ..kernels import ba
-        return ba.from_arrow(column), None
+        return ba.from_arrow(column), None, None
     dt = np.int32 if phys == "int32" else np.int64
-    return column.to_numpy(zero_copy_only=False).astype(dt, copy=False), None
+    return (column.to_numpy(zero_copy_only=False).astype(dt, copy=False),
+            None, None)
 
 
 def make_arrow_encode_fn(columns: dict[str, str] | None = None,
@@ -94,15 +109,17 @@ def make_arrow_encode_fn(columns: dict[str, str] | None = None,
         rows = {k: [] for k in out_schema.names}
         n_rows_seen = set()
         for col, phys in columns.items():
-            values, row_lengths = _arrow_column_values(tbl, col, phys)
-            kernel_phys = "int32" if phys == "list<int32>" else phys
+            values, row_lengths, elem_valid = \
+                _arrow_column_values(tbl, col, phys)
+            kernel_phys = "int32" if phys.startswith("list<int32") else phys
             enc = selector.encode_best(
                 values, kernel_phys, row_lengths=row_lengths,
                 codec_override=overrides.get(col),
                 dict_size_limit=dict_size_limit,
                 compression=compression,
                 allow_dictionary=allow_dictionary,
-                page_size=page_size)
+                page_size=page_size,
+                elem_valid=elem_valid)
             st = enc.stats
             rows["part_id"].append(part_id)
             rows["col"].append(col)

@@ -249,21 +249,23 @@ def encode_best(values, phys: str, *, row_lengths=None,
                 compression: int = 0,
                 allow_dictionary: bool = True,
                 guard_with_plain: bool = True,
-                page_size: int | None = chunkmod.DEFAULT_PAGE_SIZE
-                ) -> "chunkmod.EncodedChunk":
+                page_size: int | None = chunkmod.DEFAULT_PAGE_SIZE,
+                elem_valid=None) -> "chunkmod.EncodedChunk":
     """Encode with the selected (or forced) codec. When estimates are close,
     encode the top candidates and keep the actual-smallest; always fall back
     to PLAIN if the pick loses to PLAIN on actual bytes (preserves the
     'selected <= PLAIN' property the reference's fallback rule guarantees)."""
     levels_sections = (chunkmod.build_levels_sections(row_lengths)
-                       if row_lengths is not None else None)
+                       if row_lengths is not None and elem_valid is None
+                       else None)
     if codec_override is not None:
         return chunkmod.encode_chunk(values, phys, codec_override,
                                      row_lengths=row_lengths,
                                      dict_size_limit=dict_size_limit,
                                      compression=compression,
                                      levels_sections=levels_sections,
-                                     page_size=page_size)
+                                     page_size=page_size,
+                                     elem_valid=elem_valid)
 
     cands = candidates(values, phys, allow_dictionary)
 
@@ -287,7 +289,8 @@ def encode_best(values, phys: str, *, row_lengths=None,
                                     dict_size_limit=dict_size_limit,
                                     compression=compression,
                                     levels_sections=levels_sections,
-                                    page_size=page_size)
+                                    page_size=page_size,
+                                    elem_valid=elem_valid)
         if best is None or enc.enc_bytes < best.enc_bytes:
             best = enc
     if guard_with_plain and best is not None and best.codec != chunkmod.PLAIN:
@@ -303,7 +306,8 @@ def encode_best(values, phys: str, *, row_lengths=None,
             plain_enc = chunkmod.encode_chunk(
                 values, phys, chunkmod.PLAIN, row_lengths=row_lengths,
                 compression=compression,
-                levels_sections=levels_sections, page_size=page_size)
+                levels_sections=levels_sections, page_size=page_size,
+                elem_valid=elem_valid)
             if plain_enc.enc_bytes < best.enc_bytes:
                 return plain_enc
     return best

@@ -25,8 +25,10 @@ def test_tokens_paged_roundtrip_and_page_count():
     assert enc.blob[4] == chunkmod.VERSION_PAGED
     pages = chunkmod.page_index(enc.blob)
     assert len(pages) > 1
-    # ~64 KiB of raw int32 per page
-    assert max(p["n_values"] for p in pages) <= (64 << 10) // 4 + 300
+    # flush policy targets ~64 KiB of *encoded* payload per page (the
+    # reference's EstimatedDataEncodedSize rule), so the average encoded
+    # page lands within 2x of the target
+    assert enc.enc_bytes / len(pages) <= 2 * (64 << 10)
     dec = chunkmod.decode_chunk(enc.blob)
     np.testing.assert_array_equal(np.asarray(dec.values, np.int32), flat)
     np.testing.assert_array_equal(dec.row_lengths, lengths)
