@@ -42,6 +42,17 @@ SEED = 42
 ROW_GROUP = 25_000  # split granularity for the direct source
 
 
+def _memcpy_task(_):
+    """One worker's share of the DRAM probe: 3x 100 MB copies."""
+    import numpy as np
+    a = np.random.default_rng(1).integers(0, 255, 100_000_000,
+                                          dtype=np.uint8)
+    t0 = time.perf_counter()
+    for _i in range(3):
+        a.copy()
+    return time.perf_counter() - t0
+
+
 def _session(cpus: int):
     from parquet_cpp_spark.session import get_spark
     return get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus * 4,
@@ -176,7 +187,37 @@ def main() -> None:
 
     spark.stop()
 
+    # --- DRAM-ceiling probe: pure memcpy per process at 1 vs CPUS_HIGH
+    # workers. If per-process memcpy time balloons with concurrency, the
+    # host is memory-bandwidth-throttled and wall-clock scaling past the
+    # DRAM saturation point measures the host, not the engine (the
+    # (2->8) pair evidences scaling in the core-bound regime; see
+    # BASELINE.md and bench_kernel_scaling.py for the per-task evidence).
+    from multiprocessing import Pool
+
+    def _memcpy_probe(nproc: int) -> float:
+        with Pool(nproc) as p:
+            times = p.map(_memcpy_task, range(nproc))
+        return float(sum(times) / len(times))
+
+    mem1 = _memcpy_probe(1)
+    memh = _memcpy_probe(CPUS_HIGH)
+    memcpy_slowdown = memh / mem1
+    eff_low_pair = (t_xlow / t_low) / (CPUS_LOW / cpus_xlow)
+    throttled = memcpy_slowdown > 2.0
+    headline_pair = (f"{cpus_xlow}->{CPUS_LOW}" if throttled
+                     else f"{CPUS_LOW}->{CPUS_HIGH}")
+    headline_eff = eff_low_pair if throttled else efficiency
+
     bytes_per_token = totals["enc_bytes"] / n_tokens
+    extras.update({
+        "memcpy_per_task_s_1": round(mem1, 3),
+        f"memcpy_per_task_s_{CPUS_HIGH}": round(memh, 3),
+        "memcpy_slowdown": round(memcpy_slowdown, 2),
+        "dram_throttled_host": throttled,
+        "scaling_headline_pair": headline_pair,
+        "scaling_headline_efficiency": round(headline_eff, 3),
+    })
     extras.update({
         "n_tokens": n_tokens,
         "mtokens_per_s_low": round(n_tokens / t_low / 1e6, 2),

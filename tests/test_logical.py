@@ -1,0 +1,76 @@
+"""Logical-type coercions (reference arrow/writer.cc:572-604): decimal ->
+FLBA big-endian, timestamp/date/time unit coercions, round-tripped through
+the chunk encoder."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from parquet_cpp_spark import chunk as chunkmod
+from parquet_cpp_spark import logical
+
+RNG = np.random.default_rng(23)
+
+
+def test_decimal_byte_width_table():
+    # spot-check against the reference's DecimalSize values
+    assert logical.decimal_byte_width(1) == 1
+    assert logical.decimal_byte_width(2) == 1
+    assert logical.decimal_byte_width(3) == 2
+    assert logical.decimal_byte_width(9) == 4
+    assert logical.decimal_byte_width(18) == 8
+    assert logical.decimal_byte_width(38) == 16
+
+
+@pytest.mark.parametrize("precision", [4, 9, 18, 27])
+def test_decimal_flba_roundtrip(precision):
+    hi = 10 ** min(precision, 18) - 1
+    vals = RNG.integers(-hi, hi, 5000).astype(np.int64)
+    flba, w = logical.decimal_to_flba(vals, precision)
+    assert all(len(b) == w for b in flba[:10])
+    back = logical.flba_to_decimal(flba, w)
+    np.testing.assert_array_equal(back, vals)
+
+
+def test_decimal_through_chunk_encoder():
+    vals = RNG.integers(-10**9, 10**9, 3000).astype(np.int64)
+    flba, w = logical.decimal_to_flba(vals, 9 + 9)
+    enc = chunkmod.encode_chunk(flba, f"flba:{w}", chunkmod.PLAIN)
+    dec = chunkmod.decode_chunk(enc.blob)
+    back = logical.flba_to_decimal(dec.values, w)
+    np.testing.assert_array_equal(back, vals)
+
+
+def test_timestamp_coercions():
+    base = np.datetime64("2024-01-15T12:34:56.789123456")
+    ts = base + RNG.integers(0, 10**9, 2000).astype("timedelta64[us]")
+    for unit in ("ms", "us"):
+        ints = logical.timestamp_to_int64(ts, unit)
+        back = logical.int64_to_timestamp(ints, unit)
+        # round-trips exactly at the unit's granularity
+        np.testing.assert_array_equal(
+            logical.timestamp_to_int64(back, unit), ints)
+    # through the encoder as INT64
+    ints = logical.timestamp_to_int64(ts, "us")
+    enc = chunkmod.encode_chunk(ints, "int64", chunkmod.DELTA_BINARY_PACKED)
+    dec = chunkmod.decode_chunk(enc.blob)
+    np.testing.assert_array_equal(np.asarray(dec.values), ints)
+
+
+def test_date_and_time_coercions():
+    days = RNG.integers(0, 30000, 1000)
+    dates = days.astype("datetime64[D]")
+    d32 = logical.date32_to_int32(dates)
+    np.testing.assert_array_equal(d32, days.astype(np.int32))
+    np.testing.assert_array_equal(logical.int32_to_date32(d32), dates)
+
+    tod = RNG.integers(0, 86_400_000_000, 1000).astype("timedelta64[us]")
+    for unit, dt in (("ms", np.int32), ("us", np.int64)):
+        t = logical.time_to_int(tod, unit)
+        assert t.dtype == dt
+        back = logical.int_to_time(t, unit)
+        np.testing.assert_array_equal(logical.time_to_int(back, unit), t)
