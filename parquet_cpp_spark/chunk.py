@@ -342,7 +342,8 @@ def encode_chunk(values, phys: str, codec: int, *,
                  levels_sections: tuple[bytes, int] | None = None,
                  page_size: int | None = DEFAULT_PAGE_SIZE,
                  elem_valid: np.ndarray | None = None,
-                 inner_lengths: np.ndarray | None = None) -> EncodedChunk:
+                 inner_lengths: np.ndarray | None = None,
+                 data_page_version: int = 1) -> EncodedChunk:
     """Encode one column chunk. ``row_lengths`` is set for the list column
     (tokens): values are the flattened elements and levels are emitted.
     ``compression`` applies a block codec over all sections (the reference
@@ -401,7 +402,8 @@ def encode_chunk(values, phys: str, codec: int, *,
         return _encode_chunk_paged(
             values, phys, codec, row_lengths=row_lengths,
             dict_size_limit=dict_size_limit, with_stats=with_stats,
-            compression=compression, page_size=page_size)
+            compression=compression, page_size=page_size,
+            data_page_version=data_page_version)
 
     sections = b""
     encodings: list[str] = []
@@ -763,17 +765,12 @@ def _page_stats_bytes(values, phys: str, lo: int, hi: int) -> bytes:
             + mx.to_bytes(8, "little", signed=True))
 
 
-def _page_body(values, phys: str, page_codec: int, lo: int, hi: int,
-               row_lengths, rlo: int, rhi: int,
-               dict_codes=None, dict_bw: int = 0) -> bytes:
-    """Levels + payload sections for one page (uncompressed form)."""
-    body = b""
-    if row_lengths is not None:
-        body += build_levels_sections(row_lengths[rlo: rhi])[0]
+def _page_payload(values, phys: str, page_codec: int, lo: int, hi: int,
+                  dict_codes=None, dict_bw: int = 0) -> bytes:
+    """Value payload sections for one page (uncompressed form, no levels)."""
     if page_codec == RLE_DICTIONARY:
         payload = bytes([dict_bw]) + rle.encode(dict_codes[lo: hi], dict_bw)
-        body += _sec(payload)
-        return body
+        return _sec(payload)
     if phys == "byte_array":
         seg = ba.slice_rows(values, lo, hi)
         secs, _encs, _fb = _encode_bytes_payload(seg, page_codec, 1 << 62)
@@ -781,13 +778,14 @@ def _page_body(values, phys: str, page_codec: int, lo: int, hi: int,
         seg = values[lo: hi]
         secs, _encs, _fb, _x = _encode_int_payload(seg, page_codec, phys,
                                                    1 << 62)
-    return body + secs
+    return secs
 
 
 def _encode_chunk_paged(values, phys: str, codec: int, *,
                         row_lengths=None, dict_size_limit: int,
                         with_stats: bool, compression: int,
-                        page_size: int) -> EncodedChunk:
+                        page_size: int,
+                        data_page_version: int = 1) -> EncodedChunk:
     has_levels = row_lengths is not None
     if phys == "byte_array":
         values = ba.as_view(values)
@@ -840,18 +838,28 @@ def _encode_chunk_paged(values, phys: str, codec: int, *,
             page_codec = RLE_DICTIONARY if hi <= split else PLAIN
         else:
             page_codec = codec
-        body = _page_body(values, phys, page_codec, lo, hi,
-                          row_lengths, rlo, rhi, dict_codes, dict_bw)
+        levels_b = b""
         if has_levels:
+            levels_b = build_levels_sections(row_lengths[rlo: rhi])[0]
             levels_raw += 2 * int(np.maximum(row_lengths[rlo: rhi],
                                              1).sum())
+        payload_b = _page_payload(values, phys, page_codec, lo, hi,
+                                  dict_codes, dict_bw)
+        v2 = data_page_version == 2
         if compression != UNCOMPRESSED:
-            body = _compress(body, compression)
+            # DataPageV2 keeps levels readable outside the compressed
+            # region (reference properties.h:363-377 / format v2 pages);
+            # V1 compresses the assembled page wholesale
+            body = (levels_b + _compress(payload_b, compression)) if v2 \
+                else _compress(levels_b + payload_b, compression)
+        else:
+            body = levels_b + payload_b
+        page_flags = 1 if v2 else 0
         stats_b = _page_stats_bytes(values, phys, lo, hi) if with_stats \
             else bytes([0])
         page = ((rhi - rlo).to_bytes(4, "little")
                 + (hi - lo).to_bytes(4, "little")
-                + bytes([page_codec]) + stats_b
+                + bytes([page_codec, page_flags]) + stats_b
                 + len(body).to_bytes(4, "little") + body)
         pages.append(len(page).to_bytes(4, "little") + page)
 
@@ -905,8 +913,8 @@ def _parse_paged_header(mv):
 
 
 def _iter_pages(mv, n_pages: int, pos: int):
-    """Yields (page_n_rows, page_n_values, page_codec, stats, body_mv) —
-    stats is None or (min, max) with native types."""
+    """Yields (page_n_rows, page_n_values, page_codec, page_flags, stats,
+    body_mv) — stats is None or (min, max) with native types."""
     for _ in range(n_pages):
         page_len = int.from_bytes(mv[pos: pos + 4], "little")
         pos += 4
@@ -914,8 +922,9 @@ def _iter_pages(mv, n_pages: int, pos: int):
         p_rows = int.from_bytes(mv[pos: pos + 4], "little")
         p_vals = int.from_bytes(mv[pos + 4: pos + 8], "little")
         p_codec = mv[pos + 8]
-        has_stats = mv[pos + 9]
-        p = pos + 10
+        p_flags = mv[pos + 9]
+        has_stats = mv[pos + 10]
+        p = pos + 11
         stats = None
         if has_stats:
             if PHYS_NAMES.get(mv[6]) == "byte_array":
@@ -933,23 +942,36 @@ def _iter_pages(mv, n_pages: int, pos: int):
                 stats = (mn, mx)
         body_len = int.from_bytes(mv[p: p + 4], "little")
         body = mv[p + 4: p + 4 + body_len]
-        yield p_rows, p_vals, p_codec, stats, body
+        yield p_rows, p_vals, p_codec, p_flags, stats, body
         pos = end
+
+
+def _parse_page_levels(body, pos: int):
+    n_slots = int.from_bytes(body[pos: pos + 4], "little")
+    pos += 4
+    rep, pos = rle.decode_length_prefixed(body, n_slots, 1, pos)
+    deflev, pos = rle.decode_length_prefixed(body, n_slots, 1, pos)
+    return levels_mod.lengths_from_levels(rep, deflev), pos
 
 
 def _decode_page_body(body, phys: str, page_codec: int, p_rows: int,
                       p_vals: int, compression: int, has_levels: bool,
-                      dict_view, dict_bw: int):
-    if compression != UNCOMPRESSED:
-        body = memoryview(_decompress(bytes(body), compression))
-    pos = 0
+                      dict_view, dict_bw: int, page_flags: int = 0):
     row_lengths = None
-    if has_levels:
-        n_slots = int.from_bytes(body[pos: pos + 4], "little")
-        pos += 4
-        rep, pos = rle.decode_length_prefixed(body, n_slots, 1, pos)
-        deflev, pos = rle.decode_length_prefixed(body, n_slots, 1, pos)
-        row_lengths = levels_mod.lengths_from_levels(rep, deflev)
+    pos = 0
+    if page_flags & 1:
+        # DataPageV2: levels live uncompressed ahead of the compressed
+        # value block (reference format-v2 page layout)
+        if has_levels:
+            row_lengths, pos = _parse_page_levels(body, 0)
+        if compression != UNCOMPRESSED:
+            body = memoryview(_decompress(bytes(body[pos:]), compression))
+            pos = 0
+    else:
+        if compression != UNCOMPRESSED:
+            body = memoryview(_decompress(bytes(body), compression))
+        if has_levels:
+            row_lengths, pos = _parse_page_levels(body, 0)
     if page_codec == RLE_DICTIONARY:
         pos += 4  # section length prefix
         bw = body[pos]
@@ -972,11 +994,11 @@ def _decode_chunk_paged(mv) -> DecodedChunk:
     has_levels = bool(flags & FLAG_HAS_LEVELS)
     vals_parts = []
     len_parts = []
-    for p_rows, p_vals, p_codec, _stats, body in _iter_pages(mv, n_pages,
-                                                             pos):
+    for p_rows, p_vals, p_codec, p_flags, stats_, body in \
+            _iter_pages(mv, n_pages, pos):
         vals, rl = _decode_page_body(body, phys, p_codec, p_rows, p_vals,
                                      compression, has_levels, dict_view,
-                                     dict_bw)
+                                     dict_bw, p_flags)
         vals_parts.append(vals)
         if rl is not None:
             len_parts.append(rl)
@@ -1003,8 +1025,8 @@ def page_index(blob) -> list[dict]:
      _dv, _bw) = _parse_paged_header(mv)
     out = []
     row = 0
-    for p_rows, p_vals, p_codec, stats, _body in _iter_pages(mv, n_pages,
-                                                             pos):
+    for p_rows, p_vals, p_codec, _pf, stats, _body in _iter_pages(mv, n_pages,
+                                                                  pos):
         out.append({"row_start": row, "row_end": row + p_rows,
                     "n_values": p_vals, "codec": p_codec,
                     "min": stats[0] if stats else None,
@@ -1033,8 +1055,8 @@ def decode_chunk_rows(blob, row_start: int, row_stop: int) -> DecodedChunk:
     len_parts = []
     row = 0
     first_row = None
-    for p_rows, p_vals, p_codec, _stats, body in _iter_pages(mv, n_pages,
-                                                             pos):
+    for p_rows, p_vals, p_codec, p_flags, _stats, body in \
+            _iter_pages(mv, n_pages, pos):
         lo, hi = row, row + p_rows
         row = hi
         if hi <= row_start or lo >= row_stop:
@@ -1043,7 +1065,7 @@ def decode_chunk_rows(blob, row_start: int, row_stop: int) -> DecodedChunk:
             first_row = lo
         vals, rl = _decode_page_body(body, phys, p_codec, p_rows, p_vals,
                                      compression, has_levels, dict_view,
-                                     dict_bw)
+                                     dict_bw, p_flags)
         vals_parts.append(vals)
         if rl is not None:
             len_parts.append(rl)

@@ -74,6 +74,7 @@ def make_encode_fn(columns: dict[str, str] | None = None,
     supply all knobs at once."""
     compression = chunkmod.UNCOMPRESSED
     allow_dictionary = True
+    data_page_version = 1
     if props is not None:
         codec_overrides = codec_overrides or props.codec_overrides
         dict_size_limit = props.dictionary_pagesize_limit
@@ -82,6 +83,7 @@ def make_encode_fn(columns: dict[str, str] | None = None,
         compression = props.compression_id
         allow_dictionary = props.dictionary_enabled
         page_size = getattr(props, "data_pagesize", page_size)
+        data_page_version = getattr(props, "data_page_version", 1)
     columns = columns or TOKEN_TABLE_COLUMNS
     overrides = {k: chunkmod.CODEC_IDS[v]
                  for k, v in (codec_overrides or {}).items()}
@@ -103,7 +105,8 @@ def make_encode_fn(columns: dict[str, str] | None = None,
                 compression=compression,
                 allow_dictionary=allow_dictionary,
                 page_size=page_size,
-                elem_valid=elem_valid)
+                elem_valid=elem_valid,
+                data_page_version=data_page_version)
             bloom_blob = None
             if col in bloom_columns and phys == "byte_array":
                 # per-chunk split-block bloom for point-lookup pruning

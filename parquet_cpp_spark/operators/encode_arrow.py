@@ -75,12 +75,14 @@ def make_arrow_encode_fn(columns: dict[str, str] | None = None,
     # on/off, per-column overrides, dict page limit.
     compression = chunkmod.UNCOMPRESSED
     allow_dictionary = True
+    data_page_version = 1
     if props is not None:
         codec_overrides = codec_overrides or props.codec_overrides
         dict_size_limit = props.dictionary_pagesize_limit
         compression = props.compression_id
         allow_dictionary = props.dictionary_enabled
         page_size = getattr(props, "data_pagesize", page_size)
+        data_page_version = getattr(props, "data_page_version", 1)
     columns = columns or TOKEN_TABLE_COLUMNS
     overrides = {k: chunkmod.CODEC_IDS[v]
                  for k, v in (codec_overrides or {}).items()}
@@ -119,7 +121,8 @@ def make_arrow_encode_fn(columns: dict[str, str] | None = None,
                 compression=compression,
                 allow_dictionary=allow_dictionary,
                 page_size=page_size,
-                elem_valid=elem_valid)
+                elem_valid=elem_valid,
+                data_page_version=data_page_version)
             st = enc.stats
             rows["part_id"].append(part_id)
             rows["col"].append(col)

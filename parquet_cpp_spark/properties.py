@@ -29,6 +29,9 @@ class WriterProperties:
     data_pagesize: int = DEFAULT_DATA_PAGESIZE  # page flush threshold
     statistics_enabled: bool = True
     compression: str = "UNCOMPRESSED"
+    # data page layout version: V1 compresses the assembled page; V2 keeps
+    # levels outside the compressed block (properties.h:363-377)
+    format_version: str = "V1"
     bloom_columns: frozenset[str] = frozenset()
     sort_key: str | None = "doc_id"
     target_partition_bytes: int = DEFAULT_TARGET_PARTITION_BYTES
@@ -39,6 +42,9 @@ class WriterProperties:
                 raise ValueError(f"unknown codec {name!r} for column {col!r}")
         if self.compression not in chunkmod.COMPRESSION_IDS:
             raise ValueError(f"unknown compression {self.compression!r}")
+        if self.format_version not in ("V1", "V2"):
+            raise ValueError(f"unknown format_version "
+                             f"{self.format_version!r}")
         if not self.dictionary_enabled:
             # reference parity: a dictionary encoding cannot be forced while
             # dictionaries are disabled (properties.h:224-232)
@@ -52,3 +58,7 @@ class WriterProperties:
     @property
     def compression_id(self) -> int:
         return chunkmod.COMPRESSION_IDS[self.compression]
+
+    @property
+    def data_page_version(self) -> int:
+        return 2 if self.format_version == "V2" else 1

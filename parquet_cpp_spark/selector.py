@@ -250,7 +250,8 @@ def encode_best(values, phys: str, *, row_lengths=None,
                 allow_dictionary: bool = True,
                 guard_with_plain: bool = True,
                 page_size: int | None = chunkmod.DEFAULT_PAGE_SIZE,
-                elem_valid=None) -> "chunkmod.EncodedChunk":
+                elem_valid=None,
+                data_page_version: int = 1) -> "chunkmod.EncodedChunk":
     """Encode with the selected (or forced) codec. When estimates are close,
     encode the top candidates and keep the actual-smallest; always fall back
     to PLAIN if the pick loses to PLAIN on actual bytes (preserves the
@@ -265,7 +266,8 @@ def encode_best(values, phys: str, *, row_lengths=None,
                                      compression=compression,
                                      levels_sections=levels_sections,
                                      page_size=page_size,
-                                     elem_valid=elem_valid)
+                                     elem_valid=elem_valid,
+                                     data_page_version=data_page_version)
 
     cands = candidates(values, phys, allow_dictionary)
 
@@ -290,7 +292,8 @@ def encode_best(values, phys: str, *, row_lengths=None,
                                     compression=compression,
                                     levels_sections=levels_sections,
                                     page_size=page_size,
-                                    elem_valid=elem_valid)
+                                    elem_valid=elem_valid,
+                                    data_page_version=data_page_version)
         if best is None or enc.enc_bytes < best.enc_bytes:
             best = enc
     if guard_with_plain and best is not None and best.codec != chunkmod.PLAIN:
@@ -307,7 +310,8 @@ def encode_best(values, phys: str, *, row_lengths=None,
                 values, phys, chunkmod.PLAIN, row_lengths=row_lengths,
                 compression=compression,
                 levels_sections=levels_sections, page_size=page_size,
-                elem_valid=elem_valid)
+                elem_valid=elem_valid,
+                data_page_version=data_page_version)
             if plain_enc.enc_bytes < best.enc_bytes:
                 return plain_enc
     return best

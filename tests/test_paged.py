@@ -116,3 +116,37 @@ def test_paged_deterministic():
     b = chunkmod.encode_chunk(ba.from_list(vals), "byte_array",
                               chunkmod.FSST, page_size=32 << 10).blob
     assert a == b
+
+
+def test_data_page_v2_levels_outside_compression():
+    """DataPageV2: level sections stay readable without decompressing the
+    value block (reference format-v2 page layout, properties.h:363-377)."""
+    lengths = RNG.integers(0, 200, 6000).astype(np.int64)
+    flat = RNG.integers(0, 1 << 14, int(lengths.sum())).astype(np.int32)
+    v2 = chunkmod.encode_chunk(flat, "int32", chunkmod.DELTA_BINARY_PACKED,
+                               row_lengths=lengths, page_size=64 << 10,
+                               compression=chunkmod.GZIP,
+                               data_page_version=2)
+    v1 = chunkmod.encode_chunk(flat, "int32", chunkmod.DELTA_BINARY_PACKED,
+                               row_lengths=lengths, page_size=64 << 10,
+                               compression=chunkmod.GZIP,
+                               data_page_version=1)
+    assert v2.blob != v1.blob
+    for enc in (v1, v2):
+        dec = chunkmod.decode_chunk(enc.blob)
+        np.testing.assert_array_equal(np.asarray(dec.values, np.int32), flat)
+        np.testing.assert_array_equal(dec.row_lengths, lengths)
+    # partial reads work on both layouts
+    cum = np.concatenate(([0], np.cumsum(lengths)))
+    d = chunkmod.decode_chunk_rows(v2.blob, 100, 200)
+    np.testing.assert_array_equal(np.asarray(d.values, np.int32),
+                                  flat[cum[100]: cum[200]])
+
+
+def test_writer_properties_v2_roundtrip():
+    from parquet_cpp_spark.properties import WriterProperties
+    props = WriterProperties(format_version="V2", compression="GZIP")
+    assert props.data_page_version == 2
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        WriterProperties(format_version="V9")
