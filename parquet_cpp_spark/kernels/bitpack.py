@@ -59,6 +59,26 @@ def values_from_bits(bits: np.ndarray, bit_width: int,
 _BLOCK_VALUES = 1 << 16
 
 
+def pack_rows(vals: np.ndarray, bit_width: int) -> np.ndarray:
+    """(k, m) uint64 values (< 2**bit_width, m*bit_width byte-aligned) ->
+    (k, m*bit_width/8) uint8 LSB-first bitstream per row. Vectorized u64
+    accumulation: m shift/or passes over all rows at once — ~1 byte of
+    traffic per packed bit instead of the 8x of a per-bit matrix."""
+    k, m = vals.shape
+    w = bit_width
+    nwords = (m * w + 63) // 64
+    acc = np.zeros((k, nwords), dtype=np.uint64)
+    for i in range(m):
+        bit = i * w
+        wl, sh = bit >> 6, bit & 63
+        acc[:, wl] |= vals[:, i] << np.uint64(sh)
+        if sh + w > 64:
+            acc[:, wl + 1] |= vals[:, i] >> np.uint64(64 - sh)
+    if acc.dtype.byteorder == ">":
+        acc = acc.byteswap()
+    return acc.view(np.uint8).reshape(k, nwords * 8)[:, : m * w // 8]
+
+
 def pack(values: np.ndarray, bit_width: int) -> bytes:
     """Pack non-negative integers into an LSB-first bitstream.
 
@@ -71,15 +91,22 @@ def pack(values: np.ndarray, bit_width: int) -> bytes:
         return b""
     if bit_width > 64:
         raise ValueError(f"bit_width {bit_width} > 64")
-    if n <= _BLOCK_VALUES:
-        return np.packbits(bits_of(values, bit_width).ravel(),
+    if bit_width == 1:  # levels' common case: one C packbits pass
+        return np.packbits(np.ascontiguousarray(values, dtype=np.uint8),
                            bitorder="little").tobytes()
-    # block at multiples of 8 values so every block is byte-aligned
-    step = _BLOCK_VALUES  # multiple of 8
-    parts = [np.packbits(bits_of(values[i: i + step], bit_width).ravel(),
-                         bitorder="little").tobytes()
-             for i in range(0, n, step)]
-    return b"".join(parts)
+    if bit_width == 8:
+        return np.ascontiguousarray(values, dtype=np.uint8).tobytes()
+    v = np.ascontiguousarray(values).astype(np.uint64, copy=False)
+    n8 = (n // 8) * 8
+    head = pack_rows(v[:n8].reshape(-1, 8), bit_width).tobytes() if n8 \
+        else b""
+    if n == n8:
+        return head
+    tailv = np.zeros(8, dtype=np.uint64)
+    tailv[: n - n8] = v[n8:]
+    tail_bits = (n - n8) * bit_width
+    tail = pack_rows(tailv.reshape(1, 8), bit_width).tobytes()
+    return head + tail[: (tail_bits + 7) // 8]
 
 
 def unpack_padded(padded: np.ndarray, n_values: int, bit_width: int,

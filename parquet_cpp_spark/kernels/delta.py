@@ -94,13 +94,23 @@ def encode(values: np.ndarray) -> bytes:
 
         w_max = int(widths.max())
         if w_max:
-            sel = np.arange(w_max, dtype=np.int64)
-            bits = bitpack.bits_of(minis.ravel(), w_max) \
-                .reshape(len(minis), MINI_SIZE, w_max)
-            mask = sel[None, None, :] < widths.astype(np.int64)[:, None, None]
-            stream = np.frombuffer(
-                np.packbits(bits[np.broadcast_to(mask, bits.shape)],
-                            bitorder="little").tobytes(), dtype=np.uint8)
+            # pack miniblocks grouped by width (few distinct widths per
+            # super-block): u64 shift/or accumulation, ~1 byte of traffic
+            # per packed bit — no per-bit matrices
+            wid64 = widths.astype(np.int64)
+            mini_bytes = wid64 * (MINI_SIZE // 8)
+            byte_off = np.zeros(len(widths), dtype=np.int64)
+            np.cumsum(mini_bytes[:-1], out=byte_off[1:])
+            stream = np.empty(int(mini_bytes.sum()), dtype=np.uint8)
+            for w in np.unique(widths):
+                if w == 0:
+                    continue
+                w = int(w)
+                ids = np.flatnonzero(widths == w)
+                rows = bitpack.pack_rows(minis[ids], w)
+                dst = byte_off[ids][:, None] + \
+                    np.arange(rows.shape[1], dtype=np.int64)
+                stream[dst.reshape(-1)] = rows.reshape(-1)
         else:
             stream = np.zeros(0, dtype=np.uint8)
         out += _emit_blocks(mins, widths, stream, n_blocks)

@@ -77,39 +77,56 @@ def encode(values: np.ndarray, bit_width: int) -> bytes:
     tail_done = False
 
     # Pack ALL literal-group values with ONE packbits call (uniform width ->
-    # every group is exactly `bit_width` bytes); stretches then slice into
-    # the shared buffer. Kills the per-stretch vectorization overhead.
-    lit_starts = starts[~uniform[starts]]
-    lit_ends = ends[~uniform[starts]]
-    packed = b""
-    lit_offset = {}
-    if len(lit_starts):
-        pieces = [g[s:e].ravel() for s, e in zip(lit_starts.tolist(),
-                                                 lit_ends.tolist())]
-        packed = bitpack.pack(np.concatenate(pieces), bit_width)
-        off = 0
-        for s, e in zip(lit_starts.tolist(), lit_ends.tolist()):
-            lit_offset[s] = off
-            off += (e - s) * bit_width
+    # every group is exactly `bit_width` bytes); stretches slice into the
+    # shared buffer. (#groups per stretch always < 2^31, so one header per
+    # literal stretch.)
+    is_uni = uniform[starts]
+    n_stretch = len(starts)
+    lit_mask = ~is_uni
+    packed = np.zeros(0, dtype=np.uint8)
+    if lit_mask.any():
+        pieces = [g[s:e].ravel()
+                  for s, e in zip(starts[lit_mask].tolist(),
+                                  ends[lit_mask].tolist())]
+        packed = np.frombuffer(bitpack.pack(np.concatenate(pieces),
+                                            bit_width), dtype=np.uint8)
 
-    for s, e in zip(starts.tolist(), ends.tolist()):
-        if uniform[s]:
-            count = (e - s) * 8
-            val = int(gval[s])
-            if e == n_groups and tail and bool((tail_vals == gval[s]).all()):
-                count += tail
-                tail_done = True
-            out += encode_uvarint(count << 1)
-            out += val.to_bytes(vbytes, "little")
-        else:
-            ng = e - s
-            off = lit_offset[s]
-            while ng > 0:
-                take = min(ng, _MAX_LITERAL_GROUPS)
-                out += encode_uvarint((take << 1) | 1)
-                out += packed[off: off + take * bit_width]
-                ng -= take
-                off += take * bit_width
+    # header values + per-stretch payload byte counts, then ONE vectorized
+    # interleave (varints via encode_uvarint_array; scatter like
+    # delta._emit_blocks) — no per-stretch Python
+    counts = (ends - starts) * 8
+    if tail and is_uni[-1] and bool((tail_vals == gval[starts[-1]]).all()):
+        counts = counts.copy()
+        counts[-1] += tail
+        tail_done = True
+    headers = np.where(is_uni, counts << 1,
+                       (((ends - starts) << 1) | 1).astype(np.int64))
+    from .varint import encode_uvarint_array
+    hbytes, hvalid, hlens = encode_uvarint_array(headers)
+    pay_len = np.where(is_uni, vbytes, (ends - starts) * bit_width)
+    piece_len = hlens + pay_len
+    dest0 = np.zeros(n_stretch, dtype=np.int64)
+    np.cumsum(piece_len[:-1], out=dest0[1:])
+    buf = np.empty(int(piece_len.sum()), dtype=np.uint8)
+    # headers
+    hdst = dest0[:, None] + np.arange(hbytes.shape[1], dtype=np.int64)
+    buf[hdst[hvalid]] = hbytes[hvalid]
+    # rle values (little-endian, vbytes each)
+    uni_idx = np.flatnonzero(is_uni)
+    if len(uni_idx):
+        vstart = dest0[uni_idx] + hlens[uni_idx]
+        uvals = gval[starts[uni_idx]].astype(np.int64)
+        for k in range(vbytes):
+            buf[vstart + k] = ((uvals >> (8 * k)) & 0xFF).astype(np.uint8)
+    # literal payloads: `packed` is already in stretch order
+    lit_idx = np.flatnonzero(lit_mask)
+    if len(lit_idx):
+        lit_nb = pay_len[lit_idx]
+        shift = np.repeat(dest0[lit_idx] + hlens[lit_idx], lit_nb)
+        shift -= np.repeat(np.concatenate(([0], np.cumsum(lit_nb)[:-1])),
+                           lit_nb)
+        buf[np.arange(len(packed), dtype=np.int64) + shift] = packed
+    out += buf.tobytes()
 
     if tail and not tail_done:
         padded = np.zeros(8, dtype=a.dtype)

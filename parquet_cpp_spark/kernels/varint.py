@@ -54,3 +54,27 @@ def encode_zigzag_varint(value: int) -> bytes:
 def decode_zigzag_varint(buf, pos: int = 0) -> tuple[int, int]:
     v, pos = decode_uvarint(buf, pos)
     return zigzag_decode(v), pos
+
+
+def encode_uvarint_array(values):
+    """Vectorized ULEB128 over an int64 array: returns
+    (byte matrix (n, G) uint8, validity mask (n, G) bool, lengths (n)).
+    Row i's first lengths[i] bytes are value i's varint."""
+    import numpy as np
+
+    vals = np.ascontiguousarray(values, dtype=np.uint64)
+    n = len(vals)
+    n_groups = 5
+    if n and int(vals.max()) >> 35:
+        n_groups = 10
+    shifts = np.arange(n_groups, dtype=np.uint64) * np.uint64(7)
+    groups = (vals[:, None] >> shifts[None, :]) & np.uint64(0x7F)
+    nonzero = groups != 0
+    nonzero[:, 0] = True  # at least one byte
+    lens = n_groups - np.argmax(nonzero[:, ::-1], axis=1)
+    valid = np.arange(n_groups)[None, :] < lens[:, None]
+    cont = valid.copy()
+    cont[np.arange(n), lens - 1] = False  # last byte: continuation clear
+    bytes_ = (groups | (cont.astype(np.uint64) << np.uint64(7))) \
+        .astype(np.uint8)
+    return bytes_, valid, lens.astype(np.int64)
