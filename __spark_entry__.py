@@ -32,6 +32,62 @@ _NULLABLE_TOKEN_EXPR_DUCKDB = (
     "x -> CASE WHEN x % 7 <> 0 THEN x END)")
 
 
+def _ann_ip_lsh_oracle_sql(probe_ids=(0, 1, 2, 3, 4), k: int = 10,
+                           n_planes: int = 6, dim: int = 64,
+                           seed: int = 7) -> str:
+    """DuckDB replica of similarity.topk_inner_product_lsh: the quantized
+    hyperplanes are baked into the SQL as integer list literals, so bucket
+    bits and rescoring are exact in both engines."""
+    from parquet_cpp_spark.functions.similarity import quantized_planes
+    planes = quantized_planes(dim, n_planes, seed)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(qe, "
+        f"{[int(x) for x in planes[i]]}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(n_planes))
+    ids = ", ".join(str(int(p)) for p in probe_ids)
+    return f"""
+        WITH q AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> floor(CAST(x AS DOUBLE) * 1000 + 0.5)) AS qe
+            FROM embeddings),
+        b AS (SELECT vec_id, qe, {bucket} AS bucket FROM q),
+        p AS (SELECT vec_id AS probe_id, qe AS qp, bucket AS pb FROM b
+              WHERE vec_id IN ({ids})),
+        s AS (SELECT probe_id, vec_id,
+                     CAST(list_dot_product(qe, qp) AS BIGINT) AS score
+              FROM b JOIN p ON bucket = pb AND vec_id <> probe_id),
+        r AS (SELECT *, row_number() OVER (
+                  PARTITION BY probe_id ORDER BY score DESC, vec_id) AS rank
+              FROM s)
+        SELECT probe_id, vec_id, score, CAST(rank AS INTEGER) AS rank
+        FROM r WHERE rank <= {k}
+    """
+
+
+def _simhash_oracle_sql(bits: int = 16) -> str:
+    """DuckDB replica of functions/dedup.simhash: bit b of the signature is
+    the majority vote over words of bit b of the first 16 bits of md5(word)
+    (hex nibble -> int via strpos arithmetic; both engines emit lowercase
+    md5 hex)."""
+    nib = ("(strpos('0123456789abcdef', substr(md5(w), {i}, 1)) - 1)")
+    h16 = " + ".join(f"{nib.format(i=i + 1)} * {16 ** (3 - i)}"
+                     for i in range(4))
+    votes = ", ".join(
+        f"SUM(2 * ((h >> {b}) & 1) - 1) AS v{b}" for b in range(bits))
+    sig = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(bits))
+    return f"""
+        WITH words AS (
+            SELECT doc_id, CAST({h16} AS BIGINT) AS h
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                  FROM documents)),
+        v AS (SELECT doc_id, {votes} FROM words GROUP BY doc_id)
+        SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM v
+    """
+
+
 def _digest(df: DataFrame) -> DataFrame:
     """Project the decoded token array to a per-row md5 digest so the driver
     correctness harness (which sorts column values to canonicalize) can hash
@@ -273,6 +329,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(spark, sf))
     q["ann_ip_topk"] = lambda spark, sf: similarity.topk_inner_product_quantized(
         _emb(spark, sf), probe_ids=[0, 1, 2, 3, 4], k=10)
+    # LSH scale path with a FULL oracle: integer-quantized hyperplane
+    # buckets + exact integer rescoring (no float fold anywhere)
+    q["ann_ip_lsh"] = lambda spark, sf: similarity.topk_inner_product_lsh(
+        _emb(spark, sf), probe_ids=[0, 1, 2, 3, 4], k=10)
     q["neardup_cosine"] = lambda spark, sf: similarity.neardup_cosine_exact(
         _emb(spark, sf))
     q["neardup_jaccard"] = lambda spark, sf: dedup.neardup_jaccard(
@@ -504,6 +564,8 @@ def oracle_sql() -> dict[str, str]:
                   FROM (SELECT doc_id, string_split(text, ' ') AS w
                         FROM documents))
         """,
+        "simhash": _simhash_oracle_sql(),
+        "ann_ip_lsh": _ann_ip_lsh_oracle_sql(),
         "ann_ip_topk": """
             WITH q AS (
                 SELECT vec_id,

@@ -146,6 +146,50 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
+def quantized_planes(dim: int = 64, n_planes: int = 6,
+                     seed: int = 7) -> np.ndarray:
+    """Integer-quantized hyperplanes (floor(x*1000+0.5)): both the Spark
+    plan and a SQL oracle can evaluate sign bits EXACTLY over them."""
+    rng = np.random.default_rng(seed)
+    return np.floor(rng.standard_normal((n_planes, dim)) * 1000 + 0.5) \
+        .astype(np.int64)
+
+
+def topk_inner_product_lsh(emb: DataFrame, probe_ids: list[int],
+                           k: int = 10, n_planes: int = 6, dim: int = 64,
+                           seed: int = 7) -> DataFrame:
+    """LSH-pruned exact-integer MIPS: candidates share the probe's
+    sign-bit bucket over integer-quantized hyperplanes; rescoring is the
+    exact quantized inner product. Every stage is integer arithmetic, so a
+    SQL oracle reproduces it bit-for-bit — the LSH scale path itself is
+    correctness-gated, not just rows-counted."""
+    planes = quantized_planes(dim, n_planes, seed)
+    q = emb.select("vec_id", _quantize(F.col("embedding")).alias("qe"))
+    bucket = None
+    for i in range(n_planes):
+        arr = F.array(*[F.lit(int(x)) for x in planes[i]])
+        dot = F.aggregate(F.zip_with("qe", arr, lambda a, b: a * b),
+                          F.lit(0).cast("long"), lambda acc, x: acc + x)
+        bit = (dot > 0).cast("long") * F.lit(1 << i)
+        bucket = bit if bucket is None else bucket + bit
+    b = q.withColumn("bucket", bucket)
+    probes = (b.filter(F.col("vec_id").isin(probe_ids))
+              .select(F.col("vec_id").alias("probe_id"),
+                      F.col("qe").alias("qp"),
+                      F.col("bucket").alias("pbucket")))
+    cand = (b.join(F.broadcast(probes), F.col("bucket") == F.col("pbucket"))
+            .filter(F.col("vec_id") != F.col("probe_id")))
+    score = F.aggregate(F.zip_with("qe", "qp", lambda a, b_: a * b_),
+                        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    scored = cand.select("probe_id", "vec_id", score.alias("score"))
+    w = Window.partitionBy("probe_id").orderBy(F.desc("score"),
+                                               F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("probe_id", "vec_id", "score",
+                    F.col("rank").cast("int").alias("rank")))
+
+
 def lsh_bucket(emb: DataFrame, n_planes: int = 8, dim: int = 64,
                seed: int = 7, col: str = "embedding") -> DataFrame:
     """Random-hyperplane LSH: bucket = sign-bit string over seeded planes.

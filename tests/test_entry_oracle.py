@@ -59,7 +59,7 @@ def test_every_query_has_callable_signature():
     # and engine introspection are rows-only by design)
     no_oracle = set(q) - set(o)
     assert no_oracle <= {"codec_selection", "compression_manifest",
-                         "simhash", "ann_cosine_topk", "ann_cosine_lsh",
+                         "ann_cosine_topk", "ann_cosine_lsh",
                          "neardup_cosine_lsh", "ann_cosine_ivf"}
 
 
@@ -75,7 +75,7 @@ def test_query_matches_oracle(spark, duck, name):
 
 def test_rows_only_queries_run(spark):
     q = entry_mod.queries()
-    for name in ("codec_selection", "compression_manifest", "simhash",
+    for name in ("codec_selection", "compression_manifest",
                  "ann_cosine_topk", "ann_cosine_lsh", "neardup_cosine_lsh",
                  "ann_cosine_ivf"):
         assert q[name](spark, SF_DIR).count() > 0
