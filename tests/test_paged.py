@@ -150,3 +150,20 @@ def test_writer_properties_v2_roundtrip():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         WriterProperties(format_version="V9")
+
+
+def test_point_lookup_page_pruning():
+    """The Skip analog prunes to exactly the page whose [min,max] straddles
+    the key (sorted doc_ids, one candidate page), and finds the right row."""
+    from parquet_cpp_spark.plans.lookup import _find_rows
+    vals = [f"doc-{i:07d}".encode() for i in range(50000)]
+    enc = chunkmod.encode_chunk(vals, "byte_array",
+                                chunkmod.DELTA_BYTE_ARRAY,
+                                page_size=32 << 10)
+    idx = chunkmod.page_index(enc.blob)
+    assert len(idx) > 3
+    key = b"doc-0031337"
+    cands = [p for p in idx if p["min"] <= key <= p["max"]]
+    assert len(cands) == 1  # stats prune to one page
+    rows = _find_rows(enc.blob, key)
+    assert rows == [31337]
