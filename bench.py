@@ -163,6 +163,22 @@ def main() -> None:
     queries[f"decode_local{CPUS_HIGH}"] = round(t_dec, 3)
     assert n_dec == n_tokens, (n_dec, n_tokens)
 
+    # bit-identical evidence (north rule): order-insensitive content
+    # checksum of every (doc_id, tokens, n_tok, source) row on both sides
+    def _content_sum(df):
+        # decimal sum: exact, order-insensitive, no long overflow (ANSI)
+        row_hash = F.xxhash64("doc_id", "tokens", "n_tok", "source") \
+            .cast("decimal(38,0)")
+        return df.agg(
+            F.sum(row_hash).alias("s"),
+            F.count("*").alias("n")).collect()[0]
+    src_sum = _content_sum(spark.read.parquet(path))
+    dec_sum = _content_sum(decode_parquet_direct(spark, chunks_path)
+                           .drop("part_id"))
+    extras["roundtrip_bit_identical"] = (
+        src_sum.s == dec_sum.s and src_sum.n == dec_sum.n)
+    assert extras["roundtrip_bit_identical"], (src_sum, dec_sum)
+
     # --- reference-size oracle on a deterministic subset (first 10 row
     # groups): pyarrow writer with reference defaults ---
     import pyarrow.parquet as pq

@@ -97,3 +97,67 @@ def test_fuzz_nullable_mask(mask_list):
     np.testing.assert_array_equal(dec.valid_mask, mask)
     np.testing.assert_array_equal(np.asarray(dec.values, np.int32),
                                   vals[mask])
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=300),
+                min_size=1, max_size=300),
+       st.sampled_from(["PLAIN", "DELTA_BINARY_PACKED", "RLE_DICTIONARY"]),
+       st.integers(min_value=256, max_value=4096),
+       st.sampled_from([chunkmod.UNCOMPRESSED, chunkmod.GZIP]),
+       st.sampled_from([1, 2]))
+def test_fuzz_paged_chunk(lengths, codec, page_size, compression, dpv):
+    """Multi-page chunks round-trip for any page size / codec /
+    compression / page-layout version, including partial row reads."""
+    lengths = np.array(lengths, dtype=np.int64)
+    rng = np.random.default_rng(int(lengths.sum()) * 7 + len(lengths))
+    vals = rng.integers(0, 1 << 15, int(lengths.sum())).astype(np.int32)
+    enc = chunkmod.encode_chunk(vals, "int32", chunkmod.CODEC_IDS[codec],
+                                row_lengths=lengths, page_size=page_size,
+                                compression=compression,
+                                data_page_version=dpv)
+    dec = chunkmod.decode_chunk(enc.blob)
+    np.testing.assert_array_equal(dec.row_lengths, lengths)
+    np.testing.assert_array_equal(np.asarray(dec.values, np.int32), vals)
+    # random row range partial read
+    lo = int(rng.integers(0, len(lengths)))
+    hi = int(rng.integers(lo, len(lengths))) + 1
+    cum = np.concatenate(([0], np.cumsum(lengths)))
+    part = chunkmod.decode_chunk_rows(enc.blob, lo, hi)
+    np.testing.assert_array_equal(np.asarray(part.values, np.int32),
+                                  vals[cum[lo]: cum[hi]])
+    np.testing.assert_array_equal(part.row_lengths, lengths[lo: hi])
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=8),
+                min_size=1, max_size=200),
+       st.randoms(use_true_random=False))
+def test_fuzz_nullable_list_elements(lengths, rnd):
+    lengths = np.array(lengths, dtype=np.int64)
+    n_slots = int(lengths.sum())
+    valid = np.array([rnd.random() > 0.4 for _ in range(n_slots)],
+                     dtype=bool)
+    dense = np.arange(int(valid.sum()), dtype=np.int32) * 3
+    enc = chunkmod.encode_chunk(dense, "int32", chunkmod.PLAIN,
+                                row_lengths=lengths, elem_valid=valid)
+    dec = chunkmod.decode_chunk(enc.blob)
+    np.testing.assert_array_equal(dec.row_lengths, lengths)
+    np.testing.assert_array_equal(dec.valid_mask, valid)
+    np.testing.assert_array_equal(np.asarray(dec.values, np.int32), dense)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=4),
+                min_size=1, max_size=120))
+def test_fuzz_list_of_list(outer_list):
+    outer = np.array(outer_list, dtype=np.int64)
+    rng = np.random.default_rng(len(outer) * 31 + int(outer.sum()))
+    inner = rng.integers(0, 5, int(outer.sum())).astype(np.int64)
+    vals = rng.integers(0, 1 << 15, int(inner.sum())).astype(np.int32)
+    enc = chunkmod.encode_chunk(vals, "int32", chunkmod.PLAIN,
+                                row_lengths=outer, inner_lengths=inner)
+    dec = chunkmod.decode_chunk(enc.blob)
+    np.testing.assert_array_equal(dec.row_lengths, outer)
+    np.testing.assert_array_equal(dec.inner_lengths, inner)
+    np.testing.assert_array_equal(np.asarray(dec.values, np.int32), vals)
