@@ -156,8 +156,22 @@ def decode(buf, n_values: int, bit_width: int, pos: int = 0,
     lit_slices: list = []
     lit_counts: list[int] = []
     idx = 0
+    single_byte_val = vbytes == 1
     while idx < n_values:
-        header, pos = decode_uvarint(mv, pos)
+        # inlined ULEB128 (a function call per run adds up on run-dense
+        # level streams)
+        header = mv[pos]
+        pos += 1
+        if header >= 0x80:
+            header &= 0x7F
+            sh = 7
+            while True:
+                b = mv[pos]
+                pos += 1
+                header |= (b & 0x7F) << sh
+                if b < 0x80:
+                    break
+                sh += 7
         if header & 1:
             cnt = (header >> 1) * 8
             nb = (cnt * bit_width + 7) // 8
@@ -171,14 +185,26 @@ def decode(buf, n_values: int, bit_width: int, pos: int = 0,
             cnt = header >> 1
             if cnt == 0:
                 raise ValueError("corrupt RLE stream: zero-length run")
-            val = from_bytes(mv[pos: pos + vbytes], "little")
-            pos += vbytes
+            if single_byte_val:
+                val = mv[pos]
+                pos += 1
+            else:
+                val = from_bytes(mv[pos: pos + vbytes], "little")
+                pos += vbytes
             take = cnt if cnt <= n_values - idx else n_values - idx
             seg_kind.append(0)
             seg_take.append(take)
             rle_vals.append(val)
             rle_takes.append(take)
         idx += take
+
+    # fast paths: pure-RLE and pure-literal streams skip the interleave
+    if not lit_slices:
+        return np.repeat(np.asarray(rle_vals, dtype=out_dtype),
+                         np.asarray(rle_takes, dtype=np.int64)), pos
+    if not rle_vals and len(lit_slices) == 1:
+        return bitpack.unpack(lit_slices[0], n_values, bit_width,
+                              out_dtype), pos
 
     out = np.empty(n_values, dtype=out_dtype)
     rle_fill = np.repeat(
