@@ -228,6 +228,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup_fn.exact_dedup(docs)
     q["dedup_exact"] = dedup_exact
 
+    def dedup_tokens(spark: SparkSession, sf: str) -> DataFrame:
+        """Exact dedup over the token table itself: documents collapse by
+        md5 of their token stream (fixed-width shuffle keys; the
+        training-pipeline dedup runs on tokens, not raw text)."""
+        src = tokens_src.tokens_from_documents(spark, sf, NUM_PARTS)
+        tok_str = F.array_join(
+            F.transform("tokens", lambda x: x.cast("string")), " ")
+        return (src.groupBy(F.md5(tok_str).alias("content_hash"))
+                .agg(F.min(F.col("doc_id").cast("long")).alias("keep_id"))
+                .select(F.col("keep_id").cast("string").alias("doc_id")))
+    q["dedup_tokens"] = dedup_tokens
+
+    def vocab_topk(spark: SparkSession, sf: str) -> DataFrame:
+        """Vocabulary histogram over the token table: the 100 most frequent
+        token ids (count desc, id asc) — the first statistic any training
+        pipeline computes; one explode + hash aggregation."""
+        src = tokens_src.tokens_from_documents(spark, sf, NUM_PARTS)
+        return (src.select(F.explode("tokens").alias("token"))
+                .groupBy("token").agg(F.count("*").alias("n"))
+                .orderBy(F.desc("n"), F.asc("token")).limit(100))
+    q["vocab_topk"] = vocab_topk
+
     def token_count(spark: SparkSession, sf: str) -> DataFrame:
         docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
         return docs.select(
@@ -391,6 +413,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_exact":
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)",
+        "dedup_tokens": f"""
+            SELECT CAST(min(doc_id) AS VARCHAR) AS doc_id
+            FROM (SELECT doc_id,
+                         md5(coalesce(array_to_string(
+                             {tokens_src._TOKEN_EXPR_DUCKDB}, ' '), ''))
+                             AS content_hash
+                  FROM documents)
+            GROUP BY content_hash
+        """,
+        "vocab_topk": f"""
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (SELECT unnest({tokens_src._TOKEN_EXPR_DUCKDB}) AS token
+                  FROM documents)
+            GROUP BY token ORDER BY n DESC, token LIMIT 100
+        """,
         "token_count": """
             SELECT doc_id,
                    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words
