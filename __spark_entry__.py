@@ -174,6 +174,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           "n_tok", "source")
     q["rt_nullable"] = rt_nullable
 
+    def rt_typed(spark: SparkSession, sf: str) -> DataFrame:
+        """General flat-table round-trip: int64 / timestamp-as-int64 /
+        boolean / double / string columns derived from the events table
+        encode through the same pipeline and decode via the generic typed
+        operator — the engine is not token-table-specific."""
+        from parquet_cpp_spark.operators import encode as encode_op
+        from parquet_cpp_spark.operators.decode_arrow import \
+            decode_chunks_typed
+        cols = {"event_id": "int64", "ts_us": "int64",
+                "event_type": "byte_array", "value": "double",
+                "is_high": "boolean"}
+        ev = spark.read.parquet(os.path.join(sf, "events.parquet"))
+        # tz-free int64 from the NTZ timestamp: micros since a fixed epoch
+        ts_us = F.expr("timestampdiff(MICROSECOND, "
+                       "TIMESTAMP_NTZ '2020-01-01 00:00:00', ts)")
+        src = (ev.select(
+                   "event_id",
+                   ts_us.alias("ts_us"),
+                   "event_type",
+                   "value",
+                   (F.col("value") > 0.5).alias("is_high"))
+               .withColumn("part_id",
+                           F.pmod(F.xxhash64("event_id"), F.lit(NUM_PARTS))))
+        chunks = encode_op.encode_df(src, NUM_PARTS, columns=cols,
+                                     sort_key="event_id")
+        return (decode_chunks_typed(chunks, cols)
+                .select("event_id", "ts_us", "event_type", "value",
+                        "is_high"))
+    q["rt_typed"] = rt_typed
+
     def rt_salted(spark: SparkSession, sf: str) -> DataFrame:
         """Round-trip through the skew-aware salted partitioning path."""
         src = tokens_src.tokens_from_documents(spark, sf, NUM_PARTS) \
@@ -399,6 +429,15 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "rt_salted": identity,
+        "rt_typed": """
+            SELECT event_id,
+                   date_diff('microsecond',
+                             TIMESTAMP '2020-01-01 00:00:00', ts) AS ts_us,
+                   event_type,
+                   value,
+                   value > 0.5 AS is_high
+            FROM events
+        """,
         "chunk_stats_tokens": f"""
             SELECT doc_id % {NUM_PARTS} AS part_id,
                    COUNT(t) AS n_values,

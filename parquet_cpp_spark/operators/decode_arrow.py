@@ -167,3 +167,72 @@ def decode_parquet_direct(spark, chunks_path: str, slices_per_core: int = 2):
                 yield from _decode_table(tbl)
 
     return files_df.mapInArrow(task, schema=DECODED_SCHEMA)
+
+
+_SPARK_TYPES = {"int32": "int", "int64": "bigint", "float": "float",
+                "double": "double", "boolean": "boolean",
+                "byte_array": "string", "list<int32>": "array<int>"}
+
+
+def decode_chunks_typed(chunks_df, columns: dict[str, str],
+                        part_col: str = "part_id",
+                        assume_colocated: bool | None = None):
+    """Generic flat/list-table decode: ``columns`` maps column name ->
+    physical spec (the same specs the encode operators take). The engine is
+    not token-table-specific — any column set the encoders accept decodes
+    back through this (byte_array re-emerges as string, boolean/float/
+    double/int via their numpy dtypes)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..shipping import ensure_shipped
+    ensure_shipped(chunks_df.sparkSession)
+
+    if assume_colocated is None:
+        assume_colocated = getattr(chunks_df, "_pcs_colocated", False)
+    schema = "part_id bigint, " + ", ".join(
+        f"{c} {_SPARK_TYPES[p]}" for c, p in columns.items())
+
+    def _column_array(dec, phys):
+        if phys == "byte_array":
+            return _strings(dec.values)
+        if phys == "boolean":
+            return pa.array(np.asarray(dec.values, dtype=bool),
+                            type=pa.bool_())
+        if phys == "list<int32>":
+            offsets = np.zeros(len(dec.row_lengths) + 1, dtype=np.int32)
+            np.cumsum(dec.row_lengths, out=offsets[1:])
+            return pa.ListArray.from_arrays(
+                pa.array(offsets, type=pa.int32()),
+                pa.array(np.asarray(dec.values, np.int32),
+                         type=pa.int32()))
+        pa_t = {"int32": pa.int32(), "int64": pa.int64(),
+                "float": pa.float32(), "double": pa.float64()}[phys]
+        dt = {"int32": np.int32, "int64": np.int64,
+              "float": np.float32, "double": np.float64}[phys]
+        return pa.array(np.asarray(dec.values, dtype=dt), type=pa_t)
+
+    def task(batches):
+        batch_list = list(batches)
+        if not batch_list:
+            return
+        tbl = pa.Table.from_batches(batch_list)
+        part_ids = tbl.column("part_id").to_numpy(zero_copy_only=False)
+        cols = tbl.column("col").to_pylist()
+        blob_col = tbl.column("blob").combine_chunks()
+        by_part: dict[int, dict] = {}
+        for i, (pid, c) in enumerate(zip(part_ids.tolist(), cols)):
+            blob = memoryview(blob_col[i].as_buffer())
+            by_part.setdefault(pid, {})[c] = chunkmod.decode_chunk(blob)
+        for pid in sorted(by_part):
+            decs = by_part[pid]
+            n = next(iter(decs.values())).n_rows
+            arrays = [pa.array(np.full(n, pid, dtype=np.int64),
+                               type=pa.int64())]
+            for c, phys in columns.items():
+                arrays.append(_column_array(decs[c], phys))
+            yield pa.RecordBatch.from_arrays(
+                arrays, names=["part_id", *columns.keys()])
+
+    src = chunks_df if assume_colocated else chunks_df.repartition(part_col)
+    return src.mapInArrow(task, schema=schema)

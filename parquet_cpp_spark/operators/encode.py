@@ -56,7 +56,8 @@ def _column_values(pdf: pd.DataFrame, col: str, phys: str):
         arr = pa.Array.from_pandas(
             s, type=pa.binary() if as_bytes else pa.string())
         return ba.from_arrow(arr), None, None
-    dt = np.int32 if phys == "int32" else np.int64
+    dt = {"int32": np.int32, "int64": np.int64, "float": np.float32,
+          "double": np.float64, "boolean": bool}[phys]
     return pdf[col].to_numpy(dtype=dt, copy=False), None, None
 
 

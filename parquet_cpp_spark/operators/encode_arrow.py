@@ -58,7 +58,8 @@ def _arrow_column_values(tbl, col: str, phys: str):
     if phys == "byte_array":
         from ..kernels import ba
         return ba.from_arrow(column), None, None
-    dt = np.int32 if phys == "int32" else np.int64
+    dt = {"int32": np.int32, "int64": np.int64, "float": np.float32,
+          "double": np.float64, "boolean": bool}[phys]
     return (column.to_numpy(zero_copy_only=False).astype(dt, copy=False),
             None, None)
 
