@@ -87,6 +87,13 @@ def cmd_blob(path: str) -> None:
     head = vals[:10].tolist() if isinstance(vals, np.ndarray) \
         else list(vals[:10])
     print(f"first values: {head}")
+    if blob[4] == chunkmod.VERSION_PAGED:
+        print("pages:")
+        for p in chunkmod.page_index(blob):
+            print(f"  rows [{p['row_start']}, {p['row_end']})  "
+                  f"n_values={p['n_values']}  "
+                  f"codec={chunkmod.CODEC_NAMES[p['codec']]}  "
+                  f"min={p['min']!r} max={p['max']!r}")
 
 
 def main(argv=None) -> None:
