@@ -152,12 +152,22 @@ def encode_df(df, num_parts: int, part_col: str = "part_id",
               sort_key: str | None = "doc_id",
               bloom_columns: set[str] | frozenset[str] = frozenset(),
               props: "object | None" = None,
-              page_size: int | None = chunkmod.DEFAULT_PAGE_SIZE):
+              page_size: int | None = chunkmod.DEFAULT_PAGE_SIZE,
+              use_pandas: bool = False):
     """DataFrame in (must already carry ``part_col``) -> chunk DataFrame.
 
-    The groupBy is the engine's single shuffle; partitioning strategy
-    (explicit key, salting) is the caller's job (see plans.encode_job).
-    """
+    One repartition on ``part_col`` is the engine's single shuffle;
+    partitioning strategy (explicit key, salting) is the caller's job
+    (see plans.encode_job). The default implementation is Arrow-native
+    (``encode_arrow.encode_df_arrow``: values straight from Arrow buffers,
+    whole partitions per task); ``use_pandas=True`` keeps the historical
+    applyInPandas operator (same blobs — both sort by ``sort_key`` and
+    extract values through Arrow)."""
+    if not use_pandas:
+        from .encode_arrow import encode_df_arrow
+        return encode_df_arrow(df, num_parts, part_col, columns,
+                               codec_overrides, dict_size_limit, sort_key,
+                               bloom_columns, props, page_size)
     from ..shipping import ensure_shipped
     ensure_shipped(df.sparkSession)
     fn = make_encode_fn(columns, codec_overrides, dict_size_limit, sort_key,

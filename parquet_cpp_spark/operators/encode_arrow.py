@@ -97,18 +97,9 @@ def make_arrow_encode_fn(columns: dict[str, str] | None = None,
         ("bloom", pa.binary()), ("blob", pa.binary()),
     ])
 
-    def encode_task(batches):
-        batch_list = list(batches)
-        if not batch_list:
-            return
-        tbl = pa.Table.from_batches(batch_list)
-        if tbl.num_rows == 0:
-            return
-        first_id = tbl.column("doc_id")[0].as_py()
-        digest = hashlib.sha256(
-            f"{first_id}|{tbl.num_rows}".encode()).digest()
-        part_id = int.from_bytes(digest[:8], "little", signed=False) >> 1
-
+    def encode_part(tbl, part_id: int,
+                    bloom_columns: "set | frozenset" = frozenset()):
+        """One partition's Arrow table -> one chunk-row RecordBatch."""
         rows = {k: [] for k in out_schema.names}
         n_rows_seen = set()
         for col, phys in columns.items():
@@ -124,6 +115,15 @@ def make_arrow_encode_fn(columns: dict[str, str] | None = None,
                 page_size=page_size,
                 elem_valid=elem_valid,
                 data_page_version=data_page_version)
+            bloom_blob = None
+            if col in bloom_columns and phys == "byte_array":
+                # per-chunk split-block bloom for point-lookup pruning
+                # (reference: bloom_filter.h:119-240)
+                from ..kernels import bloom as bloom_mod
+                bf = bloom_mod.BlockSplitBloomFilter(
+                    bloom_mod.optimal_num_bytes(len(values), 0.01))
+                bf.insert_bytes(values)
+                bloom_blob = bf.serialize()
             st = enc.stats
             rows["part_id"].append(part_id)
             rows["col"].append(col)
@@ -137,14 +137,30 @@ def make_arrow_encode_fn(columns: dict[str, str] | None = None,
             rows["min_val"].append(st.min_val if st else None)
             rows["max_val"].append(st.max_val if st else None)
             rows["checksum"].append(hashlib.sha256(enc.blob).hexdigest())
-            rows["bloom"].append(None)
+            rows["bloom"].append(bloom_blob)
             rows["blob"].append(enc.blob)
             n_rows_seen.add(enc.n_rows)
         if len(n_rows_seen) > 1:
+            # cross-column row-count consistency, as the reference enforces
+            # per row group (file_writer.cc:129-140)
             raise ValueError(
                 f"row-count mismatch across columns: {n_rows_seen}")
-        yield pa.RecordBatch.from_pydict(rows, schema=out_schema)
+        return pa.RecordBatch.from_pydict(rows, schema=out_schema)
 
+    def encode_task(batches):
+        batch_list = list(batches)
+        if not batch_list:
+            return
+        tbl = pa.Table.from_batches(batch_list)
+        if tbl.num_rows == 0:
+            return
+        first_id = tbl.column("doc_id")[0].as_py()
+        digest = hashlib.sha256(
+            f"{first_id}|{tbl.num_rows}".encode()).digest()
+        part_id = int.from_bytes(digest[:8], "little", signed=False) >> 1
+        yield encode_part(tbl, part_id)
+
+    encode_task.encode_part = encode_part
     return encode_task
 
 
@@ -160,4 +176,67 @@ def encode_scan_local(df, columns: dict[str, str] | None = None,
                               props)
     out = df.mapInArrow(fn, schema=CHUNK_SCHEMA)
     out._pcs_colocated = True  # one part's whole chunk set per scan task
+    return out
+
+
+def make_grouped_arrow_encode_fn(columns: dict[str, str] | None = None,
+                                 codec_overrides: dict[str, str] | None = None,
+                                 dict_size_limit: int = 1 << 20,
+                                 props: "object | None" = None,
+                                 page_size: int | None =
+                                 chunkmod.DEFAULT_PAGE_SIZE,
+                                 sort_key: str | None = "doc_id",
+                                 bloom_columns=frozenset()):
+    """mapInArrow task for the explicit-partitioning pipeline: the input was
+    repartitioned on part_id, so a task may hold several whole partitions;
+    each is sorted by ``sort_key`` (deterministic blobs across retries, like
+    the applyInPandas path) and encoded straight from Arrow buffers — no
+    pandas object churn on the list column."""
+    import pyarrow as pa
+
+    if props is not None:
+        sort_key = props.sort_key
+        bloom_columns = bloom_columns or props.bloom_columns
+    base = make_arrow_encode_fn(columns, codec_overrides, dict_size_limit,
+                                props, page_size)
+
+    def task(batches):
+        import pyarrow.compute as pc
+
+        batch_list = list(batches)
+        if not batch_list:
+            return
+        tbl = pa.Table.from_batches(batch_list)
+        if tbl.num_rows == 0:
+            return
+        pids = tbl.column("part_id")
+        uniq = np.unique(pids.to_numpy(zero_copy_only=False))
+        for pid in uniq.tolist():
+            sub = tbl.filter(pc.equal(pids, pa.scalar(int(pid),
+                                                      type=pids.type)))
+            if sort_key is not None and sort_key in sub.column_names:
+                sub = sub.sort_by([(sort_key, "ascending")])
+            yield base.encode_part(sub, int(pid), bloom_columns)
+
+    return task
+
+
+def encode_df_arrow(df, num_parts: int, part_col: str = "part_id",
+                    columns: dict[str, str] | None = None,
+                    codec_overrides: dict[str, str] | None = None,
+                    dict_size_limit: int = 1 << 20,
+                    sort_key: str | None = "doc_id",
+                    bloom_columns=frozenset(),
+                    props: "object | None" = None,
+                    page_size: int | None = chunkmod.DEFAULT_PAGE_SIZE):
+    """Arrow-native grouped encode: one repartition on ``part_col`` (the
+    engine's single shuffle), then whole partitions encode per task."""
+    from ..shipping import ensure_shipped
+    ensure_shipped(df.sparkSession)
+    fn = make_grouped_arrow_encode_fn(columns, codec_overrides,
+                                      dict_size_limit, props, page_size,
+                                      sort_key, bloom_columns)
+    out = df.repartition(num_parts, part_col).mapInArrow(
+        fn, schema=CHUNK_SCHEMA)
+    out._pcs_colocated = True  # whole partitions per task
     return out
