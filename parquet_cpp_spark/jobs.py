@@ -33,11 +33,15 @@ def cmd_encode(args) -> None:
 
     overrides = dict(kv.split("=") for kv in (args.codec or []))
     props = None
-    if args.compression != "UNCOMPRESSED" or args.no_dictionary:
-        from .properties import WriterProperties
+    if (args.compression != "UNCOMPRESSED" or args.no_dictionary
+            or args.pagesize is not None or args.format_version != "V1"):
+        from .properties import DEFAULT_DATA_PAGESIZE, WriterProperties
         props = WriterProperties(codec_overrides=overrides,
                                  dictionary_enabled=not args.no_dictionary,
-                                 compression=args.compression)
+                                 compression=args.compression,
+                                 data_pagesize=args.pagesize
+                                 or DEFAULT_DATA_PAGESIZE,
+                                 format_version=args.format_version)
     if args.resume or args.shuffle:
         df = read_tokens(spark, args.input)
         num_parts = args.parts or encode_job.plan_num_parts(df.count())
@@ -108,6 +112,12 @@ def main(argv=None) -> None:
     enc.add_argument("--no-dictionary", action="store_true",
                      help="disable dictionary encoding (reference "
                           "enable_dictionary(false))")
+    enc.add_argument("--pagesize", type=int, default=None,
+                     help="page flush threshold in bytes (reference "
+                          "DEFAULT_PAGE_SIZE = 1 MiB)")
+    enc.add_argument("--format-version", default="V1", choices=["V1", "V2"],
+                     help="data page layout (V2: levels outside the "
+                          "compressed block)")
     enc.add_argument("--resume", action="store_true",
                      help="checkpointed mode with manifest resume")
     enc.add_argument("--shuffle", action="store_true",
