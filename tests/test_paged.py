@@ -167,3 +167,37 @@ def test_point_lookup_page_pruning():
     assert len(cands) == 1  # stats prune to one page
     rows = _find_rows(enc.blob, key)
     assert rows == [31337]
+
+
+def test_paged_dict_fallback_on_list_column_with_partial_reads():
+    """The hardest interaction: list column + chunk-global dictionary +
+    mid-stream fallback + small pages + partial reads across the
+    dict->plain flip, with and without per-page compression / V2 layout."""
+    rng = np.random.default_rng(99)
+    lengths = rng.integers(0, 50, 4000).astype(np.int64)
+    n = int(lengths.sum())
+    half = n // 2
+    vals = np.concatenate(
+        [rng.integers(0, 100, half),
+         np.arange(1_000_000, 1_000_000 + (n - half))]).astype(np.int32)
+    cum = np.concatenate(([0], np.cumsum(lengths)))
+    for compression, dpv in [(chunkmod.UNCOMPRESSED, 1),
+                             (chunkmod.GZIP, 1), (chunkmod.GZIP, 2)]:
+        enc = chunkmod.encode_chunk(vals, "int32",
+                                    chunkmod.RLE_DICTIONARY,
+                                    row_lengths=lengths,
+                                    page_size=16 << 10,
+                                    dict_size_limit=4 << 10,
+                                    compression=compression,
+                                    data_page_version=dpv)
+        assert enc.blob[4] == chunkmod.VERSION_PAGED
+        codecs = {p["codec"] for p in chunkmod.page_index(enc.blob)}
+        assert codecs == {chunkmod.RLE_DICTIONARY, chunkmod.PLAIN}
+        dec = chunkmod.decode_chunk(enc.blob)
+        np.testing.assert_array_equal(np.asarray(dec.values, np.int32),
+                                      vals)
+        np.testing.assert_array_equal(dec.row_lengths, lengths)
+        for lo, hi in [(0, 5), (1990, 2010), (3995, 4000)]:
+            d = chunkmod.decode_chunk_rows(enc.blob, lo, hi)
+            np.testing.assert_array_equal(np.asarray(d.values, np.int32),
+                                          vals[cum[lo]: cum[hi]])
