@@ -112,10 +112,9 @@ def main() -> None:
     spark = _session(cpus_xlow)
     _warmup(spark)
     from pyspark.sql import functions as F  # noqa: F811
-    from parquet_cpp_spark.sources.parquet_direct import encode_parquet_direct
-    t0 = time.perf_counter()
-    encode_parquet_direct(spark, path).agg(F.sum("enc_bytes")).collect()
-    t_xlow = time.perf_counter() - t0
+    # best-of-2 like the other levels: this leg anchors the headline
+    # (2->8) scaling pair, so single-run noise would dominate the ratio
+    t_xlow, _ = _encode_direct_run(spark, path)
     spark.stop()
     queries[f"encode_local{cpus_xlow}"] = round(t_xlow, 3)
 

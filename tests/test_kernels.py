@@ -246,3 +246,29 @@ def test_fsst_roundtrip_edge():
 def test_fsst_deterministic():
     vals = [f"doc-{i:06d}".encode() for i in range(200)]
     assert fsst.encode(vals) == fsst.encode(list(vals))
+
+
+# --- ba.ByteArrayView primitives ---
+
+def test_ba_view_primitives():
+    import numpy as np
+    from parquet_cpp_spark.kernels import ba
+    vals = [b"", b"a", b"hello", b"\x00\xff" * 5, b"zz"]
+    v = ba.from_list(vals)
+    assert len(v) == 5 and list(v) == vals and v == vals
+    assert v[2] == b"hello"
+    assert v[1:4] == vals[1:4]
+    np.testing.assert_array_equal(v.lengths, [0, 1, 5, 10, 2])
+    # take / concat / slice
+    t = ba.take(v, np.array([4, 0, 2, 2]))
+    assert t == [b"zz", b"", b"hello", b"hello"]
+    c = ba.concat(ba.slice_rows(v, 0, 2), ba.slice_rows(v, 3, 5))
+    assert c == [b"", b"a", b"\x00\xff" * 5, b"zz"]
+    # arrow round-trip (zero-copy both ways)
+    assert ba.from_arrow(ba.to_arrow(v)) == vals
+    mn, mx = ba.minmax(v)
+    assert mn == b"" and mx == b"zz"
+    # empty
+    e = ba.from_list([])
+    assert len(e) == 0 and ba.to_list(e) == []
+    assert ba.take(e, np.array([], dtype=np.int64)) == []
