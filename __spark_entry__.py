@@ -280,6 +280,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy(F.desc("n"), F.asc("token")).limit(100))
     q["vocab_topk"] = vocab_topk
 
+    def training_subset(spark: SparkSession, sf: str) -> DataFrame:
+        """Composed curation pipeline: exact-dedup survivors that pass a
+        quality window (stopword ratio, length) and a language gate — the
+        selection step every training-data pipeline runs before
+        tokenization. One shuffle (dedup) + scan-side filters."""
+        from parquet_cpp_spark.functions import dedup as dedup_fn
+        from parquet_cpp_spark.functions import text as text_fn
+        docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+        keep = dedup_fn.exact_dedup(docs)  # canonical doc per content group
+        feats = text_fn.quality_features(docs)
+        lang = text_fn.lang_id(docs)
+        return (docs.join(keep, "doc_id")
+                .join(feats, "doc_id").join(lang, "doc_id")
+                .filter((F.col("stopword_pct") >= 5)
+                        & (F.col("n_words") >= 20)
+                        & (F.col("lang_pred") == "en"))
+                .select("doc_id", "n_words", "stopword_pct"))
+    q["training_subset"] = training_subset
+
     def token_count(spark: SparkSession, sf: str) -> DataFrame:
         docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
         return docs.select(
@@ -460,6 +479,36 @@ def oracle_sql() -> dict[str, str]:
                              AS content_hash
                   FROM documents)
             GROUP BY content_hash
+        """,
+        "training_subset": """
+            WITH keep AS (
+                SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+            feats AS (
+                SELECT doc_id,
+                       CAST(len(string_split(text, ' ')) AS INTEGER)
+                           AS n_words,
+                       CAST(floor(100 * len(list_filter(
+                           string_split(text, ' '),
+                           w -> list_contains(['the','a','of','and','to'],
+                                              w)))
+                           / len(string_split(text, ' '))) AS INTEGER)
+                           AS stopword_pct,
+                       CASE WHEN contains(' ' || text || ' ', ' the ')
+                            THEN 'en'
+                            WHEN contains(' ' || text || ' ', ' der ')
+                            THEN 'de'
+                            WHEN contains(' ' || text || ' ', ' le ')
+                            THEN 'fr'
+                            WHEN contains(' ' || text || ' ', ' el ')
+                            THEN 'es'
+                            WHEN contains(' ' || text || ' ', ' de ')
+                            THEN 'zh'
+                            ELSE 'und' END AS lang_pred
+                FROM documents)
+            SELECT f.doc_id, f.n_words, f.stopword_pct
+            FROM feats f JOIN keep k ON f.doc_id = k.doc_id
+            WHERE f.stopword_pct >= 5 AND f.n_words >= 20
+              AND f.lang_pred = 'en'
         """,
         "vocab_topk": f"""
             SELECT token, CAST(COUNT(*) AS BIGINT) AS n
