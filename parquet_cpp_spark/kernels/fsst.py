@@ -42,7 +42,12 @@ TRAIN_ITERATIONS = 5
 
 
 def train(values) -> list[bytes]:
-    """Build a deterministic symbol table from a sample of the input."""
+    """Build a deterministic symbol table from a sample of the input.
+
+    Each iteration greedily tokenizes the sample with the current table
+    (vectorized frontier rounds, same matcher as encode) and counts token
+    and adjacent-pair occurrences; gains = count * len, ranked
+    (gain desc, bytes asc)."""
     sample: list[bytes] = []
     budget = SAMPLE_BYTES
     for v in values:
@@ -50,24 +55,12 @@ def train(values) -> list[bytes]:
             break
         sample.append(v[: min(len(v), budget)])
         budget -= len(v)
+    view = ba.from_list(sample)
     symbols: list[bytes] = []
     for _ in range(TRAIN_ITERATIONS):
-        tables = _build_tables(symbols)
-        sym_count: dict[bytes, int] = {}
-        pair_count: dict[bytes, int] = {}
-        for s in sample:
-            prev: bytes | None = None
-            i, ln = 0, len(s)
-            while i < ln:
-                m = _longest_match(s, i, ln, tables)
-                cur = s[i: i + m] if m else s[i: i + 1]
-                sym_count[cur] = sym_count.get(cur, 0) + 1
-                if prev is not None:
-                    cat = prev + cur
-                    if len(cat) <= MAX_SYMBOL_LEN:
-                        pair_count[cat] = pair_count.get(cat, 0) + 1
-                prev = cur
-                i += m if m else 1
+        tokens, sids = _tokenize(view, _lookup_arrays(symbols))
+        sym_count = _count_values(tokens)
+        pair_count = _count_values(_adjacent_pairs(tokens, sids))
         gains: dict[bytes, int] = {}
         for sym, cnt in sym_count.items():
             gains[sym] = max(gains.get(sym, 0), cnt * len(sym))
@@ -76,6 +69,116 @@ def train(values) -> list[bytes]:
         ranked = sorted(gains.items(), key=lambda kv: (-kv[1], kv[0]))
         symbols = [sym for sym, _ in ranked[:MAX_SYMBOLS]]
     return symbols
+
+
+def _count_values(view: ba.ByteArrayView) -> dict[bytes, int]:
+    """value -> count over a byte-array view (Arrow C hash table)."""
+    import pyarrow.compute as pc
+
+    if len(view) == 0:
+        return {}
+    vc = pc.value_counts(ba.to_arrow(view))
+    return {v.as_py(): c.as_py()
+            for v, c in zip(vc.field("values"), vc.field("counts"))}
+
+
+def _adjacent_pairs(tokens: ba.ByteArrayView,
+                    sids: np.ndarray) -> ba.ByteArrayView:
+    """Concatenations of adjacent same-string token pairs, length-capped at
+    MAX_SYMBOL_LEN — the trainer's pair candidates."""
+    n = len(tokens)
+    if n < 2:
+        return ba.from_list([])
+    lens = tokens.lengths
+    pair_len = lens[:-1] + lens[1:]
+    ok = (sids[1:] == sids[:-1]) & (pair_len <= MAX_SYMBOL_LEN)
+    idx = np.flatnonzero(ok)
+    if not len(idx):
+        return ba.from_list([])
+    left = ba.take(tokens, idx)
+    right = ba.take(tokens, idx + 1)
+    # interleave left[i]+right[i]: offsets of the pair view
+    out_lens = left.lengths + right.lengths
+    offsets = np.zeros(len(idx) + 1, dtype=np.int64)
+    np.cumsum(out_lens, out=offsets[1:])
+    data = np.empty(int(offsets[-1]), dtype=np.uint8)
+    # left halves then right halves, scattered into their pair slots
+    ldst = np.repeat(offsets[:-1], left.lengths) + \
+        (np.arange(left.total_bytes, dtype=np.int64)
+         - np.repeat(left.offsets[:-1], left.lengths))
+    data[ldst] = left.data
+    rdst = np.repeat(offsets[:-1] + left.lengths, right.lengths) + \
+        (np.arange(right.total_bytes, dtype=np.int64)
+         - np.repeat(right.offsets[:-1], right.lengths))
+    data[rdst] = right.data
+    return ba.ByteArrayView(data, offsets)
+
+
+def _tokenize(view: ba.ByteArrayView, lookup):
+    """Greedy tokenization of every string (frontier rounds): returns
+    (tokens as a view in (string, position) order, string id per token).
+    Escapes yield their single raw byte as the token, exactly like the
+    scalar trainer's ``s[i:i+1]``."""
+    data, offs, lens = view.data, view.offsets, view.lengths
+    n = len(view)
+    dpad = np.concatenate([data, np.zeros(MAX_SYMBOL_LEN, dtype=np.uint8)])
+    win = np.arange(MAX_SYMBOL_LEN, dtype=np.int64)
+    masks = {L: np.uint64((1 << (8 * L)) - 1) if L < 8
+             else np.uint64(0xFFFFFFFFFFFFFFFF) for L, _, _ in lookup}
+    pos = offs[:-1].copy()
+    active = np.flatnonzero(lens > 0)
+    tok_sid, tok_pos, tok_len, tok_round = [], [], [], []
+    r = 0
+    while len(active):
+        p = pos[active]
+        rem = offs[active + 1] - p
+        w = np.ascontiguousarray(dpad[p[:, None] + win]).view("<u8").ravel()
+        step = np.ones(len(active), dtype=np.int64)
+        unmatched = np.ones(len(active), dtype=bool)
+        for L, keys, _codes in lookup:
+            cand = np.flatnonzero(unmatched & (rem >= L))
+            if not len(cand):
+                continue
+            k = w[cand] & masks[L]
+            idx = np.searchsorted(keys, k)
+            hit = np.flatnonzero(
+                (idx < len(keys)) & (keys[np.minimum(idx, len(keys) - 1)]
+                                     == k))
+            if not len(hit):
+                continue
+            rows = cand[hit]
+            step[rows] = L
+            unmatched[rows] = False
+        tok_sid.append(active.copy())
+        tok_pos.append(p)
+        tok_len.append(step.copy())
+        tok_round.append(np.full(len(active), r, dtype=np.int64))
+        pos[active] = p + step
+        active = active[pos[active] < offs[active + 1]]
+        r += 1
+    if not tok_sid:
+        return ba.from_list([]), np.zeros(0, dtype=np.int64)
+    sid = np.concatenate(tok_sid)
+    tpos = np.concatenate(tok_pos)
+    tlen = np.concatenate(tok_len)
+    rnd = np.concatenate(tok_round)
+    ntok = np.bincount(sid, minlength=n)
+    base = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(ntok, out=base[1:])
+    slot = base[sid] + rnd
+    pos_o = np.empty_like(tpos)
+    len_o = np.empty_like(tlen)
+    sid_o = np.empty_like(sid)
+    pos_o[slot] = tpos
+    len_o[slot] = tlen
+    sid_o[slot] = sid
+    # gather token bytes into a view
+    offsets = np.zeros(len(len_o) + 1, dtype=np.int64)
+    np.cumsum(len_o, out=offsets[1:])
+    total = int(offsets[-1])
+    intra = np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1], len_o)
+    tok_data = data[np.repeat(pos_o, len_o) + intra]
+    return ba.ByteArrayView(tok_data, offsets), sid_o
 
 
 def _build_tables(symbols: list[bytes]):
