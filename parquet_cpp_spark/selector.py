@@ -157,16 +157,12 @@ def estimate_bytes_sizes(values: list[bytes]) -> dict[int, float]:
 
     est[chunkmod.DELTA_LENGTH_BYTE_ARRAY] = total_payload + 1.1 * n
 
-    # DELTA_BYTE_ARRAY pays only suffixes; sample adjacent common prefixes.
+    # DELTA_BYTE_ARRAY pays only suffixes; sample adjacent common prefixes
+    # (vectorized pair compare, capped at 16 bytes like the old estimate).
     if sn > 1:
-        pref = 0
-        for a, b in zip(s[:-1], s[1:]):
-            m = min(len(a), len(b), 16)
-            i = 0
-            while i < m and a[i] == b[i]:
-                i += 1
-            pref += i
-        avg_pref = pref / (sn - 1)
+        from .kernels.bytearray_codecs import _prefix_lengths
+        plens = np.minimum(_prefix_lengths(ba.from_list(s)), 16)
+        avg_pref = float(plens[1:].mean())
         est[chunkmod.DELTA_BYTE_ARRAY] = max(
             0.0, total_payload - avg_pref * n) + 2.2 * n
 
