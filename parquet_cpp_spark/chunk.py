@@ -822,8 +822,17 @@ def _encode_chunk_paged(values, phys: str, codec: int, *,
     vbounds = _page_value_bounds(values, phys, page_size, ratio)
     if codec == RLE_DICTIONARY and 0 < split < n_values:
         # the dict->PLAIN fallback point closes a page, so the page sequence
-        # is [indexed pages..., plain pages...] like the reference's
-        vbounds = np.unique(np.concatenate((vbounds, [split])))
+        # is [indexed pages..., plain pages...] like the reference's; for
+        # list columns the split must land on a row boundary BEFORE the
+        # page bounds are row-aligned, else a page spans it and the
+        # encodings metadata overstates dictionary coverage (values in the
+        # rounded-down gap encode PLAIN, which is always valid)
+        if has_levels:
+            cum = np.zeros(len(row_lengths) + 1, dtype=np.int64)
+            np.cumsum(row_lengths, out=cum[1:])
+            split = int(cum[np.searchsorted(cum, split, side="right") - 1])
+        if 0 < split < n_values:
+            vbounds = np.unique(np.concatenate((vbounds, [split])))
     if has_levels:
         rbounds, vbounds = _rows_for_value_bounds(row_lengths, vbounds)
     else:
@@ -1091,6 +1100,13 @@ def decode_chunk_rows(blob, row_start: int, row_stop: int) -> DecodedChunk:
 
 def _trim_decoded(dec: DecodedChunk, row_start: int,
                   row_stop: int) -> DecodedChunk:
+    if dec.valid_mask is not None or dec.inner_lengths is not None:
+        # the dense value slice below is indexed by logical row, which is
+        # wrong once nulls (valid_mask) or deep levels (inner_lengths) space
+        # the values out — refuse rather than silently mis-slice
+        raise ValueError(
+            "partial decode (decode_chunk_rows) does not support chunks "
+            "with nulls or nested levels; decode the full chunk instead")
     row_start = max(0, row_start)
     if dec.row_lengths is not None:
         row_stop = min(row_stop, len(dec.row_lengths))

@@ -362,6 +362,11 @@ def decode_view(buf, pos: int = 0) -> tuple[ba.ByteArrayView, int]:
         p = cur[active]
         c = enc[p].astype(np.int64)
         esc = c == ESCAPE
+        if np.any(esc & (p + 1 >= eoffs[active + 1])):
+            # an ESCAPE token must be followed by its literal byte inside
+            # the same string; a trailing ESCAPE is a corrupt stream (the
+            # clamped read below would fabricate a literal)
+            raise ValueError("corrupt FSST stream: escape at end of string")
         lit = enc[np.minimum(p + 1, max(total_enc - 1, 0))]
         tok_sid.append(active.copy())
         tok_code.append(c)

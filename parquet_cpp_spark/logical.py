@@ -55,6 +55,17 @@ def flba_to_decimal(values, width: int) -> np.ndarray:
     if n == 0:
         return np.zeros(0, dtype=np.int64)
     mat = view.data.reshape(n, width).astype(np.int64)
+    if width > 8:
+        # int64 holds only the low 8 bytes: every byte above them must be
+        # pure sign extension of bit 63, else the unscaled value (precision
+        # 19-38 written by another engine) would silently wrap
+        sign = np.where(mat[:, width - 8] >= 128, 0xFF, 0x00)
+        if np.any(mat[:, : width - 8] != sign[:, None]):
+            raise ValueError(
+                "decimal unscaled value exceeds int64; widths > 8 are only "
+                "supported when the magnitude fits 8 bytes")
+        mat = mat[:, width - 8:]
+        width = 8
     # sign-extend from the top byte, then accumulate big-endian
     out = np.where(mat[:, 0] >= 128, mat[:, 0] - 256, mat[:, 0])
     for k in range(1, width):

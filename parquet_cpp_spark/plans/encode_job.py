@@ -145,7 +145,14 @@ def run_checkpointed(spark, df: DataFrame, out_dir: str, num_parts: int,
     # adopted into the manifest below.
     orphan_ok = None
     if os.path.exists(chunks_path):
-        have = spark.read.parquet(chunks_path).select("part_id").distinct()
+        # the chunks dataset is hive-partitioned by part_id, so the set of
+        # already-written partitions is just the part_id=* directory names —
+        # no need to scan the (at 100 TB, enormous) parquet footprint
+        have_ids = sorted(
+            int(d.split("=", 1)[1]) for d in os.listdir(chunks_path)
+            if d.startswith("part_id="))
+        have = spark.createDataFrame([(p,) for p in have_ids],
+                                     "part_id bigint")
         todo_df = todo_df.join(F.broadcast(have), "part_id", "left_anti")
         orphan_ok = have
 

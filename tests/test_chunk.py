@@ -144,3 +144,77 @@ def test_golden_bytes_stable():
     with open(path) as f:
         frozen = json.load(f)
     assert goldens == frozen
+
+
+def test_trim_decoded_rejects_nulls_and_deep_levels():
+    """ADVICE r2: partial reads must refuse chunks whose dense values are
+    spaced by a valid_mask or deep levels instead of mis-slicing them."""
+    vals = np.arange(30, dtype=np.int64)
+    mask = (vals % 3 != 0)
+    enc = chunkmod.encode_chunk(vals, "int64", chunkmod.PLAIN,
+                                valid_mask=mask)
+    with pytest.raises(ValueError, match="nulls or nested levels"):
+        chunkmod.decode_chunk_rows(enc.blob, 10, 20)
+
+
+def test_paged_dict_fallback_split_row_aligned():
+    """ADVICE r2: the dict->PLAIN split for list columns must land on a row
+    boundary so no page spans it (pages are [dict..., plain...])."""
+    rng = np.random.default_rng(3)
+    # low-cardinality head then high-cardinality tail to force fallback
+    head = rng.integers(0, 4, 6000).astype(np.int64)
+    tail = rng.integers(0, 1 << 62, 6000).astype(np.int64)
+    vals = np.concatenate([head, tail])
+    row_lengths = np.full(1200, 10, dtype=np.int64)  # 12000 values
+    enc = chunkmod.encode_chunk(vals, "int64", chunkmod.RLE_DICTIONARY,
+                                row_lengths=row_lengths,
+                                dict_size_limit=1 << 15,
+                                page_size=16 << 10)
+    pages = chunkmod.page_index(enc.blob)
+    codecs = [p["codec"] for p in pages]
+    if chunkmod.PLAIN in codecs:  # fallback happened
+        first_plain = codecs.index(chunkmod.PLAIN)
+        assert all(c == chunkmod.PLAIN for c in codecs[first_plain:])
+        # split page boundary is row-aligned by construction of page_index
+        assert pages[first_plain]["row_start"] * 10 == sum(
+            p["n_values"] for p in pages[:first_plain])
+    dec = chunkmod.decode_chunk(enc.blob)
+    assert np.array_equal(dec.values, vals)
+
+
+def test_flba_to_decimal_overflow_raises():
+    """ADVICE r2: wide decimals whose magnitude exceeds int64 must raise,
+    not wrap."""
+    from parquet_cpp_spark import logical
+    ok = (123456789).to_bytes(16, "big", signed=True)
+    wide = (1 << 70).to_bytes(16, "big", signed=True)
+    out = logical.flba_to_decimal([ok, ok], 16)
+    assert list(out) == [123456789, 123456789]
+    with pytest.raises(ValueError, match="exceeds int64"):
+        logical.flba_to_decimal([ok, wide], 16)
+    neg = (-(1 << 70)).to_bytes(16, "big", signed=True)
+    with pytest.raises(ValueError, match="exceeds int64"):
+        logical.flba_to_decimal([neg], 16)
+    ok_neg = (-42).to_bytes(16, "big", signed=True)
+    assert list(logical.flba_to_decimal([ok_neg], 16)) == [-42]
+
+
+def test_fsst_trailing_escape_raises():
+    """ADVICE r2: a corrupt FSST stream whose string ends in a bare ESCAPE
+    (no literal byte after it) must raise, not fabricate a literal."""
+    from parquet_cpp_spark.kernels import delta, fsst
+
+    # round-trip sanity: a legitimate trailing ESCAPE literal decodes
+    data = [b"xyz" + bytes([fsst.ESCAPE])]
+    good = fsst.encode(data)
+    view, _ = fsst.decode_view(good)
+    assert bytes(view[0]) == data[0]
+
+    # hand-craft a corrupt blob: empty symbol table, one string, enc_len=1,
+    # payload = [ESCAPE] — the escape starts at the last byte of the string
+    lens_blob = delta.encode(np.array([1], dtype=np.int64))
+    corrupt = (bytes([0]) + (1).to_bytes(4, "little")
+               + len(lens_blob).to_bytes(4, "little") + lens_blob
+               + bytes([fsst.ESCAPE]))
+    with pytest.raises(ValueError, match="escape at end"):
+        fsst.decode_view(corrupt)
