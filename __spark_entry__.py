@@ -65,6 +65,201 @@ def _ann_ip_lsh_oracle_sql(probe_ids=(0, 1, 2, 3, 4), k: int = 10,
     """
 
 
+_COS_SCORE_SQL = ("CASE WHEN dot >= 0 "
+                  "THEN (1000000 * dot * dot) // (na2 * nb2) "
+                  "ELSE -((1000000 * dot * dot) // (na2 * nb2)) END")
+
+# embeddings quantized to the cosine-family integer grid (scale 100); BIGINT
+# elements so 1e6*dot^2 stays exact (list_dot_product returns DOUBLE, exact
+# only below 2^53 — every dot is CAST to BIGINT before multiplying)
+_COS_QE_SQL = ("list_transform(embedding, "
+               "x -> CAST(floor(CAST(x AS DOUBLE) * 100 + 0.5) AS BIGINT))")
+
+
+def _cos_bucket_sql(n_planes: int, dim: int = 64, seed: int = 7) -> str:
+    """Sign-bit bucket over integer planes, evaluated on the scale-100 qe."""
+    from parquet_cpp_spark.functions.similarity import quantized_planes
+    planes = quantized_planes(dim, n_planes, seed)
+    return " + ".join(
+        f"(CASE WHEN list_dot_product(qe, "
+        f"{[int(x) for x in planes[i]]}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(n_planes))
+
+
+def _ann_cosine_topk_oracle_sql(probe_ids=(0, 1, 2), k: int = 5) -> str:
+    """DuckDB replica of similarity.topk_cosine (exact integer cosine-ppm)."""
+    ids = ", ".join(str(int(p)) for p in probe_ids)
+    return f"""
+        WITH e AS (SELECT vec_id, {_COS_QE_SQL} AS qe FROM embeddings),
+        q AS (SELECT vec_id, qe,
+                     CAST(list_dot_product(qe, qe) AS BIGINT) AS n2 FROM e),
+        p AS (SELECT vec_id AS probe_id, qe AS qp, n2 AS nb2 FROM q
+              WHERE vec_id IN ({ids})),
+        s AS (SELECT probe_id, vec_id,
+                     CAST(list_dot_product(qe, qp) AS BIGINT) AS dot,
+                     n2 AS na2, nb2
+              FROM q, p WHERE vec_id <> probe_id),
+        sc AS (SELECT probe_id, vec_id, {_COS_SCORE_SQL} AS score
+               FROM s WHERE na2 > 0 AND nb2 > 0),
+        r AS (SELECT *, row_number() OVER (
+                  PARTITION BY probe_id ORDER BY score DESC, vec_id) AS rank
+              FROM sc)
+        SELECT probe_id, vec_id, score, CAST(rank AS INTEGER) AS rank
+        FROM r WHERE rank <= {k}
+    """
+
+
+def _ann_cosine_lsh_oracle_sql(probe_ids=(0, 1, 2), k: int = 5,
+                               n_planes: int = 6) -> str:
+    """DuckDB replica of similarity.topk_cosine_lsh: integer-plane buckets
+    gate the candidates, exact integer cosine-ppm rescoring."""
+    ids = ", ".join(str(int(p)) for p in probe_ids)
+    return f"""
+        WITH e AS (SELECT vec_id, {_COS_QE_SQL} AS qe FROM embeddings),
+        q AS (SELECT vec_id, qe,
+                     CAST(list_dot_product(qe, qe) AS BIGINT) AS n2 FROM e),
+        b AS (SELECT vec_id, qe, n2,
+                     {_cos_bucket_sql(n_planes)} AS bucket FROM q),
+        p AS (SELECT vec_id AS probe_id, qe AS qp, n2 AS nb2,
+                     bucket AS pb FROM b WHERE vec_id IN ({ids})),
+        s AS (SELECT probe_id, vec_id,
+                     CAST(list_dot_product(qe, qp) AS BIGINT) AS dot,
+                     n2 AS na2, nb2
+              FROM b JOIN p ON bucket = pb AND vec_id <> probe_id),
+        sc AS (SELECT probe_id, vec_id, {_COS_SCORE_SQL} AS score
+               FROM s WHERE na2 > 0 AND nb2 > 0),
+        r AS (SELECT *, row_number() OVER (
+                  PARTITION BY probe_id ORDER BY score DESC, vec_id) AS rank
+              FROM sc)
+        SELECT probe_id, vec_id, score, CAST(rank AS INTEGER) AS rank
+        FROM r WHERE rank <= {k}
+    """
+
+
+def _neardup_cosine_lsh_oracle_sql(tau_sq_x10000: int = 900,
+                                   n_planes: int = 4) -> str:
+    """DuckDB replica of similarity.neardup_cosine_lsh: bucket-gated pairs,
+    exact integer cosine-squared predicate."""
+    return f"""
+        WITH e AS (SELECT vec_id, {_COS_QE_SQL} AS qe FROM embeddings),
+        b AS (SELECT vec_id, qe,
+                     {_cos_bucket_sql(n_planes)} AS bucket FROM e),
+        s AS (SELECT a.vec_id AS a_id, c.vec_id AS b_id,
+                     CAST(list_dot_product(a.qe, c.qe) AS BIGINT) AS dot,
+                     CAST(list_dot_product(a.qe, a.qe) AS BIGINT) AS na2,
+                     CAST(list_dot_product(c.qe, c.qe) AS BIGINT) AS nb2
+              FROM b a JOIN b c
+                ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+        SELECT a_id, b_id FROM s
+        WHERE dot > 0 AND 10000 * dot * dot >= {tau_sq_x10000} * na2 * nb2
+    """
+
+
+def _ann_cosine_ivf_oracle_sql(probe_ids=(0, 1, 2), k: int = 5,
+                               n_centroids: int = 16, nprobe: int = 4,
+                               sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """DuckDB replica of similarity.topk_cosine_ivf. The k-means centroids
+    are trained by the SAME numpy Lloyd loop on the SAME deterministic
+    lowest-vec_id sample (ivf_centroids_from_parquet reads the parquet the
+    driver's oracle runs on), quantized to integers, and baked in as VALUES
+    literals; assignment, probe-cell ranking, and rescoring are then exact
+    integer arithmetic in both engines."""
+    import os as _os
+
+    from parquet_cpp_spark.functions.similarity import (
+        ivf_centroids_from_parquet, quantized_centroids)
+    cents = ivf_centroids_from_parquet(
+        _os.path.join(sf_dir, "embeddings.parquet"), n_centroids)
+    qc = quantized_centroids(cents)
+    rows = ", ".join(
+        f"({c}, CAST({[int(x) for x in qc[c]]} AS BIGINT[]), "
+        f"CAST({int((qc[c] * qc[c]).sum())} AS BIGINT))"
+        for c in range(n_centroids))
+    ids = ", ".join(str(int(p)) for p in probe_ids)
+    return f"""
+        WITH cents(cell, qc, nc2) AS (VALUES {rows}),
+        e AS (SELECT vec_id, {_COS_QE_SQL} AS qe FROM embeddings),
+        q AS (SELECT vec_id, qe,
+                     CAST(list_dot_product(qe, qe) AS BIGINT) AS n2 FROM e),
+        d AS (SELECT vec_id, cell,
+                     n2 - 2 * CAST(list_dot_product(qe, qc) AS BIGINT) + nc2
+                         AS d2
+              FROM q CROSS JOIN cents),
+        assign AS (SELECT vec_id, cell FROM (
+                       SELECT vec_id, cell, row_number() OVER (
+                           PARTITION BY vec_id ORDER BY d2, cell) AS rn
+                       FROM d) WHERE rn = 1),
+        pcell AS (SELECT vec_id AS probe_id, cell FROM (
+                      SELECT vec_id, cell, row_number() OVER (
+                          PARTITION BY vec_id ORDER BY d2, cell) AS rn
+                      FROM d WHERE vec_id IN ({ids}))
+                  WHERE rn <= {nprobe}),
+        p AS (SELECT vec_id AS probe_id, qe AS qp, n2 AS nb2 FROM q
+              WHERE vec_id IN ({ids})),
+        cand AS (SELECT p.probe_id, q.vec_id,
+                        CAST(list_dot_product(q.qe, p.qp) AS BIGINT) AS dot,
+                        q.n2 AS na2, p.nb2
+                 FROM q JOIN assign a ON q.vec_id = a.vec_id
+                 JOIN pcell pc ON a.cell = pc.cell
+                 JOIN p ON p.probe_id = pc.probe_id
+                 WHERE q.vec_id <> p.probe_id),
+        sc AS (SELECT probe_id, vec_id, {_COS_SCORE_SQL} AS score
+               FROM cand WHERE na2 > 0 AND nb2 > 0),
+        r AS (SELECT *, row_number() OVER (
+                  PARTITION BY probe_id ORDER BY score DESC, vec_id) AS rank
+              FROM sc)
+        SELECT probe_id, vec_id, score, CAST(rank AS INTEGER) AS rank
+        FROM r WHERE rank <= {k}
+    """
+
+
+def _ann_ip_lsh_mp_oracle_sql(probe_ids=(0, 1, 2, 3, 4), k: int = 10,
+                              n_planes: int = 6, dim: int = 64,
+                              seed: int = 7) -> str:
+    """DuckDB replica of the 2-probe multi-probe LSH MIPS: each probe also
+    searches the bucket reached by flipping its weakest sign bit (smallest
+    |plane dot|, ties to the lowest plane index)."""
+    from parquet_cpp_spark.functions.similarity import quantized_planes
+    planes = quantized_planes(dim, n_planes, seed)
+    dots = ", ".join(
+        f"CAST(list_dot_product(qe, {[int(x) for x in planes[i]]}) "
+        f"AS BIGINT) AS d{i}" for i in range(n_planes))
+    bucket = " + ".join(
+        f"(CASE WHEN d{i} > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(n_planes))
+    whens = []
+    for i in range(n_planes - 1):
+        rest = ", ".join(f"abs(d{j})" for j in range(i + 1, n_planes))
+        bound = f"least({rest})" if i + 1 < n_planes - 1 else rest
+        whens.append(f"WHEN abs(d{i}) <= {bound} THEN {1 << i}")
+    flip = ("CASE " + " ".join(whens)
+            + f" ELSE {1 << (n_planes - 1)} END")
+    ids = ", ".join(str(int(p)) for p in probe_ids)
+    return f"""
+        WITH q AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> floor(CAST(x AS DOUBLE) * 1000 + 0.5)) AS qe
+            FROM embeddings),
+        d AS (SELECT vec_id, qe, {dots} FROM q),
+        b AS (SELECT vec_id, qe, {bucket} AS bucket,
+                     {flip} AS fbit FROM d),
+        p0 AS (SELECT vec_id AS probe_id, qe AS qp, bucket, fbit FROM b
+               WHERE vec_id IN ({ids})),
+        p AS (SELECT probe_id, qp, bucket AS pb FROM p0
+              UNION ALL
+              SELECT probe_id, qp, xor(bucket, fbit) AS pb FROM p0),
+        s AS (SELECT probe_id, vec_id,
+                     CAST(list_dot_product(qe, qp) AS BIGINT) AS score
+              FROM b JOIN p ON bucket = pb AND vec_id <> probe_id),
+        r AS (SELECT *, row_number() OVER (
+                  PARTITION BY probe_id ORDER BY score DESC, vec_id) AS rank
+              FROM s)
+        SELECT probe_id, vec_id, score, CAST(rank AS INTEGER) AS rank
+        FROM r WHERE rank <= {k}
+    """
+
+
 def _simhash_oracle_sql(bits: int = 16) -> str:
     """DuckDB replica of functions/dedup.simhash: bit b of the signature is
     the majority vote over words of bit b of the first 16 bits of md5(word)
@@ -404,18 +599,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # buckets + exact integer rescoring (no float fold anywhere)
     q["ann_ip_lsh"] = lambda spark, sf: similarity.topk_inner_product_lsh(
         _emb(spark, sf), probe_ids=[0, 1, 2, 3, 4], k=10)
+    # 2-probe multi-probe LSH: the weakest sign bit is also flipped,
+    # lifting recall at the same plan shape — still fully oracle-checked
+    q["ann_ip_lsh_mp"] = lambda spark, sf: similarity.topk_inner_product_lsh(
+        _emb(spark, sf), probe_ids=[0, 1, 2, 3, 4], k=10, nprobe=2)
     q["neardup_cosine"] = lambda spark, sf: similarity.neardup_cosine_exact(
         _emb(spark, sf))
     q["neardup_jaccard"] = lambda spark, sf: dedup.neardup_jaccard(
         _docs(spark, sf))
-    # LSH-gated variant: recall<1 by construction -> rows-only check
+    # the cosine family is integer-quantized end-to-end (the ann_ip_lsh
+    # pattern): approximate operators (LSH gating, IVF cells) with EXACT
+    # reproducible arithmetic, so every variant has a full SQL oracle
     q["neardup_cosine_lsh"] = lambda spark, sf: similarity.neardup_cosine_lsh(
         _emb(spark, sf))
-    # IVF scale path: coarse-quantizer cells prune candidates (rows-only)
     q["ann_cosine_ivf"] = lambda spark, sf: similarity.topk_cosine_ivf(
         _emb(spark, sf), probe_ids=[0, 1, 2], k=5)
-    # float cosine variants: rows-only checks (float fold order is
-    # engine-specific, so no SQL oracle)
     q["ann_cosine_topk"] = lambda spark, sf: similarity.topk_cosine(
         _emb(spark, sf), probe_ids=[0, 1, 2], k=5)
     q["ann_cosine_lsh"] = lambda spark, sf: similarity.topk_cosine_lsh(
@@ -691,6 +889,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash": _simhash_oracle_sql(),
         "ann_ip_lsh": _ann_ip_lsh_oracle_sql(),
+        "ann_ip_lsh_mp": _ann_ip_lsh_mp_oracle_sql(),
+        "ann_cosine_topk": _ann_cosine_topk_oracle_sql(),
+        "ann_cosine_lsh": _ann_cosine_lsh_oracle_sql(),
+        "ann_cosine_ivf": _ann_cosine_ivf_oracle_sql(),
+        "neardup_cosine_lsh": _neardup_cosine_lsh_oracle_sql(),
         "ann_ip_topk": """
             WITH q AS (
                 SELECT vec_id,

@@ -44,6 +44,9 @@ def _clustered_embeddings(spark, n_clusters=16, per_cluster=80, dim=64,
     vid = 0
     for c in range(n_clusters):
         pts = centers[c] + rng.standard_normal((per_cluster, dim))
+        # L2-normalize: the integer-exact cosine scoring contract is
+        # |x| <~ 2 (cosine is scale-invariant, so recall is unchanged)
+        pts = pts / np.linalg.norm(pts, axis=1, keepdims=True)
         for p in pts:
             rows.append((vid, [float(x) for x in p], f"c{c}"))
             vid += 1
@@ -72,3 +75,54 @@ def test_ivf_assign_deterministic(spark, emb):
     a = similarity.ivf_assign(emb).select("vec_id", "ivf_cell").collect()
     b = similarity.ivf_assign(emb).select("vec_id", "ivf_cell").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_ivf_train_deterministic_under_repartition(spark, emb):
+    """The k-means sample is the lowest-vec_id rows, not scan order: a
+    repartitioned input must yield bit-identical centroids."""
+    import numpy as np
+    a = similarity.ivf_train(emb)
+    b = similarity.ivf_train(emb.repartition(7))
+    assert np.array_equal(a, b)
+
+
+def test_ivf_centroids_parquet_path_matches_spark_path(emb):
+    """The Spark-free oracle-building path (pyarrow read + same Lloyd loop)
+    must produce bit-identical centroids to the Spark path."""
+    import numpy as np
+    a = similarity.ivf_train(emb)
+    b = similarity.ivf_centroids_from_parquet(
+        os.path.join(SF_DIR, "embeddings.parquet"))
+    assert np.array_equal(a, b)
+
+
+def test_multiprobe_lsh_recall_lift(spark):
+    """2-probe LSH (flip the weakest sign bit) must lift recall over
+    1-probe at the same plan shape; measured 0.68 -> 0.86 on the clustered
+    fixture (candidates roughly double, corpus side unchanged)."""
+    emb = _clustered_embeddings(spark)
+    probes = [0, 100, 300, 700, 1100]
+    k = 10
+    exact = _topk_sets(similarity.topk_inner_product_quantized(
+        emb, probes, k=k))
+
+    def recall(got):
+        hits = sum(len(exact[p] & got.get(p, set())) for p in exact)
+        return hits / sum(len(exact[p]) for p in exact)
+
+    r1 = recall(_topk_sets(similarity.topk_inner_product_lsh(
+        emb, probes, k=k, nprobe=1)))
+    r2 = recall(_topk_sets(similarity.topk_inner_product_lsh(
+        emb, probes, k=k, nprobe=2)))
+    assert r2 > r1, f"2-probe recall {r2:.2f} <= 1-probe {r1:.2f}"
+    assert r2 >= 0.8, f"2-probe recall {r2:.2f} < 0.8"
+
+
+def test_cosine_overflow_guard(spark):
+    """Components far outside the |x| <~ 2 contract must raise loudly, not
+    silently wrap int64."""
+    big = [(0, [40.0] * 64, "a"), (1, [39.0] * 64, "b"), (2, [38.0] * 64, "c")]
+    emb = spark.createDataFrame(
+        big, "vec_id bigint, embedding array<float>, label string")
+    with pytest.raises(Exception, match="quantized norm too large"):
+        similarity.topk_cosine(emb, [0], k=2).collect()
