@@ -399,6 +399,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         "is_high"))
     q["rt_typed"] = rt_typed
 
+    def rt_struct(spark: SparkSession, sf: str) -> DataFrame:
+        """Struct-column round-trip via schema flattening: each struct leaf
+        encodes as its own chunk column with a dotted path (the reference's
+        SchemaDescriptor flattening, schema.h:332-448) and the decode
+        reassembles the struct. The digest projects the struct fields back
+        out, so a swapped or corrupted leaf flips the hash."""
+        from parquet_cpp_spark.operators.decode_arrow import \
+            decode_chunks_typed
+        from parquet_cpp_spark.operators.encode_arrow import encode_df_arrow
+        cols = {"event_id": "int64",
+                "attrs": "struct<event_type:byte_array,value:double,"
+                         "hour:int32>"}
+        ev = spark.read.parquet(os.path.join(sf, "events.parquet"))
+        src = (ev.select(
+                   "event_id",
+                   F.struct(
+                       F.col("event_type"),
+                       F.col("value"),
+                       F.hour("ts").cast("int").alias("hour"))
+                   .alias("attrs"))
+               .withColumn("part_id",
+                           F.pmod(F.xxhash64("event_id"), F.lit(NUM_PARTS))))
+        dec = decode_chunks_typed(
+            encode_df_arrow(src, NUM_PARTS, columns=cols,
+                            sort_key="event_id"),
+            cols)
+        return dec.select("event_id",
+                          F.col("attrs.event_type").alias("event_type"),
+                          F.col("attrs.value").alias("value"),
+                          F.col("attrs.hour").alias("hour"))
+    q["rt_struct"] = rt_struct
+
+    def rt_nested_list(spark: SparkSession, sf: str) -> DataFrame:
+        """list-of-list round-trip (max_rep=2, reference schema.h:43-77,
+        arrow-reader-writer-test.cc:1137ff): tokens regrouped into windows
+        of 5 encode as array<array<int32>> through the two-level length
+        streams and decode back; the digest flattens both levels with
+        distinct separators, so a shifted inner boundary flips the hash."""
+        from parquet_cpp_spark.operators.decode_arrow import \
+            decode_chunks_typed
+        from parquet_cpp_spark.operators.encode_arrow import encode_df_arrow
+        cols = {"doc_id": "byte_array", "windows": "list<list<int32>>"}
+        src = tokens_src.tokens_from_documents(spark, sf, NUM_PARTS)
+        nwin = F.ceil(F.size("tokens") / 5.0).cast("int")
+        windows = F.when(F.size("tokens") == 0, F.array().cast(
+            "array<array<int>>")).otherwise(
+            F.transform(F.sequence(F.lit(1), nwin),
+                        lambda i: F.slice("tokens", (i - 1) * 5 + 1, 5)))
+        src = src.select("part_id", "doc_id", windows.alias("windows"))
+        dec = decode_chunks_typed(
+            encode_df_arrow(src, NUM_PARTS, columns=cols,
+                            sort_key="doc_id"),
+            cols)
+        nested_str = F.array_join(
+            F.transform("windows", lambda a: F.array_join(
+                F.transform(a, lambda x: x.cast("string")), "-")), "|")
+        return dec.select("doc_id", F.md5(nested_str).alias("win_hash"))
+    q["rt_nested_list"] = rt_nested_list
+
     def rt_salted(spark: SparkSession, sf: str) -> DataFrame:
         """Round-trip through the skew-aware salted partitioning path."""
         src = tokens_src.tokens_from_documents(spark, sf, NUM_PARTS) \
@@ -646,6 +705,23 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "rt_salted": identity,
+        "rt_struct": """
+            SELECT event_id, event_type, value,
+                   CAST(hour(ts) AS INTEGER) AS hour
+            FROM events
+        """,
+        "rt_nested_list": f"""
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   md5(coalesce(array_to_string(list_transform(
+                       list_transform(
+                           range(1, CAST(ceil(len(t) / 5.0) AS INT) + 1),
+                           i -> t[(i-1)*5+1 : i*5]),
+                       w -> array_to_string(list_transform(w,
+                           x -> CAST(x AS VARCHAR)), '-')), '|'), ''))
+                       AS win_hash
+            FROM (SELECT doc_id, {tokens_src._TOKEN_EXPR_DUCKDB} AS t
+                  FROM documents)
+        """,
         "rt_typed": """
             SELECT event_id,
                    date_diff('microsecond',

@@ -171,17 +171,31 @@ def decode_parquet_direct(spark, chunks_path: str, slices_per_core: int = 2):
 
 _SPARK_TYPES = {"int32": "int", "int64": "bigint", "float": "float",
                 "double": "double", "boolean": "boolean",
-                "byte_array": "string", "list<int32>": "array<int>"}
+                "byte_array": "string", "list<int32>": "array<int>",
+                "list<int32?>": "array<int>",
+                "list<list<int32>>": "array<array<int>>"}
+
+
+def _spark_type(spec: str) -> str:
+    """Physical spec -> Spark SQL type, flattened structs re-nested."""
+    if spec.startswith("struct<"):
+        from .encode_arrow import parse_struct_spec
+        inner = ", ".join(f"{f}: {_spark_type(leaf)}"
+                          for f, leaf in parse_struct_spec(spec))
+        return f"struct<{inner}>"
+    return _SPARK_TYPES[spec]
 
 
 def decode_chunks_typed(chunks_df, columns: dict[str, str],
                         part_col: str = "part_id",
                         assume_colocated: bool | None = None):
-    """Generic flat/list-table decode: ``columns`` maps column name ->
-    physical spec (the same specs the encode operators take). The engine is
-    not token-table-specific — any column set the encoders accept decodes
-    back through this (byte_array re-emerges as string, boolean/float/
-    double/int via their numpy dtypes)."""
+    """Generic table decode: ``columns`` maps column name -> physical spec
+    (the same specs the encode operators take). The engine is not
+    token-table-specific — any column set the encoders accept decodes back
+    through this (byte_array re-emerges as string, boolean/float/double/int
+    via their numpy dtypes, ``struct<...>`` reassembled from its flattened
+    dotted-path leaf chunks, ``list<list<int32>>`` from outer+inner
+    lengths)."""
     import numpy as np
     import pyarrow as pa
 
@@ -191,7 +205,7 @@ def decode_chunks_typed(chunks_df, columns: dict[str, str],
     if assume_colocated is None:
         assume_colocated = getattr(chunks_df, "_pcs_colocated", False)
     schema = "part_id bigint, " + ", ".join(
-        f"{c} {_SPARK_TYPES[p]}" for c, p in columns.items())
+        f"{c} {_spark_type(p)}" for c, p in columns.items())
 
     def _column_array(dec, phys):
         if phys == "byte_array":
@@ -199,18 +213,47 @@ def decode_chunks_typed(chunks_df, columns: dict[str, str],
         if phys == "boolean":
             return pa.array(np.asarray(dec.values, dtype=bool),
                             type=pa.bool_())
-        if phys == "list<int32>":
-            offsets = np.zeros(len(dec.row_lengths) + 1, dtype=np.int32)
-            np.cumsum(dec.row_lengths, out=offsets[1:])
-            return pa.ListArray.from_arrays(
-                pa.array(offsets, type=pa.int32()),
+        if phys == "list<list<int32>>":
+            inner_off = np.zeros(len(dec.inner_lengths) + 1, dtype=np.int32)
+            np.cumsum(dec.inner_lengths, out=inner_off[1:])
+            inner = pa.ListArray.from_arrays(
+                pa.array(inner_off, type=pa.int32()),
                 pa.array(np.asarray(dec.values, np.int32),
                          type=pa.int32()))
+            outer_off = np.zeros(len(dec.row_lengths) + 1, dtype=np.int32)
+            np.cumsum(dec.row_lengths, out=outer_off[1:])
+            return pa.ListArray.from_arrays(
+                pa.array(outer_off, type=pa.int32()), inner)
+        if phys in ("list<int32>", "list<int32?>"):
+            offsets = np.zeros(len(dec.row_lengths) + 1, dtype=np.int32)
+            np.cumsum(dec.row_lengths, out=offsets[1:])
+            flat = np.asarray(dec.values, np.int32)
+            if dec.valid_mask is not None:
+                spaced = np.zeros(len(dec.valid_mask), dtype=np.int32)
+                spaced[dec.valid_mask] = flat
+                elem = pa.array(spaced, type=pa.int32(),
+                                mask=~dec.valid_mask)
+            else:
+                elem = pa.array(flat, type=pa.int32())
+            return pa.ListArray.from_arrays(
+                pa.array(offsets, type=pa.int32()), elem)
         pa_t = {"int32": pa.int32(), "int64": pa.int64(),
                 "float": pa.float32(), "double": pa.float64()}[phys]
         dt = {"int32": np.int32, "int64": np.int64,
               "float": np.float32, "double": np.float64}[phys]
         return pa.array(np.asarray(dec.values, dtype=dt), type=pa_t)
+
+    def _assemble(decs, name, phys):
+        """Decoded chunks -> one Arrow array; structs recurse over their
+        flattened dotted-path leaves (the SchemaDescriptor inverse)."""
+        if phys.startswith("struct<"):
+            from .encode_arrow import parse_struct_spec
+            fields = parse_struct_spec(phys)
+            children = [_assemble(decs, f"{name}.{f}", leaf)
+                        for f, leaf in fields]
+            return pa.StructArray.from_arrays(
+                children, names=[f for f, _ in fields])
+        return _column_array(decs[name], phys)
 
     def task(batches):
         batch_list = list(batches)
@@ -230,7 +273,7 @@ def decode_chunks_typed(chunks_df, columns: dict[str, str],
             arrays = [pa.array(np.full(n, pid, dtype=np.int64),
                                type=pa.int64())]
             for c, phys in columns.items():
-                arrays.append(_column_array(decs[c], phys))
+                arrays.append(_assemble(decs, c, phys))
             yield pa.RecordBatch.from_arrays(
                 arrays, names=["part_id", *columns.keys()])
 

@@ -50,18 +50,92 @@ def list_int32_values(column, nullable: bool = False):
     return vals, lengths, None
 
 
-def _arrow_column_values(tbl, col: str, phys: str):
-    """(values, row_lengths, elem_valid) straight from Arrow buffers."""
-    column = tbl.column(col).combine_chunks()
+def _split_top_level(s: str) -> list[str]:
+    """Split a struct field list on commas, honoring nested <> brackets."""
+    out, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append(s[start:i])
+            start = i + 1
+    out.append(s[start:])
+    return [f for f in (p.strip() for p in out) if f]
+
+
+def parse_struct_spec(spec: str) -> list[tuple[str, str]]:
+    """``struct<a:int64,b:byte_array,...>`` -> [(field, leaf_spec), ...]."""
+    body = spec[len("struct<"):-1]
+    fields = []
+    for f in _split_top_level(body):
+        name, _, leaf = f.partition(":")
+        if not leaf:
+            raise ValueError(f"bad struct field spec {f!r} in {spec!r}")
+        fields.append((name.strip(), leaf.strip()))
+    return fields
+
+
+def expand_column_specs(columns: dict[str, str]) \
+        -> list[tuple[str, tuple[str, ...], str]]:
+    """Flatten struct specs into leaf chunk columns with dotted paths —
+    the reference's SchemaDescriptor flattening (each leaf of the group
+    tree becomes its own column chunk, /root/reference/src/parquet/
+    schema.h:332-448). Returns (chunk_col_name, field_path, leaf_spec)
+    per leaf; non-struct specs pass through with an empty path."""
+    out: list[tuple[str, tuple[str, ...], str]] = []
+
+    def walk(name: str, path: tuple[str, ...], spec: str):
+        if spec.startswith("struct<"):
+            for field, leaf in parse_struct_spec(spec):
+                walk(f"{name}.{field}", path + (field,), leaf)
+        else:
+            out.append((name, path, spec))
+
+    for col, spec in columns.items():
+        walk(col, (), spec)
+    return out
+
+
+def _nested_list_int32_values(column):
+    """Arrow list<list<int32>> -> (dense values, outer lengths = inner
+    lists per row, inner lengths = elements per inner list), straight from
+    the two levels of list buffers."""
+    import pyarrow.compute as pc
+
+    outer = pc.list_value_length(column).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    inner_arr = column.flatten()
+    inner = pc.list_value_length(inner_arr).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    vals = inner_arr.flatten().to_numpy(zero_copy_only=False) \
+        .astype(np.int32, copy=False)
+    return vals, outer, inner
+
+
+def _arrow_column_values(tbl, col: str, phys: str,
+                         path: tuple[str, ...] = ()):
+    """(values, row_lengths, elem_valid, inner_lengths) straight from Arrow
+    buffers. ``path`` drills into struct children (zero-copy .field())."""
+    base = col.split(".", 1)[0] if path else col
+    column = tbl.column(base).combine_chunks()
+    for field in path:
+        column = column.field(field)
+    if phys == "list<list<int32>>":
+        vals, outer, inner = _nested_list_int32_values(column)
+        return vals, outer, None, inner
     if phys in ("list<int32>", "list<int32?>"):
-        return list_int32_values(column, nullable=phys.endswith("?>"))
+        vals, lengths, elem_valid = list_int32_values(
+            column, nullable=phys.endswith("?>"))
+        return vals, lengths, elem_valid, None
     if phys == "byte_array":
         from ..kernels import ba
-        return ba.from_arrow(column), None, None
+        return ba.from_arrow(column), None, None, None
     dt = {"int32": np.int32, "int64": np.int64, "float": np.float32,
           "double": np.float64, "boolean": bool}[phys]
     return (column.to_numpy(zero_copy_only=False).astype(dt, copy=False),
-            None, None)
+            None, None, None)
 
 
 def make_arrow_encode_fn(columns: dict[str, str] | None = None,
@@ -97,15 +171,18 @@ def make_arrow_encode_fn(columns: dict[str, str] | None = None,
         ("bloom", pa.binary()), ("blob", pa.binary()),
     ])
 
+    leaves = expand_column_specs(columns)
+
     def encode_part(tbl, part_id: int,
                     bloom_columns: "set | frozenset" = frozenset()):
-        """One partition's Arrow table -> one chunk-row RecordBatch."""
+        """One partition's Arrow table -> one chunk-row RecordBatch (one
+        chunk per LEAF column; struct leaves carry dotted-path names)."""
         rows = {k: [] for k in out_schema.names}
         n_rows_seen = set()
-        for col, phys in columns.items():
-            values, row_lengths, elem_valid = \
-                _arrow_column_values(tbl, col, phys)
-            kernel_phys = "int32" if phys.startswith("list<int32") else phys
+        for col, path, phys in leaves:
+            values, row_lengths, elem_valid, inner_lengths = \
+                _arrow_column_values(tbl, col, phys, path)
+            kernel_phys = "int32" if phys.startswith("list<") else phys
             enc = selector.encode_best(
                 values, kernel_phys, row_lengths=row_lengths,
                 codec_override=overrides.get(col),
@@ -114,6 +191,7 @@ def make_arrow_encode_fn(columns: dict[str, str] | None = None,
                 allow_dictionary=allow_dictionary,
                 page_size=page_size,
                 elem_valid=elem_valid,
+                inner_lengths=inner_lengths,
                 data_page_version=data_page_version)
             bloom_blob = None
             if col in bloom_columns and phys == "byte_array":

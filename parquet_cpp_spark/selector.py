@@ -247,6 +247,7 @@ def encode_best(values, phys: str, *, row_lengths=None,
                 guard_with_plain: bool = True,
                 page_size: int | None = chunkmod.DEFAULT_PAGE_SIZE,
                 elem_valid=None,
+                inner_lengths=None,
                 data_page_version: int = 1) -> "chunkmod.EncodedChunk":
     """Encode with the selected (or forced) codec. When estimates are close,
     encode the top candidates and keep the actual-smallest; always fall back
@@ -254,7 +255,7 @@ def encode_best(values, phys: str, *, row_lengths=None,
     'selected <= PLAIN' property the reference's fallback rule guarantees)."""
     levels_sections = (chunkmod.build_levels_sections(row_lengths)
                        if row_lengths is not None and elem_valid is None
-                       else None)
+                       and inner_lengths is None else None)
     if codec_override is not None:
         return chunkmod.encode_chunk(values, phys, codec_override,
                                      row_lengths=row_lengths,
@@ -263,6 +264,7 @@ def encode_best(values, phys: str, *, row_lengths=None,
                                      levels_sections=levels_sections,
                                      page_size=page_size,
                                      elem_valid=elem_valid,
+                                     inner_lengths=inner_lengths,
                                      data_page_version=data_page_version)
 
     cands = candidates(values, phys, allow_dictionary)
@@ -289,6 +291,7 @@ def encode_best(values, phys: str, *, row_lengths=None,
                                     levels_sections=levels_sections,
                                     page_size=page_size,
                                     elem_valid=elem_valid,
+                                    inner_lengths=inner_lengths,
                                     data_page_version=data_page_version)
         if best is None or enc.enc_bytes < best.enc_bytes:
             best = enc
@@ -306,7 +309,7 @@ def encode_best(values, phys: str, *, row_lengths=None,
                 values, phys, chunkmod.PLAIN, row_lengths=row_lengths,
                 compression=compression,
                 levels_sections=levels_sections, page_size=page_size,
-                elem_valid=elem_valid,
+                elem_valid=elem_valid, inner_lengths=inner_lengths,
                 data_page_version=data_page_version)
             if plain_enc.enc_bytes < best.enc_bytes:
                 return plain_enc

@@ -92,3 +92,81 @@ def test_chunk_nullable_byte_array_elements():
     assert dec.values == dense
     np.testing.assert_array_equal(dec.row_lengths, lengths)
     np.testing.assert_array_equal(dec.valid_mask, valid)
+
+
+# ---- operator-level wiring: struct flattening + list-of-list through the
+# Arrow encode/decode operators (round-2 verdict items 2 and 3) ----
+
+@pytest.fixture(scope="module")
+def spark():
+    from parquet_cpp_spark.session import get_spark
+    return get_spark(master="local[4]", app_name="pcs-nested",
+                     shuffle_partitions=4)
+
+
+def test_expand_column_specs_nested_struct():
+    from parquet_cpp_spark.operators.encode_arrow import expand_column_specs
+    cols = {"a": "int64",
+            "s": "struct<x:int32,y:struct<p:byte_array,q:double>>"}
+    got = expand_column_specs(cols)
+    assert got == [
+        ("a", (), "int64"),
+        ("s.x", ("x",), "int32"),
+        ("s.y.p", ("y", "p"), "byte_array"),
+        ("s.y.q", ("y", "q"), "double"),
+    ]
+
+
+def test_struct_column_operator_roundtrip(spark):
+    from pyspark.sql import functions as F
+
+    from parquet_cpp_spark.operators.decode_arrow import decode_chunks_typed
+    from parquet_cpp_spark.operators.encode_arrow import encode_df_arrow
+    rows = [(i, f"t{i % 7}", float(i) / 3, i % 24, f"u{i % 11}")
+            for i in range(3000)]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, event_type string, value double, "
+              "hour int, user string")
+    cols = {"event_id": "int64",
+            "attrs": "struct<event_type:byte_array,value:double,"
+                     "inner:struct<hour:int32,user:byte_array>>"}
+    src = df.select(
+        "event_id",
+        F.struct("event_type", "value",
+                 F.struct("hour", F.col("user")).alias("inner"))
+        .alias("attrs")) \
+        .withColumn("part_id", F.pmod(F.xxhash64("event_id"), F.lit(4)))
+    chunks = encode_df_arrow(src, 4, columns=cols, sort_key="event_id")
+    # flattened leaves carry dotted paths, one chunk column per leaf
+    leaf_names = {r.col for r in chunks.select("col").distinct().collect()}
+    assert leaf_names == {"event_id", "attrs.event_type", "attrs.value",
+                          "attrs.inner.hour", "attrs.inner.user"}
+    dec = decode_chunks_typed(chunks, cols)
+    got = sorted((r.event_id, r.attrs.event_type, r.attrs.value,
+                  r.attrs.inner.hour, r.attrs.inner.user)
+                 for r in dec.collect())
+    assert got == sorted(rows)
+
+
+def test_nested_list_operator_roundtrip(spark):
+    from pyspark.sql import functions as F
+
+    from parquet_cpp_spark.operators.decode_arrow import decode_chunks_typed
+    from parquet_cpp_spark.operators.encode_arrow import encode_df_arrow
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(2000):
+        outer = []
+        for _ in range(int(rng.integers(0, 4))):
+            outer.append([int(x) for x in
+                          rng.integers(0, 1000, int(rng.integers(0, 5)))])
+        rows.append((f"d{i}", outer))
+    df = spark.createDataFrame(
+        rows, "doc_id string, windows array<array<int>>")
+    cols = {"doc_id": "byte_array", "windows": "list<list<int32>>"}
+    src = df.withColumn("part_id", F.pmod(F.xxhash64("doc_id"), F.lit(4)))
+    chunks = encode_df_arrow(src, 4, columns=cols, sort_key="doc_id")
+    dec = decode_chunks_typed(chunks, cols)
+    got = sorted((r.doc_id, [list(w) for w in r.windows])
+                 for r in dec.collect())
+    assert got == sorted(rows)
