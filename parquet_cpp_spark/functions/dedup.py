@@ -42,12 +42,22 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
                        seeds=DEFAULT_SEEDS) -> DataFrame:
     """One row per doc with columns sig0..sigN: min-over-words of
     md5(word || ':' || seed) — a MinHash over the word set with N
-    independent permutations approximated by salted md5."""
-    exploded = docs.select(id_col,
-                           F.explode(_words(text_col)).alias("w"))
-    aggs = [F.min(F.md5(F.concat(F.col("w"), F.lit(f":{s}"))))
-            .alias(f"sig{i}") for i, s in enumerate(seeds)]
-    return exploded.groupBy(id_col).agg(*aggs)
+    independent permutations approximated by salted md5.
+
+    Computed ROW-LOCALLY (array_min over a transform of the word array):
+    the per-doc min needs no explode + re-aggregate, so the signature stage
+    contributes ZERO shuffle — at 100 TB this deletes a full exchange of
+    O(words) rows from every MinHash-derived pipeline (the banding joins
+    downstream shuffle only O(docs) signature rows)."""
+    words = _words(text_col)
+
+    def sig(seed: int):
+        # one-arg lambda: a two-arg lambda would be read as (element, index)
+        return F.array_min(F.transform(
+            words, lambda w: F.md5(F.concat(w, F.lit(f":{seed}")))))
+
+    return docs.select(id_col, *[sig(s).alias(f"sig{i}")
+                                 for i, s in enumerate(seeds)])
 
 
 def minhash_dedup(docs: DataFrame, text_col: str = "text",
@@ -107,17 +117,26 @@ def simhash(docs: DataFrame, text_col: str = "text",
     """SimHash signature: bit b of the signature is the majority vote over
     words of bit b of md5(word). Bits come from the md5 hex nibbles —
     conv(substr(md5, pos, 4), 16, 10) gives 16 bits; the vote is
-    sign(sum(2*bit - 1)). Pure DataFrame ops (explode + pivot-free agg)."""
-    exploded = docs.select(id_col, F.explode(_words(text_col)).alias("w"))
-    h16 = F.conv(F.substring(F.md5("w"), 1, 4), 16, 10).cast("long")
-    exploded = exploded.withColumn("h", h16)
-    votes = [
-        F.sum(2 * F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) - 1)
-        .alias(f"v{b}") for b in range(bits)
-    ]
-    per_doc = exploded.groupBy(id_col).agg(*votes)
-    sig = None
-    for b in range(bits):
-        bit = (F.col(f"v{b}") > 0).cast("long") * F.lit(1 << b)
-        sig = bit if sig is None else sig + bit
-    return per_doc.select(id_col, sig.alias("simhash"))
+    sign(sum(2*bit - 1)).
+
+    Computed ROW-LOCALLY: one transform hashes each word once, one
+    aggregate folds the per-bit vote array, and the signature packs from
+    the vote array — zero explode, zero shuffle (the previous explode +
+    groupBy shuffled O(words) rows to rebuild what each row already
+    holds)."""
+    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
+    hashes = F.transform(
+        _words(text_col),
+        lambda w: F.conv(F.substring(F.md5(w), 1, 4), 16, 10).cast("long"))
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc, masks,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0,
+                                    F.lit(1)).otherwise(F.lit(-1))))
+    sig = F.aggregate(
+        F.zip_with(votes, masks,
+                   lambda v, m: F.when(v > 0, m).otherwise(F.lit(0))),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return docs.select(id_col, sig.alias("simhash"))

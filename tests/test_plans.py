@@ -81,3 +81,20 @@ def test_direct_source_shuffles_only_descriptors(spark):
     # the exchange feeding the encode task carries (file, rg) only
     exch = plan.split("Exchange")[1][:300] if "Exchange" in plan else ""
     assert "file" in exch and "text" not in exch
+
+
+def test_minhash_signatures_zero_shuffle(spark):
+    """MinHash signatures are row-local array expressions: the plan must
+    contain NO Exchange (the old explode+groupBy shuffled O(words) rows)."""
+    from parquet_cpp_spark.functions import dedup
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    plan = _plan(dedup.minhash_signatures(docs))
+    assert "Exchange" not in plan, plan
+
+
+def test_simhash_zero_shuffle(spark):
+    """SimHash is a row-local fold over the word array: no Exchange."""
+    from parquet_cpp_spark.functions import dedup
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    plan = _plan(dedup.simhash(docs))
+    assert "Exchange" not in plan, plan
