@@ -69,3 +69,67 @@ def test_windowed_counts_match_batch(spark, tmp_path):
     # windows must match batch exactly, and most windows must have closed
     assert got and all(want[k] == v for k, v in got.items())
     assert len(got) >= len(want) * 0.5
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for contract-testing the dedup fn."""
+
+    def __init__(self):
+        self._val = None
+
+    @property
+    def exists(self):
+        return self._val is not None
+
+    @property
+    def get(self):
+        return self._val
+
+    def update(self, v):
+        self._val = v
+
+
+def test_dedup_state_is_bounded():
+    """State bytes per bucket must stay O(bloom size) = CONSTANT across
+    batches, not O(seen history) (round-2 verdict: the old list-of-hashes
+    state grew without bound and was rewritten every batch)."""
+    import hashlib
+
+    import pandas as pd
+
+    from parquet_cpp_spark.streaming.stateful_dedup import make_dedup_fn
+    fn = make_dedup_fn(capacity=4096, fpp=0.01)
+    state = _FakeState()
+    sizes = []
+    total_out = 0
+    for batch in range(8):
+        hashes = [hashlib.md5(f"doc-{batch}-{i}".encode()).hexdigest()
+                  for i in range(500)]
+        pdf = pd.DataFrame({"doc_id": [f"{batch}-{i}" for i in range(500)],
+                            "content_hash": hashes})
+        out = list(fn(("ab",), [pdf], state))
+        total_out += sum(len(o) for o in out)
+        n_seen, blob = state.get
+        sizes.append(len(blob))
+    assert len(set(sizes)) == 1, f"state size grew: {sizes}"
+    assert state.get[0] == total_out
+    # duplicates across batches are still dropped
+    dup = pd.DataFrame({"doc_id": ["dup"],
+                        "content_hash": [hashlib.md5(
+                            b"doc-0-0").hexdigest()]})
+    out = list(fn(("ab",), [dup], state))
+    assert sum(len(o) for o in out) == 0
+
+
+def test_dedup_fn_within_batch_exact():
+    """Within one batch the dedup is exact (set-based), independent of the
+    bloom: repeated hashes in one pdf emit once."""
+    import pandas as pd
+
+    from parquet_cpp_spark.streaming.stateful_dedup import make_dedup_fn
+    fn = make_dedup_fn()
+    state = _FakeState()
+    pdf = pd.DataFrame({"doc_id": ["a", "b", "c"],
+                        "content_hash": ["ff" * 16, "ff" * 16, "ee" * 16]})
+    out = pd.concat(list(fn(("ff",), [pdf], state)))
+    assert list(out["doc_id"]) == ["a", "c"]
