@@ -631,6 +631,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("hour", "event_type"))
     q["events_hourly"] = events_hourly
 
+    # --- multimodal: real pure-numpy decode (PPM/WAV/concat-PPM video) ---
+    def media_features(spark: SparkSession, sf: str) -> DataFrame:
+        """Feature extraction over synthesized real media payloads (binary
+        column + typed metadata; byte-capped mapInPandas batches). No SQL
+        oracle — PPM/WAV parsing is not expressible in SQL — but decode_ok
+        must be TRUE for every row (real decoders, not stubs)."""
+        from parquet_cpp_spark.functions import multimodal
+        media = multimodal.synthesize_media(spark, 96)
+        return (multimodal.extract_features(media)
+                .select("media_id", "kind", "feat_dim", "decode_ok"))
+    q["media_features"] = media_features
+
     # --- dedup / text-analysis / similarity operators ---
     from parquet_cpp_spark.functions import dedup, similarity, text
 
