@@ -64,7 +64,8 @@ def _decode_part(part_id: int, cols: dict):
 
 
 def decode_chunks_arrow(chunks_df, part_col: str = "part_id",
-                        assume_colocated: bool | None = None):
+                        assume_colocated: bool | None = None,
+                        verify_checksums: bool = False):
     """Chunk DataFrame -> reconstructed token table (Arrow fast path).
 
     ``assume_colocated=True`` skips the blob shuffle entirely: valid when
@@ -93,23 +94,44 @@ def decode_chunks_arrow(chunks_df, part_col: str = "part_id",
         batch_list = list(batches)
         if not batch_list:
             return
-        yield from _decode_table(pa.Table.from_batches(batch_list))
+        yield from _decode_table(pa.Table.from_batches(batch_list),
+                                 verify_checksums)
 
     src = chunks_df if assume_colocated else chunks_df.repartition(part_col)
     return src.mapInArrow(task, schema=DECODED_SCHEMA)
 
 
-def _decode_table(tbl):
-    """Chunk-row Arrow table -> decoded record batches, one per part."""
+def _decode_table(tbl, verify_checksums: bool = False):
+    """Chunk-row Arrow table -> decoded record batches, one per part.
+
+    ``verify_checksums`` re-hashes every blob against the chunk row's
+    sha256 before decoding: structural corruption always raises from the
+    decoders, but a bit flip INSIDE a value payload is undetectable at the
+    blob level (the format, like the reference's pages, carries no payload
+    CRC) — the checksum column is the integrity layer. Opt-in because the
+    hash pass costs ~0.5 GB/s/core on top of decode."""
+    import hashlib
+
     part_ids = tbl.column("part_id").to_numpy(zero_copy_only=False)
     cols = tbl.column("col").to_pylist()
     blob_col = tbl.column("blob").combine_chunks()
+    checksums = (tbl.column("checksum").to_pylist()
+                 if verify_checksums and "checksum" in tbl.column_names
+                 else None)
+    if verify_checksums and checksums is None:
+        raise ValueError("verify_checksums=True but no checksum column")
     by_part: dict[int, dict] = {}
     for i, (pid, col) in enumerate(zip(part_ids.tolist(), cols)):
         # zero-copy view of the blob (to_pylist would copy every blob
         # into a Python bytes object before decode even starts)
         blob = memoryview(blob_col[i].as_buffer())
         try:
+            if checksums is not None:
+                got = hashlib.sha256(blob).hexdigest()
+                if got != checksums[i]:
+                    raise ValueError(
+                        f"checksum mismatch ({got[:12]} != "
+                        f"{str(checksums[i])[:12]})")
             by_part.setdefault(pid, {})[col] = chunkmod.decode_chunk(blob)
         except Exception as exc:
             raise ValueError(
@@ -119,7 +141,8 @@ def _decode_table(tbl):
         yield _decode_part(pid, by_part[pid])
 
 
-def decode_parquet_direct(spark, chunks_path: str, slices_per_core: int = 2):
+def decode_parquet_direct(spark, chunks_path: str, slices_per_core: int = 2,
+                          verify_checksums: bool = False):
     """Scale-shaped decode of chunk files on disk: the JVM shuffles only
     file-path descriptors; each task pyarrow-reads whole chunk files and
     decodes the parts it finds — the decode mirror of
@@ -154,7 +177,9 @@ def decode_parquet_direct(spark, chunks_path: str, slices_per_core: int = 2):
             for f in batch.column("file").to_pylist():
                 pf = pq.ParquetFile(f)
                 names = pf.schema_arrow.names
-                want = [c for c in ("part_id", "col", "blob") if c in names]
+                wanted = ("part_id", "col", "blob", "checksum") \
+                    if verify_checksums else ("part_id", "col", "blob")
+                want = [c for c in wanted if c in names]
                 tbl = pf.read(columns=want)
                 if "part_id" not in want:
                     # hive-partitioned layout: part_id lives in the dir name
@@ -164,7 +189,7 @@ def decode_parquet_direct(spark, chunks_path: str, slices_per_core: int = 2):
                     pid = np.full(len(tbl), int(m.group(1)), dtype=np.int64)
                     tbl = tbl.append_column("part_id",
                                             pa.array(pid, type=pa.int64()))
-                yield from _decode_table(tbl)
+                yield from _decode_table(tbl, verify_checksums)
 
     return files_df.mapInArrow(task, schema=DECODED_SCHEMA)
 

@@ -94,11 +94,15 @@ def encode_pipeline(df: DataFrame, num_parts: int,
                                page_size=page_size)
 
 
-def decode_pipeline(chunks_df: DataFrame) -> DataFrame:
+def decode_pipeline(chunks_df: DataFrame,
+                    verify_checksums: bool = False) -> DataFrame:
     """Arrow-native decode. Pipelined encode->decode runs shuffle-free (the
     encode operators mark their output colocated); chunks re-read from disk
-    take one repartition on part_id."""
-    return decode_arrow_op.decode_chunks_arrow(chunks_df)
+    take one repartition on part_id. ``verify_checksums`` re-hashes every
+    blob against its manifest sha256 before decoding (integrity layer for
+    blobs that crossed storage)."""
+    return decode_arrow_op.decode_chunks_arrow(
+        chunks_df, verify_checksums=verify_checksums)
 
 
 def manifest_from_chunks(chunks_df: DataFrame) -> DataFrame:
