@@ -722,19 +722,37 @@ def _page_value_bounds(values, phys: str, page_size: int,
     """Value-index boundaries so each page's *estimated encoded* payload
     ~= page_size (raw cumulative bytes scaled by the sampled ratio)."""
     eff = max(1, int(page_size / ratio))
-    if phys == "byte_array":
-        cum = values.offsets[1:] + 4 * np.arange(1, len(values) + 1,
-                                                 dtype=np.int64)
-        total = int(cum[-1]) if len(cum) else 0
-    else:
+    n = len(values)
+    if phys != "byte_array":
+        # fixed-width: boundaries are closed-form — no O(n) cumulative
+        # array (an n-sized arange is pure DRAM traffic for a result a
+        # division already knows). bound_k = ceil(k*eff/item), identical
+        # to the searchsorted over the old cumulative array.
         item = 4 if phys in ("int32", "float") else 8
-        cum = np.arange(1, len(values) + 1, dtype=np.int64) * item
-        total = int(cum[-1]) if len(cum) else 0
+        total = n * item
+        n_pages = max(1, (total + eff - 1) // eff)
+        marks = np.arange(1, n_pages, dtype=np.int64) * eff
+        bounds = (marks + item - 1) // item
+        return np.unique(np.concatenate(([0], bounds, [n])))
+    # byte_array: cumulative bytes after i values = offsets[i] + 4*i
+    # (monotone); bisect each page mark instead of materializing the
+    # n-sized cumulative array (page count is tiny)
+    offs = values.offsets
+    total = int(offs[-1]) + 4 * n if n else 0
     n_pages = max(1, (total + eff - 1) // eff)
-    marks = np.arange(1, n_pages, dtype=np.int64) * eff
-    bounds = np.searchsorted(cum, marks, side="left") + 1
-    bounds = np.unique(np.concatenate(([0], bounds, [len(values)])))
-    return bounds
+    bounds = [0]
+    for p in range(1, n_pages):
+        mark = p * eff
+        lo, hi = bounds[-1], n
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if int(offs[mid + 1]) + 4 * (mid + 1) < mark:
+                lo = mid + 1
+            else:
+                hi = mid
+        bounds.append(lo + 1)
+    bounds.append(n)
+    return np.unique(np.array(bounds, dtype=np.int64))
 
 
 def _rows_for_value_bounds(row_lengths: np.ndarray,

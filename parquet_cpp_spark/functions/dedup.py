@@ -9,13 +9,13 @@
   no engine-specific hash. Banding groups docs by (sig_i, sig_j) pairs; docs
   sharing a band bucket are near-dup candidates; the canonical doc per
   bucket is min(doc_id).
-- SimHash: 16-bit signature from per-word md5 nibbles, majority vote per bit
-  — expressed with explode + groupBy (no UDF).
+- SimHash: 16-bit signature from per-word md5 nibbles, majority vote per
+  bit — a row-local fold over the word array (no UDF, no explode).
 
-Scale notes: every operator is shuffle-on-key with fixed-width keys;
-signatures are tiny (strings/ints), so the LSH join is a shuffle of
-O(docs x bands) small rows, and the candidate-pair space never materializes
-the cross product.
+Scale notes: signature computation is ROW-LOCAL (zero shuffle — plan tests
+pin no-Exchange); the only shuffles are on tiny fixed-width keys (md5
+strings / band buckets), so the LSH join moves O(docs x bands) small rows
+and the candidate-pair space never materializes the cross product.
 """
 
 from __future__ import annotations

@@ -38,7 +38,6 @@ MINI_SIZE = BLOCK_SIZE // MINIBLOCKS  # 32
 # deltas per fused super-block: all intermediates stay cache-resident
 # (32768 deltas x 8 B = 256 KiB per int64 temp). Must be a BLOCK_SIZE multiple.
 _SUPER = 1 << 15
-
 # exact integer bit widths via searchsorted on powers of two (no float log2)
 _POW2 = np.uint64(1) << np.arange(64, dtype=np.uint64)
 
@@ -58,14 +57,18 @@ def encode(values: np.ndarray) -> bytes:
     # Fused cache-blocked pipeline: diff -> per-block min -> per-miniblock
     # width -> ragged bit-pack, all on _SUPER-sized slices so RAM traffic is
     # ~input + output (the host is memory-bandwidth-bound; full-size
-    # intermediates would cap multi-core scaling).
+    # intermediates would cap multi-core scaling; batching the pack across
+    # supers was measured 40% SLOWER — the concat + large gathers cost more
+    # than the per-call overhead they save on this DRAM-throttled host).
     # Each miniblock's payload is exactly 4*w bytes (32*w bits,
     # byte-aligned), so concatenating ragged (miniblock, value, bit)-ordered
     # bit matrices in C-order IS the spec stream.
     for s in range(0, nd, _SUPER):
         e = min(s + _SUPER, nd)
-        seg = np.asarray(v[s: e + 1], dtype=np.int64)
-        deltas = seg[1:] - seg[:-1]
+        # subtract with an int64 out-dtype instead of widening the segment
+        # first: int32 inputs stream at 8 B/value instead of 20 (the host
+        # is DRAM-bound; diff can overflow int32, so int64 out is required)
+        deltas = np.subtract(v[s + 1: e + 1], v[s: e], dtype=np.int64)
         ns = e - s
         n_blocks = (ns + BLOCK_SIZE - 1) // BLOCK_SIZE
         if ns % BLOCK_SIZE:
