@@ -478,6 +478,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _digest(encode_job.decode_pipeline(chunks))
     q["rt_gzip"] = rt_gzip
 
+    def rt_zstd(spark: SparkSession, sf: str) -> DataFrame:
+        """ZSTD-compressed round-trip (pyarrow's bundled codec — with
+        SNAPPY/BROTLI/LZ4 this covers every reference codec but LZO,
+        types.h:106-118)."""
+        from parquet_cpp_spark.operators import encode as encode_op
+        from parquet_cpp_spark.properties import WriterProperties
+        src = tokens_src.tokens_from_documents(spark, sf, NUM_PARTS)
+        chunks = encode_op.encode_df(
+            src, NUM_PARTS, props=WriterProperties(compression="ZSTD"))
+        return _digest(encode_job.decode_pipeline(chunks))
+    q["rt_zstd"] = rt_zstd
+
+    def rt_v2(spark: SparkSession, sf: str) -> DataFrame:
+        """DataPageV2 round-trip: rep/def levels stay OUTSIDE the
+        compressed region (reference format v2 pages / properties.h:363-377)
+        — SNAPPY-compressed so the layout difference is actually exercised."""
+        from parquet_cpp_spark.operators import encode as encode_op
+        from parquet_cpp_spark.properties import WriterProperties
+        src = tokens_src.tokens_from_documents(spark, sf, NUM_PARTS)
+        chunks = encode_op.encode_df(
+            src, NUM_PARTS, props=WriterProperties(
+                compression="SNAPPY", format_version="V2"))
+        return _digest(encode_job.decode_pipeline(chunks))
+    q["rt_v2"] = rt_v2
+
     # --- chunk statistics vs SQL aggregation (stats oracle) ---
     def chunk_stats_tokens(spark: SparkSession, sf: str) -> DataFrame:
         ch = _chunks(spark, sf).filter(F.col("col") == "tokens")
@@ -705,6 +730,8 @@ def oracle_sql() -> dict[str, str]:
         "rt_delta_byte_array": identity,
         "rt_delta_length_byte_array": identity,
         "rt_gzip": identity,
+        "rt_zstd": identity,
+        "rt_v2": identity,
         "rt_paged": identity,
         "rt_nullable": f"""
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,

@@ -98,16 +98,22 @@ def _compress(payload: bytes, compression: int) -> bytes:
     if compression == GZIP:
         import zlib
         return zlib.compress(payload, 6)
-    if compression == SNAPPY:
-        import snappy
-        return snappy.compress(payload)
-    if compression == ZSTD:
-        import zstandard
-        return zstandard.ZstdCompressor().compress(payload)
-    if compression == LZ4:
-        import lz4.frame
-        return lz4.frame.compress(payload)
+    if compression in _ARROW_CODECS:
+        # pyarrow's bundled C++ codecs (the same libraries the reference
+        # links, types.h:106-118); their decompressors need the raw size,
+        # so the body is u32 uncompressed-length + compressed bytes — the
+        # analog of the parquet page header's uncompressed_page_size
+        import pyarrow as pa
+        comp = pa.Codec(_ARROW_CODECS[compression]).compress(
+            payload, asbytes=True)
+        return len(payload).to_bytes(4, "little") + comp
     raise ValueError(f"unsupported compression {compression}")
+
+
+_ARROW_CODECS = {SNAPPY: "snappy", BROTLI: "brotli", LZ4: "lz4",
+                 ZSTD: "zstd"}
+# LZO has no Arrow (or any Python) implementation — the one reference
+# codec (types.h:112) not supported
 
 
 def _decompress(payload: bytes, compression: int) -> bytes:
@@ -116,29 +122,31 @@ def _decompress(payload: bytes, compression: int) -> bytes:
     if compression == GZIP:
         import zlib
         return zlib.decompress(payload)
-    if compression == SNAPPY:
-        import snappy
-        return snappy.decompress(payload)
-    if compression == ZSTD:
-        import zstandard
-        return zstandard.ZstdDecompressor().decompress(payload)
-    if compression == LZ4:
-        import lz4.frame
-        return lz4.frame.decompress(payload)
+    if compression in _ARROW_CODECS:
+        import pyarrow as pa
+        mv = memoryview(payload)
+        raw_len = int.from_bytes(mv[:4], "little")
+        out = pa.Codec(_ARROW_CODECS[compression]).decompress(
+            mv[4:], decompressed_size=raw_len, asbytes=True)
+        if len(out) != raw_len:
+            raise ValueError("decompressed size mismatch")
+        return out
     raise ValueError(f"unsupported compression {compression}")
 
 
 def available_compressions() -> list[int]:
-    """UNCOMPRESSED and GZIP always (zlib is stdlib); others if importable."""
+    """UNCOMPRESSED and GZIP always (zlib is stdlib); SNAPPY/BROTLI/LZ4/
+    ZSTD via pyarrow's bundled codecs. Only LZO (types.h:112) is absent —
+    no Arrow or Python implementation exists."""
     out = [UNCOMPRESSED, GZIP]
-    for mod, cid in (("snappy", SNAPPY), ("zstandard", ZSTD),
-                     ("lz4.frame", LZ4)):
-        try:
-            __import__(mod)
-            out.append(cid)
-        except Exception:
-            pass
-    return out
+    try:
+        import pyarrow as pa
+        for cid, name in _ARROW_CODECS.items():
+            if pa.Codec.is_available(name):
+                out.append(cid)
+    except Exception:
+        pass
+    return sorted(out)
 
 
 @dataclass
