@@ -458,6 +458,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dec.select("doc_id", F.md5(nested_str).alias("win_hash"))
     q["rt_nested_list"] = rt_nested_list
 
+    def rt_logical(spark: SparkSession, sf: str) -> DataFrame:
+        """Logical-type round-trip through the operators: DECIMAL(12,2) as
+        big-endian FLBA (reference arrow/writer.cc:572-604), TIMESTAMP as
+        TIMESTAMP_MICROS int64, DATE as date32 — encoded, decoded, and
+        re-emitted as canonical strings so both engines hash identically."""
+        from parquet_cpp_spark.operators.decode_arrow import \
+            decode_chunks_typed
+        from parquet_cpp_spark.operators.encode_arrow import encode_df_arrow
+        cols = {"l_orderkey": "int64", "l_linenumber": "int32",
+                "price": "decimal(12,2)", "ship_ts": "timestamp",
+                "ship_date": "date32"}
+        li = spark.read.parquet(os.path.join(sf, "lineitem.parquet"))
+        src = (li.select(
+                   "l_orderkey", "l_linenumber",
+                   F.col("l_extendedprice").cast("decimal(12,2)")
+                   .alias("price"),
+                   F.col("l_shipdate").cast("timestamp_ntz")
+                   .alias("ship_ts"),
+                   F.to_date("l_shipdate").alias("ship_date"))
+               .withColumn("part_id", F.pmod(F.xxhash64("l_orderkey",
+                                                        "l_linenumber"),
+                                             F.lit(NUM_PARTS))))
+        dec = decode_chunks_typed(
+            encode_df_arrow(src, NUM_PARTS, columns=cols, sort_key=None),
+            cols)
+        return dec.select(
+            "l_orderkey", "l_linenumber",
+            F.col("price").cast("string").alias("price_str"),
+            F.date_format("ship_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .alias("ship_ts_str"),
+            F.col("ship_date").cast("string").alias("ship_date_str"))
+    q["rt_logical"] = rt_logical
+
     def rt_salted(spark: SparkSession, sf: str) -> DataFrame:
         """Round-trip through the skew-aware salted partitioning path."""
         src = tokens_src.tokens_from_documents(spark, sf, NUM_PARTS) \
@@ -744,6 +777,16 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "rt_salted": identity,
+        "rt_logical": """
+            SELECT l_orderkey, l_linenumber,
+                   CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR)
+                       AS price_str,
+                   strftime(l_shipdate, '%Y-%m-%d %H:%M:%S.%f')
+                       AS ship_ts_str,
+                   CAST(CAST(l_shipdate AS DATE) AS VARCHAR)
+                       AS ship_date_str
+            FROM lineitem
+        """,
         "rt_struct": """
             SELECT event_id, event_type, value,
                    CAST(hour(ts) AS INTEGER) AS hour

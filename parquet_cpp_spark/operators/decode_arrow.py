@@ -208,6 +208,12 @@ def _spark_type(spec: str) -> str:
         inner = ", ".join(f"{f}: {_spark_type(leaf)}"
                           for f, leaf in parse_struct_spec(spec))
         return f"struct<{inner}>"
+    if spec.startswith("decimal("):
+        return spec
+    if spec == "timestamp":
+        return "timestamp_ntz"
+    if spec == "date32":
+        return "date"
     return _SPARK_TYPES[spec]
 
 
@@ -238,6 +244,25 @@ def decode_chunks_typed(chunks_df, columns: dict[str, str],
         if phys == "boolean":
             return pa.array(np.asarray(dec.values, dtype=bool),
                             type=pa.bool_())
+        if phys.startswith("decimal("):
+            from ..logical import decimal_byte_width, flba_to_decimal
+            from .encode_arrow import parse_decimal_spec
+            p, s = parse_decimal_spec(phys)
+            unscaled = flba_to_decimal(dec.values, decimal_byte_width(p))
+            # decimal128 storage is 16-byte little-endian two's complement:
+            # low word = the int64, high word = its sign extension
+            words = np.empty((len(unscaled), 2), dtype="<i8")
+            words[:, 0] = unscaled
+            words[:, 1] = unscaled >> 63
+            return pa.Array.from_buffers(
+                pa.decimal128(p, s), len(unscaled),
+                [None, pa.py_buffer(words.tobytes())])
+        if phys == "timestamp":
+            return pa.array(np.asarray(dec.values, np.int64),
+                            type=pa.int64()).cast(pa.timestamp("us"))
+        if phys == "date32":
+            return pa.array(np.asarray(dec.values, np.int32),
+                            type=pa.int32()).cast(pa.date32())
         if phys == "list<list<int32>>":
             inner_off = np.zeros(len(dec.inner_lengths) + 1, dtype=np.int32)
             np.cumsum(dec.inner_lengths, out=inner_off[1:])

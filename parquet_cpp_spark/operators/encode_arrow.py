@@ -114,10 +114,55 @@ def _nested_list_int32_values(column):
     return vals, outer, inner
 
 
+def parse_decimal_spec(spec: str) -> tuple[int, int]:
+    """``decimal(p,s)`` -> (precision, scale)."""
+    body = spec[len("decimal("):-1]
+    p, _, s = body.partition(",")
+    return int(p), int(s)
+
+
+def kernel_phys(phys: str) -> str:
+    """Column spec -> the physical type the chunk kernels see (the
+    reference's logical->physical mapping, arrow/writer.cc:572-604)."""
+    if phys.startswith("list<"):
+        return "int32"
+    if phys.startswith("decimal("):
+        from ..logical import decimal_byte_width
+        p, _s = parse_decimal_spec(phys)
+        return f"flba:{decimal_byte_width(p)}"
+    if phys == "timestamp":
+        return "int64"   # TIMESTAMP_MICROS
+    if phys == "date32":
+        return "int32"   # DATE days-since-epoch
+    return phys
+
+
+def _decimal_unscaled(column) -> np.ndarray:
+    """Arrow decimal128 -> unscaled int64, straight from the 16-byte buffer
+    (raises if any value exceeds int64, mirroring logical.flba_to_decimal)."""
+    import pyarrow as pa
+
+    n = len(column)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    if column.null_count:
+        raise ValueError("null decimals not supported in encode")
+    buf = column.buffers()[1]
+    words = np.frombuffer(buf, dtype="<i8",
+                          count=2 * (column.offset + n))[2 * column.offset:]
+    lo = words[0::2]
+    hi = words[1::2]
+    if np.any(hi != (lo >> 63)):
+        raise ValueError("decimal unscaled value exceeds int64")
+    return np.ascontiguousarray(lo)
+
+
 def _arrow_column_values(tbl, col: str, phys: str,
                          path: tuple[str, ...] = ()):
     """(values, row_lengths, elem_valid, inner_lengths) straight from Arrow
     buffers. ``path`` drills into struct children (zero-copy .field())."""
+    import pyarrow as pa
+
     base = col.split(".", 1)[0] if path else col
     column = tbl.column(base).combine_chunks()
     for field in path:
@@ -132,6 +177,18 @@ def _arrow_column_values(tbl, col: str, phys: str,
     if phys == "byte_array":
         from ..kernels import ba
         return ba.from_arrow(column), None, None, None
+    if phys.startswith("decimal("):
+        from ..kernels import ba
+        from ..logical import decimal_to_flba
+        p, _s = parse_decimal_spec(phys)
+        flba, _w = decimal_to_flba(_decimal_unscaled(column), p)
+        return ba.from_list(flba), None, None, None
+    if phys == "timestamp":
+        return (column.cast(pa.int64()).to_numpy(zero_copy_only=False)
+                .astype(np.int64, copy=False), None, None, None)
+    if phys == "date32":
+        return (column.cast(pa.int32()).to_numpy(zero_copy_only=False)
+                .astype(np.int32, copy=False), None, None, None)
     dt = {"int32": np.int32, "int64": np.int64, "float": np.float32,
           "double": np.float64, "boolean": bool}[phys]
     return (column.to_numpy(zero_copy_only=False).astype(dt, copy=False),
@@ -182,9 +239,8 @@ def make_arrow_encode_fn(columns: dict[str, str] | None = None,
         for col, path, phys in leaves:
             values, row_lengths, elem_valid, inner_lengths = \
                 _arrow_column_values(tbl, col, phys, path)
-            kernel_phys = "int32" if phys.startswith("list<") else phys
             enc = selector.encode_best(
-                values, kernel_phys, row_lengths=row_lengths,
+                values, kernel_phys(phys), row_lengths=row_lengths,
                 codec_override=overrides.get(col),
                 dict_size_limit=dict_size_limit,
                 compression=compression,

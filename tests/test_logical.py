@@ -74,3 +74,45 @@ def test_date_and_time_coercions():
         assert t.dtype == dt
         back = logical.int_to_time(t, unit)
         np.testing.assert_array_equal(logical.time_to_int(back, unit), t)
+
+
+def test_logical_specs_through_operators():
+    """decimal(p,s)/timestamp/date32 column specs encode through the Arrow
+    operator (FLBA / TIMESTAMP_MICROS / date32 physical) and decode back to
+    the original Arrow logical types."""
+    import datetime as dt
+    from decimal import Decimal
+
+    import pytest
+    pytest.importorskip("pyspark")
+    from pyspark.sql import functions as F
+
+    from parquet_cpp_spark.operators.decode_arrow import decode_chunks_typed
+    from parquet_cpp_spark.operators.encode_arrow import encode_df_arrow
+    from parquet_cpp_spark.session import get_spark
+    spark = get_spark(master="local[4]", app_name="pcs-logical",
+                      shuffle_partitions=4)
+    rows = [(i, Decimal(i * 7919 % 1000000) / 100,
+             dt.datetime(2021, 3, 4, 5, 6, 7, i % 1000000),
+             dt.date(2021, 3, 1) + dt.timedelta(days=i % 400))
+            for i in range(4000)]
+    df = spark.createDataFrame(
+        rows, "id bigint, price decimal(12,2), ts timestamp_ntz, d date")
+    cols = {"id": "int64", "price": "decimal(12,2)",
+            "ts": "timestamp", "d": "date32"}
+    src = df.withColumn("part_id", F.pmod(F.xxhash64("id"), F.lit(4)))
+    dec = decode_chunks_typed(
+        encode_df_arrow(src, 4, columns=cols, sort_key=None), cols)
+    got = sorted((r.id, r.price, r.ts, r.d) for r in dec.collect())
+    assert got == sorted(rows)
+
+
+def test_decimal_spec_rejects_overflow():
+    import numpy as np
+    import pyarrow as pa
+
+    from parquet_cpp_spark.operators.encode_arrow import _decimal_unscaled
+    big = pa.array([10 ** 25], type=pa.decimal128(30, 2))
+    import pytest
+    with pytest.raises(ValueError, match="exceeds int64"):
+        _decimal_unscaled(big)
