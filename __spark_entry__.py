@@ -260,6 +260,15 @@ def _ann_ip_lsh_mp_oracle_sql(probe_ids=(0, 1, 2, 3, 4), k: int = 10,
     """
 
 
+def _md5_hex8_int_sql(arg_sql: str) -> str:
+    """DuckDB expression: integer value of the first 8 hex chars of
+    md5(arg) (nibble arithmetic, same trick as the simhash oracle)."""
+    nib = ("(strpos('0123456789abcdef', "
+           f"substr(md5({arg_sql}), {{i}}, 1)) - 1)")
+    return "(" + " + ".join(
+        f"{nib.format(i=i + 1)} * {16 ** (7 - i)}" for i in range(8)) + ")"
+
+
 def _simhash_oracle_sql(bits: int = 16) -> str:
     """DuckDB replica of functions/dedup.simhash: bit b of the signature is
     the majority vote over words of bit b of the first 16 bits of md5(word)
@@ -689,6 +698,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("hour", "event_type"))
     q["events_hourly"] = events_hourly
 
+    # --- training-batch shaping: sequence packing + mixture sampling ---
+    def seq_packing(spark: SparkSession, sf: str) -> DataFrame:
+        """Pack documents into fixed-length 512-token training sequences
+        ([BOS, *tokens] per doc, concatenated in doc_id order per
+        partition, remainder dropped) — the canonical pre-training reshape.
+        One shuffle; numpy packing per partition task."""
+        from parquet_cpp_spark.functions import packing
+        src = tokens_src.tokens_from_documents(spark, sf, NUM_PARTS)
+        packed = packing.pack_sequences(src, seq_len=512)
+        tok_str = F.array_join(
+            F.transform("tokens", lambda x: x.cast("string")), " ")
+        return packed.select("part_id", "seq_id",
+                             F.md5(tok_str).alias("seq_hash"))
+    q["seq_packing"] = seq_packing
+
+    def training_mixture(spark: SparkSession, sf: str) -> DataFrame:
+        """Deterministic per-source mixture sampling: stable md5 bucket of
+        doc_id decides membership, so the sample is identical across
+        engines, re-runs, and cluster layouts (no RNG). Row-local filter —
+        zero shuffle."""
+        from parquet_cpp_spark.functions import packing
+        docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+        out = packing.sample_mixture(
+            docs, {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1})
+        return out.select("doc_id", "source")
+    q["training_mixture"] = training_mixture
+
     # --- multimodal: real pure-numpy decode (PPM/WAV/concat-PPM video) ---
     def media_features(spark: SparkSession, sf: str) -> DataFrame:
         """Feature extraction over synthesized real media payloads (binary
@@ -1044,6 +1080,42 @@ def oracle_sql() -> dict[str, str]:
                              AS sh
                   FROM (SELECT doc_id, string_split(text, ' ') AS w
                         FROM documents))
+        """,
+        "seq_packing": f"""
+            WITH d AS (SELECT doc_id % {NUM_PARTS} AS part_id, doc_id,
+                              list_prepend(1, {tokens_src._TOKEN_EXPR_DUCKDB})
+                                  AS toks
+                       FROM documents),
+            c AS (SELECT *, coalesce(SUM(len(toks)) OVER (
+                      PARTITION BY part_id ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS cum
+                  FROM d),
+            f AS (SELECT part_id, cum + u.o - 1 AS pos, u.t AS tok
+                  FROM (SELECT part_id, cum,
+                               unnest(list_transform(
+                                   range(1, len(toks) + 1),
+                                   i -> {{'o': i, 't': toks[i]}})) AS u
+                        FROM c))
+            SELECT part_id, CAST(pos // 512 AS INTEGER) AS seq_id,
+                   md5(array_to_string(
+                       list(CAST(tok AS VARCHAR) ORDER BY pos), ' '))
+                       AS seq_hash
+            FROM f GROUP BY 1, 2 HAVING count(*) = 512
+        """,
+        "training_mixture": f"""
+            SELECT doc_id, source FROM (
+                SELECT doc_id, source,
+                       CAST({_md5_hex8_int_sql(
+                           "CAST(doc_id AS VARCHAR) || ':mix'")} AS BIGINT)
+                           % 10000 AS b,
+                       CASE source WHEN 'src0' THEN 1.0
+                                   WHEN 'src1' THEN 0.5
+                                   WHEN 'src2' THEN 0.25
+                                   WHEN 'src3' THEN 0.1
+                                   ELSE 0.0 END AS r
+                FROM documents)
+            WHERE b < r * 10000
         """,
         "simhash": _simhash_oracle_sql(),
         "ann_ip_lsh": _ann_ip_lsh_oracle_sql(),

@@ -55,8 +55,8 @@ def main() -> int:
                 failed.append(name)
                 continue
             a = sdf[cols].sort_values(cols).reset_index(drop=True)
-            b = odf[cols].sort_values(cols).reset_index(drop=True)
-            b = b.astype(a.dtypes.to_dict(), errors="ignore")
+            b = odf[cols].astype(a.dtypes.to_dict(), errors="ignore") \
+                .sort_values(cols).reset_index(drop=True)
             ok = len(a) == len(b) and a.equals(b)
             print(f"{name}: rows {len(a)}/{len(b)} "
                   f"{'MATCH' if ok else 'MISMATCH'}")
