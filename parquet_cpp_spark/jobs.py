@@ -65,7 +65,8 @@ def cmd_encode(args) -> None:
 def cmd_decode(args) -> None:
     spark = _spark(args)
     from .operators.decode_arrow import decode_parquet_direct
-    dec = decode_parquet_direct(spark, args.chunks)
+    dec = decode_parquet_direct(spark, args.chunks,
+                                verify_checksums=args.verify_checksums)
     dec.drop("part_id").write.mode("overwrite").parquet(args.out)
     print(json.dumps({"rows": spark.read.parquet(args.out).count(),
                       "out": args.out}))
@@ -128,6 +129,10 @@ def main(argv=None) -> None:
     dec = sub.add_parser("decode")
     dec.add_argument("--chunks", required=True)
     dec.add_argument("--out", required=True)
+    dec.add_argument("--verify-checksums", action="store_true",
+                     help="re-hash every blob against its chunk-row sha256 "
+                          "before decoding (turns payload bit flips into "
+                          "loud errors)")
     dec.set_defaults(fn=cmd_decode)
 
     ver = sub.add_parser("verify")
