@@ -55,12 +55,13 @@ def test_every_query_has_callable_signature():
     q = entry_mod.queries()
     o = entry_mod.oracle_sql()
     assert set(o) <= set(q)
-    # every oracle-less query is flagged intentionally (float cosine folds
-    # and engine introspection are rows-only by design)
+    # every oracle-less query is flagged intentionally: engine
+    # introspection (no SQL analog) and multimodal decode (SQL cannot
+    # parse PPM/WAV). Exact equality so a new query silently missing its
+    # oracle fails here.
     no_oracle = set(q) - set(o)
-    assert no_oracle <= {"codec_selection", "compression_manifest",
-                         "ann_cosine_topk", "ann_cosine_lsh",
-                         "neardup_cosine_lsh", "ann_cosine_ivf"}
+    assert no_oracle == {"codec_selection", "compression_manifest",
+                         "media_features"}
 
 
 @pytest.mark.parametrize("name", sorted(entry_mod.oracle_sql().keys()))
