@@ -698,6 +698,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("hour", "event_type"))
     q["events_hourly"] = events_hourly
 
+    def sessionization(spark: SparkSession, sf: str) -> DataFrame:
+        """Gap-based sessionization of the events stream (30-min gap):
+        lag + running-sum window then session aggregation — one exchange
+        on user_id (the window and groupBy share the partitioning)."""
+        from parquet_cpp_spark.functions.sessions import sessionize
+        ev = spark.read.parquet(os.path.join(sf, "events.parquet"))
+        return sessionize(ev, gap_minutes=30)
+    q["sessionization"] = sessionization
+
     # --- training-batch shaping: sequence packing + mixture sampling ---
     def seq_packing(spark: SparkSession, sf: str) -> DataFrame:
         """Pack documents into fixed-length 512-token training sequences
@@ -1080,6 +1089,32 @@ def oracle_sql() -> dict[str, str]:
                              AS sh
                   FROM (SELECT doc_id, string_split(text, ' ') AS w
                         FROM documents))
+        """,
+        "sessionization": """
+            WITH g AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR date_diff('microsecond',
+                                              lag(ts) OVER w, ts)
+                                    > 1800000000
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+                SELECT user_id, ts, event_id,
+                       SUM(new_sess) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS session_id
+                FROM g)
+            SELECT user_id, CAST(session_id AS INTEGER) AS session_id,
+                   strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f')
+                       AS session_start,
+                   strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f')
+                       AS session_end,
+                   COUNT(*) AS n_events,
+                   MIN(event_id) AS first_event
+            FROM s GROUP BY user_id, session_id
         """,
         "seq_packing": f"""
             WITH d AS (SELECT doc_id % {NUM_PARTS} AS part_id, doc_id,
