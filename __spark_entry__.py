@@ -467,6 +467,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dec.select("doc_id", F.md5(nested_str).alias("win_hash"))
     q["rt_nested_list"] = rt_nested_list
 
+    def rt_nullable_flat(spark: SparkSession, sf: str) -> DataFrame:
+        """OPTIONAL flat columns (the reference's PutSpaced/DecodeSpaced
+        contract, encoding.h:68-76): int64/double/string columns with
+        deterministically injected nulls encode through the validity-mask
+        def-level stream and decode with nulls intact."""
+        from parquet_cpp_spark.operators.decode_arrow import \
+            decode_chunks_typed
+        from parquet_cpp_spark.operators.encode_arrow import encode_df_arrow
+        cols = {"event_id": "int64", "user_n": "int64?",
+                "value_n": "double?", "type_n": "byte_array?"}
+        ev = spark.read.parquet(os.path.join(sf, "events.parquet"))
+        src = (ev.select(
+                   "event_id",
+                   F.when(F.col("user_id") % 7 != 0, F.col("user_id"))
+                   .alias("user_n"),
+                   F.when(F.col("value") >= 0.1, F.col("value"))
+                   .alias("value_n"),
+                   F.when(F.col("event_id") % 9 != 0, F.col("event_type"))
+                   .alias("type_n"))
+               .withColumn("part_id",
+                           F.pmod(F.xxhash64("event_id"), F.lit(NUM_PARTS))))
+        dec = decode_chunks_typed(
+            encode_df_arrow(src, NUM_PARTS, columns=cols,
+                            sort_key="event_id"),
+            cols)
+        return dec.select("event_id", "user_n", "value_n", "type_n")
+    q["rt_nullable_flat"] = rt_nullable_flat
+
     def rt_logical(spark: SparkSession, sf: str) -> DataFrame:
         """Logical-type round-trip through the operators: DECIMAL(12,2) as
         big-endian FLBA (reference arrow/writer.cc:572-604), TIMESTAMP as
@@ -822,6 +850,14 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "rt_salted": identity,
+        "rt_nullable_flat": """
+            SELECT event_id,
+                   CASE WHEN user_id % 7 <> 0 THEN user_id END AS user_n,
+                   CASE WHEN value >= 0.1 THEN value END AS value_n,
+                   CASE WHEN event_id % 9 <> 0 THEN event_type END
+                       AS type_n
+            FROM events
+        """,
         "rt_logical": """
             SELECT l_orderkey, l_linenumber,
                    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR)

@@ -208,6 +208,8 @@ def _spark_type(spec: str) -> str:
         inner = ", ".join(f"{f}: {_spark_type(leaf)}"
                           for f, leaf in parse_struct_spec(spec))
         return f"struct<{inner}>"
+    if spec.endswith("?") and not spec.startswith("list<"):
+        return _spark_type(spec[:-1])   # Spark types are always nullable
     if spec.startswith("decimal("):
         return spec
     if spec == "timestamp":
@@ -239,6 +241,20 @@ def decode_chunks_typed(chunks_df, columns: dict[str, str],
         f"{c} {_spark_type(p)}" for c, p in columns.items())
 
     def _column_array(dec, phys):
+        if phys.endswith("?") and not phys.startswith("list<"):
+            # OPTIONAL flat column: dense stored values re-spaced through
+            # the decoded validity mask (DecodeSpaced, encoding.h:110-131)
+            inner = phys[:-1]
+            valid = dec.valid_mask
+            if valid is None:   # chunk had no nulls -> REQUIRED layout
+                return _column_array(dec, inner)
+            dense_arr = _column_array(
+                type(dec)(dec.values, None, dec.codec, dec.phys,
+                          int(valid.sum()), dec.n_values), inner)
+            idx = np.zeros(len(valid), dtype=np.int64)
+            idx[valid] = np.arange(int(valid.sum()), dtype=np.int64)
+            # a null take-index yields a null output slot
+            return dense_arr.take(pa.array(idx, mask=~valid))
         if phys == "byte_array":
             return _strings(dec.values)
         if phys == "boolean":

@@ -123,9 +123,12 @@ def parse_decimal_spec(spec: str) -> tuple[int, int]:
 
 def kernel_phys(phys: str) -> str:
     """Column spec -> the physical type the chunk kernels see (the
-    reference's logical->physical mapping, arrow/writer.cc:572-604)."""
+    reference's logical->physical mapping, arrow/writer.cc:572-604).
+    A trailing ``?`` (nullable flat column, the PutSpaced contract)
+    does not change the physical type."""
     if phys.startswith("list<"):
         return "int32"
+    phys = phys.removesuffix("?")
     if phys.startswith("decimal("):
         from ..logical import decimal_byte_width
         p, _s = parse_decimal_spec(phys)
@@ -159,14 +162,54 @@ def _decimal_unscaled(column) -> np.ndarray:
 
 def _arrow_column_values(tbl, col: str, phys: str,
                          path: tuple[str, ...] = ()):
-    """(values, row_lengths, elem_valid, inner_lengths) straight from Arrow
-    buffers. ``path`` drills into struct children (zero-copy .field())."""
+    """(values, row_lengths, elem_valid, inner_lengths[, valid_mask])
+    straight from Arrow buffers. ``path`` drills into struct children
+    (zero-copy .field()).
+
+    A flat spec ending in ``?`` returns a fifth element: the row validity
+    mask, with values SPACED (nulls hold a zero placeholder) — the
+    reference's PutSpaced contract (encoding.h:68-76). A flat spec WITHOUT
+    ``?`` raises on nulls rather than silently casting NaN placeholders
+    into garbage values."""
     import pyarrow as pa
 
     base = col.split(".", 1)[0] if path else col
     column = tbl.column(base).combine_chunks()
     for field in path:
         column = column.field(field)
+    if phys.endswith("?") and not phys.startswith("list<"):
+        inner = phys[:-1]
+        if column.null_count:
+            valid = column.is_valid().to_numpy(zero_copy_only=False)
+            if inner == "timestamp":
+                fill = pa.scalar(0, type=pa.timestamp("us"))
+            elif inner == "date32":
+                fill = pa.scalar(0, type=pa.date32())
+            elif inner.startswith("decimal("):
+                from decimal import Decimal
+                fill = Decimal(0)
+            elif inner == "byte_array":
+                fill = b""
+            elif inner == "boolean":
+                fill = False
+            else:
+                fill = 0
+            column = pa.compute.fill_null(column, fill)
+        else:
+            valid = np.ones(len(column), dtype=bool)
+        vals, rl, ev, il = _arrow_column_values_dense(column, inner)
+        return vals, rl, ev, il, valid
+    if column.null_count and not phys.startswith("list<"):
+        raise ValueError(
+            f"column {col!r} has nulls; declare the spec as {phys!r}+'?' "
+            "to encode it as OPTIONAL")
+    vals, rl, ev, il = _arrow_column_values_dense(column, phys)
+    return vals, rl, ev, il, None
+
+
+def _arrow_column_values_dense(column, phys: str):
+    import pyarrow as pa
+
     if phys == "list<list<int32>>":
         vals, outer, inner = _nested_list_int32_values(column)
         return vals, outer, None, inner
@@ -237,7 +280,7 @@ def make_arrow_encode_fn(columns: dict[str, str] | None = None,
         rows = {k: [] for k in out_schema.names}
         n_rows_seen = set()
         for col, path, phys in leaves:
-            values, row_lengths, elem_valid, inner_lengths = \
+            values, row_lengths, elem_valid, inner_lengths, valid_mask = \
                 _arrow_column_values(tbl, col, phys, path)
             enc = selector.encode_best(
                 values, kernel_phys(phys), row_lengths=row_lengths,
@@ -248,6 +291,7 @@ def make_arrow_encode_fn(columns: dict[str, str] | None = None,
                 page_size=page_size,
                 elem_valid=elem_valid,
                 inner_lengths=inner_lengths,
+                valid_mask=valid_mask,
                 data_page_version=data_page_version)
             bloom_blob = None
             if col in bloom_columns and phys == "byte_array":

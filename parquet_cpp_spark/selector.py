@@ -248,6 +248,7 @@ def encode_best(values, phys: str, *, row_lengths=None,
                 page_size: int | None = chunkmod.DEFAULT_PAGE_SIZE,
                 elem_valid=None,
                 inner_lengths=None,
+                valid_mask=None,
                 data_page_version: int = 1) -> "chunkmod.EncodedChunk":
     """Encode with the selected (or forced) codec. When estimates are close,
     encode the top candidates and keep the actual-smallest; always fall back
@@ -256,6 +257,8 @@ def encode_best(values, phys: str, *, row_lengths=None,
     levels_sections = (chunkmod.build_levels_sections(row_lengths)
                        if row_lengths is not None and elem_valid is None
                        and inner_lengths is None else None)
+    if valid_mask is not None and bool(valid_mask.all()):
+        valid_mask = None  # all-present: encode REQUIRED (dense == spaced)
     if codec_override is not None:
         return chunkmod.encode_chunk(values, phys, codec_override,
                                      row_lengths=row_lengths,
@@ -265,6 +268,7 @@ def encode_best(values, phys: str, *, row_lengths=None,
                                      page_size=page_size,
                                      elem_valid=elem_valid,
                                      inner_lengths=inner_lengths,
+                                     valid_mask=valid_mask,
                                      data_page_version=data_page_version)
 
     cands = candidates(values, phys, allow_dictionary)
@@ -292,6 +296,7 @@ def encode_best(values, phys: str, *, row_lengths=None,
                                     page_size=page_size,
                                     elem_valid=elem_valid,
                                     inner_lengths=inner_lengths,
+                                    valid_mask=valid_mask,
                                     data_page_version=data_page_version)
         if best is None or enc.enc_bytes < best.enc_bytes:
             best = enc
@@ -310,6 +315,7 @@ def encode_best(values, phys: str, *, row_lengths=None,
                 compression=compression,
                 levels_sections=levels_sections, page_size=page_size,
                 elem_valid=elem_valid, inner_lengths=inner_lengths,
+                valid_mask=valid_mask,
                 data_page_version=data_page_version)
             if plain_enc.enc_bytes < best.enc_bytes:
                 return plain_enc

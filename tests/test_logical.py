@@ -116,3 +116,50 @@ def test_decimal_spec_rejects_overflow():
     import pytest
     with pytest.raises(ValueError, match="exceeds int64"):
         _decimal_unscaled(big)
+
+
+def test_nullable_flat_specs_through_operators():
+    """'int64?'/'double?'/'byte_array?'/'boolean?'/'decimal?'/'timestamp?'
+    specs: values spaced through a validity mask (PutSpaced/DecodeSpaced,
+    encoding.h:68-76/110-131) round-trip with nulls intact; a non-nullable
+    spec fed nulls must raise, never cast NaN placeholders silently."""
+    import datetime as dt
+    from decimal import Decimal
+
+    import pytest
+    pytest.importorskip("pyspark")
+    from pyspark.sql import functions as F
+
+    from parquet_cpp_spark.operators.decode_arrow import decode_chunks_typed
+    from parquet_cpp_spark.operators.encode_arrow import encode_df_arrow
+    from parquet_cpp_spark.session import get_spark
+    spark = get_spark(master="local[4]", app_name="pcs-logical",
+                      shuffle_partitions=4)
+    rows = []
+    for i in range(3000):
+        rows.append((
+            i,
+            None if i % 7 == 0 else i * 3,
+            None if i % 5 == 0 else float(i) / 4,
+            None if i % 11 == 0 else f"s{i % 13}",
+            None if i % 13 == 0 else (i % 2 == 0),
+            None if i % 17 == 0 else Decimal(i * 97 % 10000) / 100,
+            None if i % 19 == 0 else dt.datetime(2022, 1, 1, 0, 0,
+                                                 i % 60, i % 1000000)))
+    df = spark.createDataFrame(
+        rows, "id bigint, a bigint, b double, c string, d boolean, "
+              "e decimal(10,2), f timestamp_ntz")
+    cols = {"id": "int64", "a": "int64?", "b": "double?",
+            "c": "byte_array?", "d": "boolean?", "e": "decimal(10,2)?",
+            "f": "timestamp?"}
+    src = df.withColumn("part_id", F.pmod(F.xxhash64("id"), F.lit(4)))
+    dec = decode_chunks_typed(
+        encode_df_arrow(src, 4, columns=cols, sort_key=None), cols)
+    got = sorted((r.id, r.a, r.b, r.c, r.d, r.e, r.f)
+                 for r in dec.collect())
+    assert got == sorted(rows)
+
+    cols2 = {"id": "int64", "a": "int64"}
+    with pytest.raises(Exception, match="has nulls"):
+        encode_df_arrow(src.select("part_id", "id", "a"), 4,
+                        columns=cols2, sort_key=None).collect()
