@@ -98,3 +98,31 @@ def test_simhash_zero_shuffle(spark):
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
     plan = _plan(dedup.simhash(docs))
     assert "Exchange" not in plan, plan
+
+
+def test_bucketed_join_colocates(spark, tmp_path):
+    """Bucketed tables joined on the bucket key need NO exchange: the
+    100-TB co-located-join strategy (bucketBy at write time amortizes the
+    shuffle across every later join). Broadcast is disabled so the plan
+    can't cheat around the sort-merge path."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+        cust = spark.read.parquet(os.path.join(SF_DIR, "customer.parquet"))
+        (orders.write.mode("overwrite").bucketBy(8, "o_custkey")
+         .sortBy("o_custkey").saveAsTable("t_orders_b"))
+        (cust.write.mode("overwrite").bucketBy(8, "c_custkey")
+         .sortBy("c_custkey").saveAsTable("t_cust_b"))
+        j = (spark.table("t_orders_b")
+             .join(spark.table("t_cust_b"),
+                   F.col("o_custkey") == F.col("c_custkey"))
+             .groupBy("c_custkey").count())
+        plan = _plan(j)
+        join_part = plan.split("SortMergeJoin")[0] \
+            if "SortMergeJoin" in plan else plan
+        assert "Exchange hashpartitioning(o_custkey" not in plan, plan
+        assert "Exchange hashpartitioning(c_custkey" not in plan, plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_cust_b")
