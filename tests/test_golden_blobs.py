@@ -42,3 +42,32 @@ def test_golden_nullable_blob_decodes():
     np.testing.assert_array_equal(dec.valid_mask, mask)
     np.testing.assert_array_equal(np.asarray(dec.values, np.int32),
                                   np.arange(200, dtype=np.int32)[mask])
+
+
+def test_golden_nested_list_blob_decodes():
+    rng = np.random.default_rng(77)
+    outer = rng.integers(0, 4, 300).astype(np.int64)
+    inner = rng.integers(0, 5, int(outer.sum())).astype(np.int64)
+    vals = rng.integers(0, 1000, int(inner.sum())).astype(np.int32)
+    dec = chunkmod.decode_chunk(_blob("nested_delta.blob"))
+    np.testing.assert_array_equal(dec.row_lengths, outer)
+    np.testing.assert_array_equal(dec.inner_lengths, inner)
+    np.testing.assert_array_equal(np.asarray(dec.values, np.int32), vals)
+
+
+def test_golden_decimal_flba_blob_decodes():
+    from parquet_cpp_spark.logical import flba_to_decimal
+    dec = chunkmod.decode_chunk(_blob("decimal_flba.blob"))
+    want = np.arange(500, dtype=np.int64) * 7919 - 100000
+    np.testing.assert_array_equal(flba_to_decimal(dec.values, 6), want)
+
+
+def test_golden_zstd_paged_blob_decodes():
+    # replay the same rng(77) draw sequence the fixture writer used
+    rng = np.random.default_rng(77)
+    outer = rng.integers(0, 4, 300).astype(np.int64)
+    inner = rng.integers(0, 5, int(outer.sum())).astype(np.int64)
+    rng.integers(0, 1000, int(inner.sum()))
+    want = rng.integers(0, 200, 60000).astype(np.int64)
+    dec = chunkmod.decode_chunk(_blob("rle_zstd_paged.blob"))
+    np.testing.assert_array_equal(np.asarray(dec.values, np.int64), want)
