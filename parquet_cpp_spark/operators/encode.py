@@ -38,9 +38,18 @@ TOKEN_TABLE_COLUMNS = {
 }
 
 
+_PANDAS_PATH_SPECS = ("list<int32>", "list<int32?>", "byte_array", "int32",
+                      "int64", "float", "double", "boolean")
+
+
 def _column_values(pdf: pd.DataFrame, col: str, phys: str):
     """Extract (values, row_lengths, elem_valid) for the kernels,
     vectorized (pandas -> Arrow once, then buffer reads)."""
+    if phys not in _PANDAS_PATH_SPECS:
+        raise ValueError(
+            f"spec {phys!r} is only supported by the Arrow encode path "
+            "(operators.encode_arrow / encode_df default); the pandas "
+            "path handles the token-table specs only")
     if phys in ("list<int32>", "list<int32?>"):
         import pyarrow as pa
 
