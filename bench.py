@@ -77,8 +77,9 @@ def _warmup(spark):
     encode_scan_local(warm).count()
 
 
-def _encode_direct_run(spark, path: str) -> tuple[float, dict]:
-    """Steady-state (best of 2) direct-source encode wall time."""
+def _encode_direct_run(spark, path: str,
+                       reps: int = 2) -> tuple[float, dict]:
+    """Steady-state (best of ``reps``) direct-source encode wall time."""
     from pyspark.sql import functions as F
     from parquet_cpp_spark.sources.parquet_direct import encode_parquet_direct
 
@@ -92,10 +93,12 @@ def _encode_direct_run(spark, path: str) -> tuple[float, dict]:
                   .otherwise(F.lit(0))).alias("tokens")).collect()[0]
         return time.perf_counter() - t0, row
 
-    w1, row = timed()
-    w2, row = timed()
-    return min(w1, w2), {"enc_bytes": int(row.enc), "raw_bytes": int(row.raw),
-                         "n_tokens": int(row.tokens)}
+    best = None
+    for _ in range(reps):
+        w, row = timed()
+        best = w if best is None else min(best, w)
+    return best, {"enc_bytes": int(row.enc), "raw_bytes": int(row.raw),
+                  "n_tokens": int(row.tokens)}
 
 
 def main() -> None:
@@ -112,13 +115,24 @@ def main() -> None:
     # host's bus, are the scaled resource — on a real cluster every node
     # adds a bus, so this is the transferable ratio. All levels are
     # best-of-2 (_encode_direct_run) so one noisy window can't sink a leg.
+    # Two interleaved rounds (1, 4, low, 1, 4, low): host contention drifts
+    # over minutes, so a pair's two legs must sample the SAME window — the
+    # per-round ratio is the honest one; best-of-rounds per level feeds the
+    # throughput numbers.
+    t_rounds: list[dict[int, float]] = []
     t_level: dict[int, float] = {}
     totals = None
-    for cpus in sorted({1, 4, CPUS_LOW}):
-        spark = _session(cpus)
-        _warmup(spark)
-        t_level[cpus], totals = _encode_direct_run(spark, path)
-        spark.stop()
+    low_levels = sorted({1, 4, CPUS_LOW})
+    for _round in range(2):
+        t_rounds.append({})
+        for cpus in low_levels:
+            spark = _session(cpus)
+            _warmup(spark)
+            t_rounds[-1][cpus], totals = _encode_direct_run(spark, path,
+                                                            reps=1)
+            spark.stop()
+    for cpus in low_levels:
+        t_level[cpus] = min(r[cpus] for r in t_rounds)
         queries[f"encode_local{cpus}"] = round(t_level[cpus], 3)
     from pyspark.sql import functions as F  # noqa: F811
 
@@ -219,11 +233,21 @@ def main() -> None:
     memh = _memcpy_probe(CPUS_HIGH)
     memcpy_slowdown = memh / mem1
     throttled = memcpy_slowdown > 2.0
-    # every measured N->4N pair, most core-bound first
+    # every measured N->4N pair, most core-bound first; for the interleaved
+    # low levels the ratio comes from the best SAME-ROUND (same contention
+    # window) measurement — cross-window ratios mix different neighbor
+    # loads and are meaningless on a shared host
     pairs = {}
     for lo in sorted(t_level):
         hi = lo * 4
-        if hi in t_level:
+        if hi not in t_level:
+            continue
+        same_round = [
+            (r[lo] / r[hi]) / (hi / lo)
+            for r in t_rounds if lo in r and hi in r]
+        if same_round:
+            pairs[f"{lo}->{hi}"] = round(max(same_round), 3)
+        else:
             pairs[f"{lo}->{hi}"] = round(
                 (t_level[lo] / t_level[hi]) / (hi / lo), 3)
     if throttled:
