@@ -225,9 +225,15 @@ def main() -> None:
     from multiprocessing import Pool
 
     def _memcpy_probe(nproc: int) -> float:
-        with Pool(nproc) as p:
-            times = p.map(_memcpy_task, range(nproc))
-        return float(sum(times) / len(times))
+        # min of 2: the probe itself can land in a contended moment, and a
+        # slow 1-proc reading would mis-declare the host un-throttled
+        best = None
+        for _ in range(2):
+            with Pool(nproc) as p:
+                times = p.map(_memcpy_task, range(nproc))
+            avg = float(sum(times) / len(times))
+            best = avg if best is None else min(best, avg)
+        return best
 
     mem1 = _memcpy_probe(1)
     memh = _memcpy_probe(CPUS_HIGH)
@@ -245,11 +251,11 @@ def main() -> None:
         same_round = [
             (r[lo] / r[hi]) / (hi / lo)
             for r in t_rounds if lo in r and hi in r]
-        if same_round:
-            pairs[f"{lo}->{hi}"] = round(max(same_round), 3)
-        else:
-            pairs[f"{lo}->{hi}"] = round(
-                (t_level[lo] / t_level[hi]) / (hi / lo), 3)
+        eff = max(same_round) if same_round else \
+            (t_level[lo] / t_level[hi]) / (hi / lo)
+        # cap at 1.0: super-linear readings are contention noise on the
+        # slower leg, not engine behavior
+        pairs[f"{lo}->{hi}"] = round(min(eff, 1.0), 3)
     if throttled:
         # the most core-bound pair is the transferable one (see comment
         # at the level measurements)
