@@ -123,7 +123,7 @@ def main() -> None:
     t_level: dict[int, float] = {}
     totals = None
     low_levels = sorted({1, 4, CPUS_LOW})
-    for _round in range(2):
+    for _round in range(3):
         t_rounds.append({})
         for cpus in low_levels:
             spark = _session(cpus)
