@@ -221,7 +221,8 @@ def _spark_type(spec: str) -> str:
 
 def decode_chunks_typed(chunks_df, columns: dict[str, str],
                         part_col: str = "part_id",
-                        assume_colocated: bool | None = None):
+                        assume_colocated: bool | None = None,
+                        verify_checksums: bool = False):
     """Generic table decode: ``columns`` maps column name -> physical spec
     (the same specs the encode operators take). The engine is not
     token-table-specific — any column set the encoders accept decodes back
@@ -322,6 +323,8 @@ def decode_chunks_typed(chunks_df, columns: dict[str, str],
         return _column_array(decs[name], phys)
 
     def task(batches):
+        import hashlib
+
         batch_list = list(batches)
         if not batch_list:
             return
@@ -329,9 +332,19 @@ def decode_chunks_typed(chunks_df, columns: dict[str, str],
         part_ids = tbl.column("part_id").to_numpy(zero_copy_only=False)
         cols = tbl.column("col").to_pylist()
         blob_col = tbl.column("blob").combine_chunks()
+        checksums = (tbl.column("checksum").to_pylist()
+                     if verify_checksums and "checksum" in tbl.column_names
+                     else None)
+        if verify_checksums and checksums is None:
+            raise ValueError("verify_checksums=True but no checksum column")
         by_part: dict[int, dict] = {}
         for i, (pid, c) in enumerate(zip(part_ids.tolist(), cols)):
             blob = memoryview(blob_col[i].as_buffer())
+            if checksums is not None and \
+                    hashlib.sha256(blob).hexdigest() != checksums[i]:
+                raise ValueError(
+                    f"corrupt chunk: part_id={pid} col={c!r}: "
+                    "checksum mismatch")
             by_part.setdefault(pid, {})[c] = chunkmod.decode_chunk(blob)
         for pid in sorted(by_part):
             decs = by_part[pid]

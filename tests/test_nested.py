@@ -170,3 +170,23 @@ def test_nested_list_operator_roundtrip(spark):
     got = sorted((r.doc_id, [list(w) for w in r.windows])
                  for r in dec.collect())
     assert got == sorted(rows)
+
+
+def test_struct_with_nullable_leaves_roundtrip(spark):
+    """Struct leaves may be OPTIONAL: the flat-nullable machinery composes
+    with the SchemaDescriptor flattening (each dotted-path leaf carries its
+    own validity def-level stream)."""
+    from pyspark.sql import functions as F
+
+    from parquet_cpp_spark.operators.decode_arrow import decode_chunks_typed
+    from parquet_cpp_spark.operators.encode_arrow import encode_df_arrow
+    rows = [(i, (None if i % 3 == 0 else i * 2,
+                 f"v{i % 5}" if i % 4 else None))
+            for i in range(2000)]
+    df = spark.createDataFrame(rows, "id bigint, s struct<x: bigint, y: string>")
+    cols = {"id": "int64", "s": "struct<x:int64?,y:byte_array?>"}
+    src = df.withColumn("part_id", F.pmod(F.xxhash64("id"), F.lit(4)))
+    dec = decode_chunks_typed(
+        encode_df_arrow(src, 4, columns=cols, sort_key=None), cols)
+    got = sorted((r.id, (r.s.x, r.s.y)) for r in dec.collect())
+    assert got == sorted(rows)
