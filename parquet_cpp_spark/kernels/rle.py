@@ -60,8 +60,17 @@ def encode(values: np.ndarray, bit_width: int) -> bytes:
         return bytes(out)
 
     g = a[: n_groups * 8].reshape(n_groups, 8)
-    uniform = (g == g[:, :1]).all(axis=1)
-    gval = g[:, 0]
+    if bit_width == 1 and a.dtype.itemsize == 1 and n_groups:
+        # levels fast path: one group of 8 one-byte 0/1 values IS one u64
+        # word — uniform iff the word is all-zeros or all-ones, group value
+        # is the low byte. One pass over n bytes instead of an (n/8, 8)
+        # bool temp + axis-reduce.
+        w64 = np.ascontiguousarray(g).view(np.uint64).ravel()
+        uniform = (w64 == 0) | (w64 == np.uint64(0x0101010101010101))
+        gval = g[:, 0]
+    else:
+        uniform = (g == g[:, :1]).all(axis=1)
+        gval = g[:, 0]
 
     # Stretch boundaries: a new stretch starts when uniformity flips, or when
     # two adjacent uniform groups carry different values.
@@ -85,10 +94,11 @@ def encode(values: np.ndarray, bit_width: int) -> bytes:
     lit_mask = ~is_uni
     packed = np.zeros(0, dtype=np.uint8)
     if lit_mask.any():
-        pieces = [g[s:e].ravel()
-                  for s, e in zip(starts[lit_mask].tolist(),
-                                  ends[lit_mask].tolist())]
-        packed = np.frombuffer(bitpack.pack(np.concatenate(pieces),
+        # gather every literal-stretch group with ONE boolean index (groups
+        # are already in stretch order, so the gather IS the concatenation)
+        # instead of a per-stretch slice/ravel/concat loop
+        lit_groups = np.repeat(lit_mask, ends - starts)
+        packed = np.frombuffer(bitpack.pack(g[lit_groups].ravel(),
                                             bit_width), dtype=np.uint8)
 
     # header values + per-stretch payload byte counts, then ONE vectorized
