@@ -440,6 +440,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.col("attrs.hour").alias("hour"))
     q["rt_struct"] = rt_struct
 
+    def rt_map(spark: SparkSession, sf: str) -> DataFrame:
+        """map<string,int> round-trip via the parquet 3-level MAP group
+        (reference types.h:63-90 MAP converted type, schema.h:43-77): the
+        key and value leaves encode as separate chunks sharing one
+        entries-per-row length stream and reassemble to a MapArray. Rows
+        cycle through 0/2/3-entry maps, so the length stream (incl. the
+        empty-map def-0 marker) is exercised; the digest serializes entries
+        in stored order, so any corrupted key, value, or boundary flips it."""
+        from parquet_cpp_spark.operators.decode_arrow import \
+            decode_chunks_typed
+        from parquet_cpp_spark.operators.encode_arrow import encode_df_arrow
+        cols = {"doc_id": "byte_array", "props": "map<byte_array,int32>"}
+        docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+        n_tok = F.size(F.split("text", " "))
+        empty = F.map_from_arrays(F.array().cast("array<string>"),
+                                  F.array().cast("array<int>"))
+        m2 = F.map_from_arrays(
+            F.array(F.lit("n"), F.lit("h")),
+            F.array(n_tok, F.floor(n_tok / 2).cast("int")))
+        m3 = F.map_from_arrays(
+            F.array(F.lit("n"), F.lit("h"), F.lit("x")),
+            F.array(n_tok, F.floor(n_tok / 2).cast("int"),
+                    (n_tok * 3).cast("int")))
+        props = F.when(n_tok % 5 == 0, empty) \
+            .when(n_tok % 2 == 0, m2).otherwise(m3)
+        src = docs.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            props.alias("props"),
+            F.pmod(F.xxhash64(F.col("doc_id").cast("string")),
+                   F.lit(NUM_PARTS)).alias("part_id"))
+        dec = decode_chunks_typed(
+            encode_df_arrow(src, NUM_PARTS, columns=cols,
+                            sort_key="doc_id"),
+            cols)
+        digest = F.md5(F.array_join(
+            F.transform(F.map_entries("props"),
+                        lambda e: F.concat(e.key, F.lit(":"),
+                                           e.value.cast("string"))), "|"))
+        return dec.select("doc_id", digest.alias("map_hash"))
+    q["rt_map"] = rt_map
+
+    def rt_unsigned(spark: SparkSession, sf: str) -> DataFrame:
+        """uint32/uint64 round-trip (reference UINT_32/UINT_64 logical
+        annotations, types.h:63-90): Spark carries them as bigint /
+        decimal(20,0); the engine encodes true unsigned value spaces —
+        uid64 sits ABOVE 2^63, so any signed temp or signed stats compare
+        (SortOrder::UNSIGNED, types.h:125-136) corrupts it. uid64 is
+        projected as a string because pandas/DuckDB lack a common uint64
+        dtype; the digest keeps full sensitivity."""
+        from parquet_cpp_spark.operators.decode_arrow import \
+            decode_chunks_typed
+        from parquet_cpp_spark.operators.encode_arrow import encode_df_arrow
+        cols = {"doc_id": "byte_array", "uid32": "uint32", "uid64": "uint64"}
+        docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+        uid64 = (F.lit("18446744073709551615").cast("decimal(20,0)")
+                 - F.col("doc_id").cast("decimal(20,0)") * 1000) \
+            .cast("decimal(20,0)")
+        src = docs.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            (F.lit(4294967295) - F.col("doc_id")).alias("uid32"),
+            uid64.alias("uid64"),
+            F.pmod(F.xxhash64(F.col("doc_id").cast("string")),
+                   F.lit(NUM_PARTS)).alias("part_id"))
+        dec = decode_chunks_typed(
+            encode_df_arrow(src, NUM_PARTS, columns=cols,
+                            sort_key="doc_id"),
+            cols)
+        return dec.select("doc_id", "uid32",
+                          F.col("uid64").cast("string").alias("uid64"))
+    q["rt_unsigned"] = rt_unsigned
+
     def rt_nested_list(spark: SparkSession, sf: str) -> DataFrame:
         """list-of-list round-trip (max_rep=2, reference schema.h:43-77,
         arrow-reader-writer-test.cc:1137ff): tokens regrouped into windows
@@ -805,10 +876,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # lifting recall at the same plan shape — still fully oracle-checked
     q["ann_ip_lsh_mp"] = lambda spark, sf: similarity.topk_inner_product_lsh(
         _emb(spark, sf), probe_ids=[0, 1, 2, 3, 4], k=10, nprobe=2)
-    q["neardup_cosine"] = lambda spark, sf: similarity.neardup_cosine_exact(
+    # neardup_cosine runs the LSH SCALE path (bucket join, never the O(n^2)
+    # cross join); neardup_cosine_exact survives as the pytest baseline that
+    # pins the LSH path's precision (tests/test_similarity.py)
+    q["neardup_cosine"] = lambda spark, sf: similarity.neardup_cosine_lsh(
         _emb(spark, sf))
     q["neardup_jaccard"] = lambda spark, sf: dedup.neardup_jaccard(
         _docs(spark, sf))
+    # audit companion: the hot band buckets the cap rule skipped — the
+    # no-silent-truncation contract for the capped LSH gate
+    q["neardup_jaccard_dropped"] = \
+        lambda spark, sf: dedup.neardup_jaccard_dropped_buckets(
+            _docs(spark, sf))
     # the cosine family is integer-quantized end-to-end (the ann_ip_lsh
     # pattern): approximate operators (LSH gating, IVF cells) with EXACT
     # reproducible arithmetic, so every variant has a full SQL oracle
@@ -872,6 +951,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, event_type, value,
                    CAST(hour(ts) AS INTEGER) AS hour
             FROM events
+        """,
+        "rt_unsigned": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CAST(4294967295 - doc_id AS BIGINT) AS uid32,
+                   CAST(CAST('18446744073709551615' AS HUGEINT)
+                        - doc_id * 1000 AS VARCHAR) AS uid64
+            FROM documents
+        """,
+        "rt_map": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   md5(CASE
+                       WHEN n % 5 = 0 THEN ''
+                       WHEN n % 2 = 0 THEN
+                           'n:' || n || '|h:' || CAST(n // 2 AS INT)
+                       ELSE 'n:' || n || '|h:' || CAST(n // 2 AS INT) ||
+                            '|x:' || (n * 3)
+                       END) AS map_hash
+            FROM (SELECT doc_id,
+                         CAST(len(string_split(text, ' ')) AS INT) AS n
+                  FROM documents)
         """,
         "rt_nested_list": f"""
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,
@@ -1071,19 +1170,24 @@ def oracle_sql() -> dict[str, str]:
                        AS fp_prefix
             FROM documents
         """,
-        "neardup_cosine": """
-            WITH q AS (
-                SELECT vec_id,
-                       list_transform(embedding,
-                           x -> floor(CAST(x AS DOUBLE) * 100 + 0.5)) AS qe
-                FROM embeddings),
-            s AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-                         CAST(list_dot_product(a.qe, b.qe) AS BIGINT) AS dot,
-                         CAST(list_dot_product(a.qe, a.qe) AS BIGINT) AS na2,
-                         CAST(list_dot_product(b.qe, b.qe) AS BIGINT) AS nb2
-                  FROM q a, q b WHERE a.vec_id < b.vec_id)
-            SELECT a_id, b_id FROM s
-            WHERE dot > 0 AND 10000 * dot * dot >= 900 * na2 * nb2
+        # LSH scale path oracle (the exact cross-join baseline lives in
+        # tests/test_similarity.py, not in the driver set)
+        "neardup_cosine": _neardup_cosine_lsh_oracle_sql(),
+        "neardup_jaccard_dropped": """
+            WITH sig AS (
+                SELECT doc_id,
+                       min(md5(w || ':0')) s0, min(md5(w || ':1')) s1,
+                       min(md5(w || ':2')) s2, min(md5(w || ':3')) s3
+                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                      FROM documents)
+                GROUP BY doc_id)
+            SELECT 0 AS band, s0 AS bi, s1 AS bj,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM sig GROUP BY s0, s1 HAVING count(*) > 32
+            UNION ALL
+            SELECT 1 AS band, s2 AS bi, s3 AS bj,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM sig GROUP BY s2, s3 HAVING count(*) > 32
         """,
         "neardup_jaccard": """
             WITH sig AS (
@@ -1093,12 +1197,19 @@ def oracle_sql() -> dict[str, str]:
                 FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
                       FROM documents)
                 GROUP BY doc_id),
+            ok0 AS (SELECT s0, s1 FROM sig GROUP BY s0, s1
+                    HAVING count(*) BETWEEN 2 AND 32),
+            ok1 AS (SELECT s2, s3 FROM sig GROUP BY s2, s3
+                    HAVING count(*) BETWEEN 2 AND 32),
             cand AS (
                 SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-                FROM sig a JOIN sig b
-                  ON ((a.s0 = b.s0 AND a.s1 = b.s1) OR
-                      (a.s2 = b.s2 AND a.s3 = b.s3))
-                 AND a.doc_id < b.doc_id),
+                FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+                  AND ((a.s0 = b.s0 AND a.s1 = b.s1
+                        AND EXISTS (SELECT 1 FROM ok0
+                                    WHERE ok0.s0 = a.s0 AND ok0.s1 = a.s1))
+                    OR (a.s2 = b.s2 AND a.s3 = b.s3
+                        AND EXISTS (SELECT 1 FROM ok1
+                                    WHERE ok1.s2 = a.s2 AND ok1.s3 = a.s3)))),
             ws AS (SELECT doc_id,
                           list_distinct(string_split(text, ' ')) AS wset
                    FROM documents)

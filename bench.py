@@ -37,7 +37,13 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS_HIGH = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 CPUS_LOW = max(1, CPUS_HIGH // 4)
-BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "2000000"))
+# 3M rows (~768M tokens): sized so the 4-core leg runs ~15-20s — long enough
+# that the ~0.8s fixed per-job cost (descriptor parallelize + python-worker
+# dispatch + final agg) stays under ~5% of the leg, which would otherwise put
+# a structural ceiling on the measured N->4N efficiency now that the kernels
+# are ~2x faster than round 3.
+BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "3000000"))
+SCALING_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "5"))
 SEED = 42
 ROW_GROUP = 25_000  # split granularity for the direct source
 
@@ -107,33 +113,42 @@ def main() -> None:
 
     path = _bench_input_path()
 
-    # low-parallelism levels: on DRAM-throttled sandbox hosts everything
-    # past ~4 workers sits on the shared memory-bandwidth ceiling (the
-    # memcpy probe below shows 87-172x per-worker slowdown at 32 copies,
-    # varying run to run with neighbor load). The (N, 4N) = (1, 4) pair
-    # therefore evidences scaling in the regime where CORES, not the
-    # host's bus, are the scaled resource — on a real cluster every node
-    # adds a bus, so this is the transferable ratio. All levels are
-    # best-of-2 (_encode_direct_run) so one noisy window can't sink a leg.
-    # Two interleaved rounds (1, 4, low, 1, 4, low): host contention drifts
-    # over minutes, so a pair's two legs must sample the SAME window — the
-    # per-round ratio is the honest one; best-of-rounds per level feeds the
-    # throughput numbers.
+    # Scaling methodology (median-of-windows): on DRAM-throttled sandbox
+    # hosts everything past ~4 workers sits on the shared memory-bandwidth
+    # ceiling (the memcpy probe below shows up to 87-172x per-worker
+    # slowdown at 32 copies, varying run to run with neighbor load). The
+    # (N, 4N) = (1, 4) pair therefore evidences scaling in the regime where
+    # CORES, not the host's bus, are the scaled resource — on a real
+    # cluster every node adds a bus, so this is the transferable ratio.
+    # Host contention drifts over minutes, so a pair's two legs must sample
+    # the SAME window: each round runs 1-core then 4-core back to back and
+    # yields one per-window ratio. The HEADLINE is the MEDIAN of the
+    # SCALING_ROUNDS window ratios — not the best — so a single favorable
+    # (or hostile) window can't set the number; best and all per-window
+    # ratios are recorded alongside so the spread is visible in the JSON.
+    # Best-of-rounds per level feeds the throughput numbers.
     t_rounds: list[dict[int, float]] = []
     t_level: dict[int, float] = {}
     totals = None
-    low_levels = sorted({1, 4, CPUS_LOW})
-    for _round in range(3):
+    for _round in range(SCALING_ROUNDS):
         t_rounds.append({})
-        for cpus in low_levels:
+        for cpus in (1, 4):
             spark = _session(cpus)
             _warmup(spark)
             t_rounds[-1][cpus], totals = _encode_direct_run(spark, path,
                                                             reps=1)
             spark.stop()
-    for cpus in low_levels:
+    for cpus in (1, 4):
         t_level[cpus] = min(r[cpus] for r in t_rounds)
         queries[f"encode_local{cpus}"] = round(t_level[cpus], 3)
+    # one mid-level leg for the throughput table (not a headline pair leg)
+    if CPUS_LOW not in t_level:
+        spark = _session(CPUS_LOW)
+        _warmup(spark)
+        t_low_leg, _ = _encode_direct_run(spark, path, reps=2)
+        spark.stop()
+        t_level[CPUS_LOW] = t_low_leg
+        queries[f"encode_local{CPUS_LOW}"] = round(t_low_leg, 3)
     from pyspark.sql import functions as F  # noqa: F811
 
     spark = _session(CPUS_HIGH)
@@ -239,23 +254,28 @@ def main() -> None:
     memh = _memcpy_probe(CPUS_HIGH)
     memcpy_slowdown = memh / mem1
     throttled = memcpy_slowdown > 2.0
-    # every measured N->4N pair, most core-bound first; for the interleaved
-    # low levels the ratio comes from the best SAME-ROUND (same contention
-    # window) measurement — cross-window ratios mix different neighbor
-    # loads and are meaningless on a shared host
+    # every measured N->4N pair; ratios come from SAME-ROUND (same
+    # contention window) measurements — cross-window ratios mix different
+    # neighbor loads and are meaningless on a shared host. Per-window
+    # ratios are capped at 1.0 (super-linear readings are contention noise
+    # on the slower leg, not engine behavior). The headline is the MEDIAN
+    # window, with best and the full spread recorded alongside.
+    import statistics
     pairs = {}
+    pairs_windows: dict[str, list[float]] = {}
     for lo in sorted(t_level):
         hi = lo * 4
         if hi not in t_level:
             continue
         same_round = [
-            (r[lo] / r[hi]) / (hi / lo)
+            min((r[lo] / r[hi]) / (hi / lo), 1.0)
             for r in t_rounds if lo in r and hi in r]
-        eff = max(same_round) if same_round else \
-            (t_level[lo] / t_level[hi]) / (hi / lo)
-        # cap at 1.0: super-linear readings are contention noise on the
-        # slower leg, not engine behavior
-        pairs[f"{lo}->{hi}"] = round(min(eff, 1.0), 3)
+        if same_round:
+            pairs_windows[f"{lo}->{hi}"] = [round(x, 3) for x in same_round]
+            eff = statistics.median(same_round)
+        else:
+            eff = min((t_level[lo] / t_level[hi]) / (hi / lo), 1.0)
+        pairs[f"{lo}->{hi}"] = round(eff, 3)
     # the most core-bound pair is the headline on ANY host: on this
     # throttled sandbox the higher pairs measure the shared DRAM bus (the
     # memcpy numbers above evidence that, though the probe itself samples
@@ -263,6 +283,7 @@ def main() -> None:
     # N->4N pair as any — every node adds a memory bus
     headline_pair = next(iter(pairs))
     headline_eff = pairs[headline_pair]
+    headline_best = max(pairs_windows.get(headline_pair, [headline_eff]))
 
     bytes_per_token = totals["enc_bytes"] / n_tokens
     extras.update({
@@ -272,7 +293,11 @@ def main() -> None:
         "dram_throttled_host": throttled,
         "scaling_headline_pair": headline_pair,
         "scaling_headline_efficiency": round(headline_eff, 3),
+        "scaling_headline_method": f"median of {SCALING_ROUNDS} interleaved "
+                                   "same-window (1-core, 4-core) rounds",
+        "scaling_headline_best_window": round(headline_best, 3),
         "scaling_pairs": pairs,
+        "scaling_pair_windows": pairs_windows,
     })
     extras.update({
         "n_tokens": n_tokens,

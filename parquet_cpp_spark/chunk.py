@@ -32,7 +32,15 @@ from .kernels import (ba, bitpack, bytearray_codecs, delta, dictionary, fsst,
 from . import levels as levels_mod
 
 MAGIC = b"PQS1"
-VERSION = 2  # v2: u8 block-compression field in the header
+# v2: u8 block-compression field in the header. NOTE on body layout within
+# v2: since round 3 the SNAPPY/LZ4/ZSTD body is u32 raw-size + pyarrow codec
+# frame (was: codec frame alone, via the python snappy/zstandard/lz4
+# packages). Blobs written by the pre-round-3 bodies fail decode with a loud
+# codec error, never silent corruption; no such blobs persist anywhere (all
+# fixtures/goldens were regenerated), so the version byte was deliberately
+# NOT bumped — bump it if the body layout of an existing compression id
+# ever changes again after blobs have shipped.
+VERSION = 2
 
 # Codec ids reuse the parquet Encoding enum where one exists
 # (/root/reference/src/parquet/types.h:97-109); FSST is ours.
@@ -59,10 +67,15 @@ CODEC_IDS = {v: k for k, v in CODEC_NAMES.items()}
 
 # Physical types (/root/reference/src/parquet/types.h:49-60). INT96 is
 # carried as a 12-byte FLBA ("flba:12"), matching its storage layout.
+# UINT32/UINT64 are the UINT_32/UINT_64 logical annotations over the
+# int32/int64 physical layouts (types.h:63-90): same bytes on the wire,
+# unsigned value space, and UNSIGNED sort order for stats
+# (SortOrder, types.h:125-136).
 BOOLEAN, INT32, INT64, INT96, FLOAT, DOUBLE, BYTE_ARRAY, FLBA = range(8)
+UINT32, UINT64 = 8, 9
 PHYS_NAMES = {INT32: "int32", INT64: "int64", FLOAT: "float",
               DOUBLE: "double", BYTE_ARRAY: "byte_array", BOOLEAN: "boolean",
-              FLBA: "flba"}
+              FLBA: "flba", UINT32: "uint32", UINT64: "uint64"}
 PHYS_IDS = {v: k for k, v in PHYS_NAMES.items()}
 
 # Block compression codecs, orthogonal to encodings
@@ -154,6 +167,12 @@ class ChunkStats:
     min_val: str | None
     max_val: str | None
     null_count: int
+    # Exact column-chunk cardinality, populated from the dictionary build
+    # when dictionary encoding ran WITHOUT fallback (the dict then saw every
+    # value). The reference defines this field but never populates it
+    # (statistics.h:34-82, SURVEY 2.9); here it is free metadata from
+    # pd.factorize/arrow dictionary_encode. None = unknown, never a guess.
+    distinct_count: "int | None" = None
 
 
 @dataclass
@@ -214,10 +233,19 @@ def _encode_int_payload(values: np.ndarray, codec: int, phys: str,
     if codec == PLAIN:
         return _sec(plain.encode_fixed(values, phys)), ["PLAIN"], False, {}
     if codec == DELTA_BINARY_PACKED:
+        if phys == "uint64":
+            # values >= 2^63 don't fit int64 delta arithmetic directly;
+            # the int64 VIEW carries the same bit pattern and mod-2^64
+            # delta/cumsum reconstructs it exactly (decode re-views)
+            values = np.ascontiguousarray(values, dtype=np.uint64) \
+                .view(np.int64)
         return _sec(delta.encode(values)), ["DELTA_BINARY_PACKED"], False, {}
     if codec == RLE:
         mx = int(values.max()) if len(values) else 0
         mn = int(values.min()) if len(values) else 0
+        if phys == "uint64" and mx >= 1 << 63:
+            raise ValueError("RLE direct coding unsupported for uint64 "
+                             "values >= 2^63 (use DELTA/DICT/PLAIN)")
         if mn < 0:
             raise ValueError("RLE direct coding requires non-negative values")
         bw = max(1, bitpack.width_for_max(mx))
@@ -237,17 +265,18 @@ def _encode_int_payload(values: np.ndarray, codec: int, phys: str,
 
 
 def _encode_bytes_payload(values: list[bytes], codec: int,
-                          dict_size_limit: int) -> tuple[bytes, list[str], bool]:
+                          dict_size_limit: int) \
+        -> tuple[bytes, list[str], bool, dict]:
     if codec == PLAIN:
-        return _sec(plain.encode_byte_array(values)), ["PLAIN"], False
+        return _sec(plain.encode_byte_array(values)), ["PLAIN"], False, {}
     if codec == DELTA_LENGTH_BYTE_ARRAY:
         return _sec(bytearray_codecs.encode_delta_length(values)), \
-            ["DELTA_LENGTH_BYTE_ARRAY"], False
+            ["DELTA_LENGTH_BYTE_ARRAY"], False, {}
     if codec == DELTA_BYTE_ARRAY:
         return _sec(bytearray_codecs.encode_delta_byte_array(values)), \
-            ["DELTA_BYTE_ARRAY"], False
+            ["DELTA_BYTE_ARRAY"], False, {}
     if codec == FSST:
-        return _sec(fsst.encode(values)), ["FSST"], False
+        return _sec(fsst.encode(values)), ["FSST"], False, {}
     if codec == RLE_DICTIONARY:
         enc = dictionary.encode(values, "byte_array", dict_size_limit)
         secs = _sec(enc.dict_blob) + enc.n_dict_values.to_bytes(4, "little")
@@ -257,7 +286,8 @@ def _encode_bytes_payload(values: list[bytes], codec: int,
             secs += enc.n_plain_values.to_bytes(4, "little")
             secs += _sec(enc.plain_blob)
             encodings = ["PLAIN_DICTIONARY", "PLAIN", "RLE"]
-        return secs, encodings, enc.fallback
+        return secs, encodings, enc.fallback, \
+            {"num_entries": enc.num_entries}
     raise ValueError(f"codec {codec} unsupported for byte_array")
 
 
@@ -405,7 +435,8 @@ def encode_chunk(values, phys: str, codec: int, *,
     n_rows = len(row_lengths) if row_lengths is not None else n_values
 
     if (page_size and valid_mask is None and not deep
-            and phys in ("int32", "int64", "byte_array")
+            and phys in ("int32", "int64", "uint32", "uint64",
+                         "byte_array")
             and raw > page_size and codec in _PAGEABLE):
         return _encode_chunk_paged(
             values, phys, codec, row_lengths=row_lengths,
@@ -449,9 +480,10 @@ def encode_chunk(values, phys: str, codec: int, *,
         encodings.append("RLE")
         raw += 4 * len(rep)  # rep + def int16 pairs, reference raw form
 
+    _extras: dict = {}
     if phys == "byte_array":
-        secs, encs, fallback = _encode_bytes_payload(values, codec,
-                                                     dict_size_limit)
+        secs, encs, fallback, _extras = _encode_bytes_payload(
+            values, codec, dict_size_limit)
     elif phys == "flba":
         secs, encs, fallback = _encode_flba_payload(values, codec,
                                                     type_length,
@@ -479,6 +511,9 @@ def encode_chunk(values, phys: str, codec: int, *,
     stats = compute_stats(values, phys) if with_stats else None
     if stats is not None:
         stats.null_count = null_count
+        if not fallback and "num_entries" in _extras:
+            # dict build without fallback saw every value: exact cardinality
+            stats.distinct_count = int(_extras["num_entries"])
     return EncodedChunk(codec, PHYS_IDS[phys], n_rows, n_values, raw,
                         header + sections, encodings, stats)
 
@@ -577,12 +612,16 @@ def _decode_int_payload(mv, pos: int, codec: int, phys: str, n_values: int,
         values, _ = plain.decode_fixed(mv, n_values, phys, pos)
         return values
     if codec == DELTA_BINARY_PACKED:
-        dt = np.int32 if phys == "int32" else np.int64
+        # uint64 deltas ride the int64 bit pattern (mod-2^64 arithmetic);
+        # astype int64 -> uint64 wraps back to the exact original values
+        dt = {"int32": np.int32, "uint32": np.uint32,
+              "uint64": np.uint64}.get(phys, np.int64)
         values, _ = delta.decode(mv[pos: pos + sec_len], out_dtype=dt)
         return values
     if codec == RLE:
         bw = mv[pos]
-        dt = np.int32 if phys == "int32" else np.int64
+        dt = {"int32": np.int32, "uint32": np.uint32,
+              "uint64": np.uint64}.get(phys, np.int64)
         values, _ = rle.decode(mv, n_values, bw, pos + 1, out_dtype=dt)
         return values
     if codec == RLE_DICTIONARY:
@@ -603,13 +642,14 @@ def _decode_int_payload(mv, pos: int, codec: int, phys: str, n_values: int,
             pos += 4
             plain_blob = bytes(mv[pos: pos + pl_len])
         # dictionary entry count: the dict blob is PLAIN fixed-width
-        itemsize = 4 if phys in ("int32", "float") else 8
+        itemsize = 4 if phys in ("int32", "uint32", "float") else 8
         num_entries = len(dict_blob) // itemsize
         vals = dictionary.decode(
             None, phys, dict_blob=dict_blob, indices_blob=indices_blob,
             num_entries=num_entries, n_dict_values=n_dict_values,
             plain_blob=plain_blob, n_plain_values=n_plain)
         dt = {"int32": np.int32, "int64": np.int64,
+              "uint32": np.uint32, "uint64": np.uint64,
               "float": np.float32, "double": np.float64}[phys]
         return np.asarray(vals).astype(dt, copy=False)
     raise ValueError(f"codec {codec} unsupported for {phys}")
@@ -736,7 +776,7 @@ def _page_value_bounds(values, phys: str, page_size: int,
         # array (an n-sized arange is pure DRAM traffic for a result a
         # division already knows). bound_k = ceil(k*eff/item), identical
         # to the searchsorted over the old cumulative array.
-        item = 4 if phys in ("int32", "float") else 8
+        item = 4 if phys in ("int32", "uint32", "float") else 8
         total = n * item
         n_pages = max(1, (total + eff - 1) // eff)
         marks = np.arange(1, n_pages, dtype=np.int64) * eff
@@ -744,14 +784,17 @@ def _page_value_bounds(values, phys: str, page_size: int,
         return np.unique(np.concatenate(([0], bounds, [n])))
     # byte_array: cumulative bytes after i values = offsets[i] + 4*i
     # (monotone); bisect each page mark instead of materializing the
-    # n-sized cumulative array (page count is tiny)
+    # n-sized cumulative array (page count is tiny). Each search starts one
+    # value BEFORE the previous bound: a single jumbo value spanning
+    # several page marks then re-finds the same bound, which np.unique
+    # collapses — matching a full-range searchsorted+unique.
     offs = values.offsets
     total = int(offs[-1]) + 4 * n if n else 0
     n_pages = max(1, (total + eff - 1) // eff)
     bounds = [0]
     for p in range(1, n_pages):
         mark = p * eff
-        lo, hi = bounds[-1], n
+        lo, hi = max(0, bounds[-1] - 1), n
         while lo < hi:
             mid = (lo + hi) // 2
             if int(offs[mid + 1]) + 4 * (mid + 1) < mark:
@@ -787,8 +830,11 @@ def _page_stats_bytes(values, phys: str, lo: int, hi: int) -> bytes:
                 + len(mx).to_bytes(2, "little") + mx)
     seg = values[lo: hi]
     mn, mx = int(seg.min()), int(seg.max())
-    return (bytes([1]) + mn.to_bytes(8, "little", signed=True)
-            + mx.to_bytes(8, "little", signed=True))
+    # unsigned phys: store the raw 8-byte pattern (values can exceed
+    # int64); the page reader re-interprets per the header's phys id
+    signed = phys not in ("uint32", "uint64")
+    return (bytes([1]) + mn.to_bytes(8, "little", signed=signed)
+            + mx.to_bytes(8, "little", signed=signed))
 
 
 def _page_payload(values, phys: str, page_codec: int, lo: int, hi: int,
@@ -799,7 +845,8 @@ def _page_payload(values, phys: str, page_codec: int, lo: int, hi: int,
         return _sec(payload)
     if phys == "byte_array":
         seg = ba.slice_rows(values, lo, hi)
-        secs, _encs, _fb = _encode_bytes_payload(seg, page_codec, 1 << 62)
+        secs, _encs, _fb, _x = _encode_bytes_payload(seg, page_codec,
+                                                     1 << 62)
     else:
         seg = values[lo: hi]
         secs, _encs, _fb, _x = _encode_int_payload(seg, page_codec, phys,
@@ -914,6 +961,8 @@ def _encode_chunk_paged(values, phys: str, codec: int, *,
               + len(pages).to_bytes(4, "little"))
     blob = header + dict_section + b"".join(pages)
     stats = compute_stats(values, phys) if with_stats else None
+    if stats is not None and codec == RLE_DICTIONARY and not fallback:
+        stats.distinct_count = int(enc.num_entries)  # exact: dict saw all
     return EncodedChunk(codec, PHYS_IDS[phys], n_rows, n_values, raw,
                         blob, encodings, stats)
 
@@ -971,8 +1020,10 @@ def _iter_pages(mv, n_pages: int, pos: int):
                 p += 2 + lmx
                 stats = (mn, mx)
             else:
-                mn = int.from_bytes(mv[p: p + 8], "little", signed=True)
-                mx = int.from_bytes(mv[p + 8: p + 16], "little", signed=True)
+                signed = PHYS_NAMES.get(mv[6]) not in ("uint32", "uint64")
+                mn = int.from_bytes(mv[p: p + 8], "little", signed=signed)
+                mx = int.from_bytes(mv[p + 8: p + 16], "little",
+                                    signed=signed)
                 p += 16
                 stats = (mn, mx)
         body_len = int.from_bytes(mv[p: p + 4], "little")

@@ -78,28 +78,55 @@ def minhash_dedup(docs: DataFrame, text_col: str = "text",
     return kept
 
 
+# LSH band buckets larger than this are skipped for pair generation: a hot
+# bucket (near-duplicate-heavy cluster, or an unlucky band) otherwise
+# produces O(bucket^2) candidate pairs inside ONE join key — the quadratic
+# blowup that kills the job at 100 TB. Skipped buckets are not silent:
+# ``neardup_jaccard_dropped_buckets`` enumerates them (same cap rule), and
+# the driver runs it as its own oracle-checked query.
+DEFAULT_BUCKET_CAP = 32
+
+
+def _band_buckets(sigs: DataFrame, i: int, j: int, id_col: str,
+                  bucket_cap: int):
+    """(kept-bucket keys, per-bucket doc count) for band (sig_i, sig_j).
+    Buckets of 1 generate no pairs; buckets above the cap are dropped."""
+    counts = sigs.groupBy(F.col(f"sig{i}").alias("bi"),
+                          F.col(f"sig{j}").alias("bj")) \
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    return counts.filter((F.col("n_docs") >= 2) &
+                         (F.col("n_docs") <= bucket_cap))
+
+
 def neardup_jaccard(docs: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", seeds=DEFAULT_SEEDS,
                     bands=((0, 1), (2, 3)),
-                    min_jaccard_pct: int = 30) -> DataFrame:
+                    min_jaccard_pct: int = 30,
+                    bucket_cap: int = DEFAULT_BUCKET_CAP) -> DataFrame:
     """n-gram (word-set) Jaccard near-dup pairs, gated by MinHash-LSH
-    candidates: only pairs sharing a band bucket are compared, then the
-    exact word-set Jaccard (integer percentage, floor) filters them.
-    Returns (a_id, b_id, jaccard_pct)."""
+    candidates: only pairs sharing a band bucket of <= ``bucket_cap`` docs
+    are compared (per-key join fan-out is bounded by cap^2 rows — the
+    property that keeps the plan alive on skewed corpora), then the exact
+    word-set Jaccard (integer percentage, floor) filters them.
+    Returns (a_id, b_id, jaccard_pct). Dropped hot buckets are enumerable
+    via :func:`neardup_jaccard_dropped_buckets` — no silent truncation."""
     sigs = minhash_signatures(docs, text_col, id_col, seeds)
     words = docs.select(
         F.col(id_col),
         F.array_distinct(_words(text_col)).alias("wset"))
     cand = None
     for i, j in bands:
+        ok = _band_buckets(sigs, i, j, id_col, bucket_cap).select("bi", "bj")
         a = sigs.select(F.col(id_col).alias("a_id"),
                         F.col(f"sig{i}").alias("bi"),
                         F.col(f"sig{j}").alias("bj"))
         b = sigs.select(F.col(id_col).alias("b_id"),
                         F.col(f"sig{i}").alias("bi"),
                         F.col(f"sig{j}").alias("bj"))
-        p = a.join(b, ["bi", "bj"]).filter(F.col("a_id") < F.col("b_id")) \
-            .select("a_id", "b_id")
+        p = (a.join(ok, ["bi", "bj"])
+             .join(b, ["bi", "bj"])
+             .filter(F.col("a_id") < F.col("b_id"))
+             .select("a_id", "b_id"))
         cand = p if cand is None else cand.union(p)
     cand = cand.distinct()
     wa = words.select(F.col(id_col).alias("a_id"), F.col("wset").alias("wa"))
@@ -110,6 +137,28 @@ def neardup_jaccard(docs: DataFrame, text_col: str = "text",
     jac = F.floor(F.lit(100) * inter / union).cast("int")
     return (joined.select("a_id", "b_id", jac.alias("jaccard_pct"))
             .filter(F.col("jaccard_pct") >= min_jaccard_pct))
+
+
+def neardup_jaccard_dropped_buckets(docs: DataFrame, text_col: str = "text",
+                                    id_col: str = "doc_id",
+                                    seeds=DEFAULT_SEEDS,
+                                    bands=((0, 1), (2, 3)),
+                                    bucket_cap: int = DEFAULT_BUCKET_CAP) \
+        -> DataFrame:
+    """Audit companion to :func:`neardup_jaccard`: every LSH band bucket the
+    cap rule SKIPPED, as (band, bi, bj, n_docs) — truncation is enumerable,
+    not silent. At scale this is the skew report a pipeline operator reads
+    before deciding to add bands or re-shingle."""
+    sigs = minhash_signatures(docs, text_col, id_col, seeds)
+    out = None
+    for band_no, (i, j) in enumerate(bands):
+        counts = sigs.groupBy(F.col(f"sig{i}").alias("bi"),
+                              F.col(f"sig{j}").alias("bj")) \
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+        dropped = counts.filter(F.col("n_docs") > bucket_cap) \
+            .select(F.lit(band_no).alias("band"), "bi", "bj", "n_docs")
+        out = dropped if out is None else out.union(dropped)
+    return out
 
 
 def simhash(docs: DataFrame, text_col: str = "text",

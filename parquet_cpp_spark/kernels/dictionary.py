@@ -53,9 +53,9 @@ class DictEncoded:
 
 
 def _plain_sizes(uniques, phys: str) -> np.ndarray:
-    if phys in ("int32", "float"):
+    if phys in ("int32", "uint32", "float"):
         return np.full(len(uniques), 4, dtype=np.int64)
-    if phys in ("int64", "double"):
+    if phys in ("int64", "uint64", "double"):
         return np.full(len(uniques), 8, dtype=np.int64)
     if phys == "byte_array":
         return ba.as_view(uniques).lengths + 4

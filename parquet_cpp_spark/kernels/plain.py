@@ -13,6 +13,11 @@ import numpy as np
 _DTYPES = {
     "int32": np.dtype("<i4"),
     "int64": np.dtype("<i8"),
+    # unsigned logical ints (reference UINT_32/UINT_64, types.h:63-90):
+    # same 4/8-byte LE storage as their signed physical types, unsigned
+    # numpy dtype so stats/compares follow SortOrder::UNSIGNED
+    "uint32": np.dtype("<u4"),
+    "uint64": np.dtype("<u8"),
     "float": np.dtype("<f4"),
     "double": np.dtype("<f8"),
 }

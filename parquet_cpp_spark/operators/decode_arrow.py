@@ -180,7 +180,8 @@ def decode_parquet_direct(spark, chunks_path: str, slices_per_core: int = 2,
                 wanted = ("part_id", "col", "blob", "checksum") \
                     if verify_checksums else ("part_id", "col", "blob")
                 want = [c for c in wanted if c in names]
-                tbl = pf.read(columns=want)
+                # one task = one core (see sources.parquet_direct)
+                tbl = pf.read(columns=want, use_threads=False)
                 if "part_id" not in want:
                     # hive-partitioned layout: part_id lives in the dir name
                     m = re.search(r"part_id=(-?\d+)", f)
@@ -198,7 +199,10 @@ _SPARK_TYPES = {"int32": "int", "int64": "bigint", "float": "float",
                 "double": "double", "boolean": "boolean",
                 "byte_array": "string", "list<int32>": "array<int>",
                 "list<int32?>": "array<int>",
-                "list<list<int32>>": "array<array<int>>"}
+                "list<list<int32>>": "array<array<int>>",
+                # Spark has no unsigned types; these are the lossless
+                # widenings Spark's own parquet reader uses for UINT_32/64
+                "uint32": "bigint", "uint64": "decimal(20,0)"}
 
 
 def _spark_type(spec: str) -> str:
@@ -208,6 +212,10 @@ def _spark_type(spec: str) -> str:
         inner = ", ".join(f"{f}: {_spark_type(leaf)}"
                           for f, leaf in parse_struct_spec(spec))
         return f"struct<{inner}>"
+    if spec.startswith("map<"):
+        from .encode_arrow import parse_map_spec
+        k, v = parse_map_spec(spec)
+        return f"map<{_spark_type(k)}, {_spark_type(v)}>"
     if spec.endswith("?") and not spec.startswith("list<"):
         return _spark_type(spec[:-1])   # Spark types are always nullable
     if spec.startswith("decimal("):
@@ -304,6 +312,15 @@ def decode_chunks_typed(chunks_df, columns: dict[str, str],
                 elem = pa.array(flat, type=pa.int32())
             return pa.ListArray.from_arrays(
                 pa.array(offsets, type=pa.int32()), elem)
+        if phys == "uint32":
+            # Spark has no unsigned types: uint32 widens losslessly to long
+            return pa.array(np.asarray(dec.values, dtype=np.uint32)
+                            .astype(np.int64), type=pa.int64())
+        if phys == "uint64":
+            # uint64 -> decimal(20,0), the same lossless mapping Spark's own
+            # parquet reader uses for UINT_64
+            return pa.array(np.asarray(dec.values, dtype=np.uint64),
+                            type=pa.uint64()).cast(pa.decimal128(20, 0))
         pa_t = {"int32": pa.int32(), "int64": pa.int64(),
                 "float": pa.float32(), "double": pa.float64()}[phys]
         dt = {"int32": np.int32, "int64": np.int64,
@@ -320,6 +337,22 @@ def decode_chunks_typed(chunks_df, columns: dict[str, str],
                         for f, leaf in fields]
             return pa.StructArray.from_arrays(
                 children, names=[f for f, _ in fields])
+        if phys.startswith("map<"):
+            # reassemble the 3-level MAP group: both leaves decoded their
+            # own copy of the shared entries-per-row length stream; a
+            # mismatch means a corrupt/mixed chunk set — fail loudly
+            from .encode_arrow import parse_map_spec
+            kspec, vspec = parse_map_spec(phys)
+            kd = decs[f"{name}.key_value.key"]
+            vd = decs[f"{name}.key_value.value"]
+            if not np.array_equal(kd.row_lengths, vd.row_lengths):
+                raise ValueError(
+                    f"map column {name!r}: key/value length streams differ")
+            offsets = np.zeros(len(kd.row_lengths) + 1, dtype=np.int32)
+            np.cumsum(kd.row_lengths, out=offsets[1:])
+            return pa.MapArray.from_arrays(
+                pa.array(offsets, type=pa.int32()),
+                _column_array(kd, kspec), _column_array(vd, vspec))
         return _column_array(decs[name], phys)
 
     def task(batches):

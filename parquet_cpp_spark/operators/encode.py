@@ -26,6 +26,7 @@ CHUNK_SCHEMA = (
     "part_id bigint, col string, codec string, encodings array<string>, "
     "n_rows bigint, n_values bigint, raw_bytes bigint, enc_bytes bigint, "
     "null_count bigint, min_val string, max_val string, "
+    "distinct_count bigint, "
     "checksum string, bloom binary, blob binary"
 )
 
@@ -139,6 +140,7 @@ def make_encode_fn(columns: dict[str, str] | None = None,
                 "null_count": st.null_count if st else 0,
                 "min_val": st.min_val if st else None,
                 "max_val": st.max_val if st else None,
+                "distinct_count": st.distinct_count if st else None,
                 "checksum": hashlib.sha256(enc.blob).hexdigest(),
                 "bloom": bloom_blob,
                 "blob": enc.blob,

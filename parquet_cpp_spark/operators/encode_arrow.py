@@ -90,6 +90,15 @@ def expand_column_specs(columns: dict[str, str]) \
         if spec.startswith("struct<"):
             for field, leaf in parse_struct_spec(spec):
                 walk(f"{name}.{field}", path + (field,), leaf)
+        elif spec.startswith("map<"):
+            # parquet's 3-level MAP group (reference types.h:63-90 MAP
+            # converted type; schema.h:43-77 group encoding): a repeated
+            # key_value group with a key leaf and a value leaf. Both leaf
+            # chunks carry the SAME entries-per-row length stream, the map
+            # analog of the list length stream.
+            k, v = parse_map_spec(spec)
+            out.append((f"{name}.key_value.key", (), f"mapkey<{k}>"))
+            out.append((f"{name}.key_value.value", (), f"mapval<{v}>"))
         else:
             out.append((name, path, spec))
 
@@ -121,6 +130,15 @@ def parse_decimal_spec(spec: str) -> tuple[int, int]:
     return int(p), int(s)
 
 
+def parse_map_spec(spec: str) -> tuple[str, str]:
+    """``map<K,V>`` -> (key_spec, value_spec)."""
+    body = spec[len("map<"):-1]
+    parts = _split_top_level(body)
+    if len(parts) != 2:
+        raise ValueError(f"bad map spec {spec!r}")
+    return parts[0], parts[1]
+
+
 def kernel_phys(phys: str) -> str:
     """Column spec -> the physical type the chunk kernels see (the
     reference's logical->physical mapping, arrow/writer.cc:572-604).
@@ -128,6 +146,8 @@ def kernel_phys(phys: str) -> str:
     does not change the physical type."""
     if phys.startswith("list<"):
         return "int32"
+    if phys.startswith(("mapkey<", "mapval<")):
+        return kernel_phys(phys[phys.index("<") + 1:-1])
     phys = phys.removesuffix("?")
     if phys.startswith("decimal("):
         from ..logical import decimal_byte_width
@@ -172,6 +192,32 @@ def _arrow_column_values(tbl, col: str, phys: str,
     ``?`` raises on nulls rather than silently casting NaN placeholders
     into garbage values."""
     import pyarrow as pa
+
+    if phys.startswith(("mapkey<", "mapval<")):
+        # map leaf: the base column is a MapArray; both leaves share the
+        # entries-per-row length stream (the repeated key_value group)
+        import pyarrow.compute as pc
+        base = col.split(".", 1)[0]
+        column = tbl.column(base).combine_chunks()
+        if column.null_count:
+            raise ValueError(f"null maps in column {base!r}  not supported")
+        # entries per row straight from the map's list offsets (pyarrow has
+        # no list_value_length kernel for maps). `.keys`/`.items` ignore
+        # slicing (like ListArray.values), so the child is sliced to the
+        # offset window explicitly.
+        offs = np.frombuffer(column.buffers()[1], dtype=np.int32,
+                             count=len(column) + 1 + column.offset)
+        offs = offs[column.offset:].astype(np.int64)
+        lengths = np.diff(offs)
+        child = column.keys if phys.startswith("mapkey<") else column.items
+        child = child.slice(int(offs[0]), int(offs[-1] - offs[0]))
+        if child.null_count:
+            raise ValueError(
+                f"null map {'keys' if phys.startswith('mapkey<') else 'values'}"
+                f" in column {base!r} not supported")
+        inner = phys[phys.index("<") + 1:-1]
+        vals, _rl, _ev, _il = _arrow_column_values_dense(child, inner)
+        return vals, lengths, None, None, None
 
     base = col.split(".", 1)[0] if path else col
     column = tbl.column(base).combine_chunks()
@@ -232,6 +278,13 @@ def _arrow_column_values_dense(column, phys: str):
     if phys == "date32":
         return (column.cast(pa.int32()).to_numpy(zero_copy_only=False)
                 .astype(np.int32, copy=False), None, None, None)
+    if phys in ("uint32", "uint64"):
+        # Spark carries unsigned columns as bigint (uint32) / decimal(20,0)
+        # (uint64); the arrow cast range-checks and yields the unsigned
+        # numpy dtype the kernels/stats need (UNSIGNED sort order)
+        target = pa.uint32() if phys == "uint32" else pa.uint64()
+        return (column.cast(target).to_numpy(zero_copy_only=False),
+                None, None, None)
     dt = {"int32": np.int32, "int64": np.int64, "float": np.float32,
           "double": np.float64, "boolean": bool}[phys]
     return (column.to_numpy(zero_copy_only=False).astype(dt, copy=False),
@@ -267,7 +320,7 @@ def make_arrow_encode_fn(columns: dict[str, str] | None = None,
         ("n_rows", pa.int64()), ("n_values", pa.int64()),
         ("raw_bytes", pa.int64()), ("enc_bytes", pa.int64()),
         ("null_count", pa.int64()), ("min_val", pa.string()),
-        ("max_val", pa.string()), ("checksum", pa.string()),
+        ("max_val", pa.string()), ("distinct_count", pa.int64()), ("checksum", pa.string()),
         ("bloom", pa.binary()), ("blob", pa.binary()),
     ])
 
@@ -314,6 +367,7 @@ def make_arrow_encode_fn(columns: dict[str, str] | None = None,
             rows["null_count"].append(st.null_count if st else 0)
             rows["min_val"].append(st.min_val if st else None)
             rows["max_val"].append(st.max_val if st else None)
+            rows["distinct_count"].append(st.distinct_count if st else None)
             rows["checksum"].append(hashlib.sha256(enc.blob).hexdigest())
             rows["bloom"].append(bloom_blob)
             rows["blob"].append(enc.blob)

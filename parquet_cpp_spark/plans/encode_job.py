@@ -33,6 +33,36 @@ from ..operators import encode as encode_op
 DEFAULT_TARGET_PARTITION_BYTES = 256 << 20
 
 
+def _written_part_ids(spark, chunks_path: str) -> "DataFrame | None":
+    """part_ids already present in the (hive-partitioned) chunks dataset,
+    or None if the dataset doesn't exist yet.
+
+    Local filesystem paths read the ``part_id=*`` directory names — no scan
+    of the (at 100 TB, enormous) parquet footprint. Non-local URIs (s3a://,
+    hdfs://) and any directory whose partition names don't parse as ints
+    (e.g. ``__HIVE_DEFAULT_PARTITION__``) fall back to a Spark
+    partition-pruned distinct read, which is Hadoop-filesystem-agnostic."""
+    is_local = "://" not in chunks_path or chunks_path.startswith("file://")
+    local = chunks_path.removeprefix("file://")
+    if is_local:
+        if not os.path.exists(local):
+            return None
+        try:
+            have_ids = sorted(
+                int(d.split("=", 1)[1]) for d in os.listdir(local)
+                if d.startswith("part_id="))
+        except ValueError:
+            have_ids = None  # non-numeric partition dir: use the Spark path
+        if have_ids is not None:
+            return spark.createDataFrame([(p,) for p in have_ids],
+                                         "part_id bigint")
+    try:
+        return (spark.read.parquet(chunks_path)
+                .select("part_id").distinct())
+    except Exception:
+        return None  # dataset absent
+
+
 def plan_num_parts(total_rows: int, avg_tokens_per_row: float = 256.0,
                    target_partition_bytes: int = DEFAULT_TARGET_PARTITION_BYTES,
                    min_parts: int = 1) -> int:
@@ -113,6 +143,13 @@ def manifest_from_chunks(chunks_df: DataFrame) -> DataFrame:
         F.sum("enc_bytes").alias("enc_bytes"),
         F.map_from_entries(F.sort_array(F.collect_list(
             F.struct("col", "codec")))).alias("codecs"),
+        # exact per-column cardinality where the dict build saw every value
+        # (chunk.ChunkStats.distinct_count); columns without dictionary
+        # encoding are absent from the map, never guessed
+        F.map_from_entries(F.sort_array(F.collect_list(
+            F.when(F.col("distinct_count").isNotNull(),
+                   F.struct("col", "distinct_count"))))).alias(
+            "distinct_counts"),
         F.sha2(F.concat_ws("|", F.sort_array(F.collect_list("checksum"))),
                256).alias("checksum"))
         .withColumn("status", F.lit("committed")))
@@ -148,15 +185,8 @@ def run_checkpointed(spark, df: DataFrame, out_dir: str, num_parts: int,
     # changing the partition checksum). Such orphans are skipped here and
     # adopted into the manifest below.
     orphan_ok = None
-    if os.path.exists(chunks_path):
-        # the chunks dataset is hive-partitioned by part_id, so the set of
-        # already-written partitions is just the part_id=* directory names —
-        # no need to scan the (at 100 TB, enormous) parquet footprint
-        have_ids = sorted(
-            int(d.split("=", 1)[1]) for d in os.listdir(chunks_path)
-            if d.startswith("part_id="))
-        have = spark.createDataFrame([(p,) for p in have_ids],
-                                     "part_id bigint")
+    have = _written_part_ids(spark, chunks_path)
+    if have is not None:
         todo_df = todo_df.join(F.broadcast(have), "part_id", "left_anti")
         orphan_ok = have
 

@@ -72,7 +72,7 @@ def _estimate_cardinality(sample_card: int, singletons: int, sn: int,
 def estimate_int_sizes(values: np.ndarray, phys: str = "int32") -> dict[int, float]:
     """Estimated encoded bytes per codec for an integer column chunk."""
     n = len(values)
-    itemsize = 4 if phys in ("int32", "float") else 8
+    itemsize = 4 if phys in ("int32", "uint32", "float") else 8
     if n == 0:
         return {chunkmod.PLAIN: 0.0}
     s = _sample(values, SAMPLE_VALUES)
@@ -99,8 +99,9 @@ def estimate_int_sizes(values: np.ndarray, phys: str = "int32") -> dict[int, flo
                     run_rate * n * (2 + (bw + 7) // 8))     # or mostly RLE runs
     est[chunkmod.RLE_DICTIONARY] = est_card * itemsize + idx_bytes + 1
 
-    # Direct RLE (non-negative ints only).
-    if mn >= 0:
+    # Direct RLE (non-negative ints only; uint64 values past 2^63 exceed
+    # the RLE value-byte path -- DELTA/DICT/PLAIN cover that range).
+    if mn >= 0 and not (phys == "uint64" and mx >= 1 << 63):
         vbw = max(1, bitpack.width_for_max(mx))
         rle_bytes = min(n * vbw / 8.0 * 1.02,
                         run_rate * n * (2 + (vbw + 7) // 8))
@@ -111,14 +112,17 @@ def estimate_int_sizes(values: np.ndarray, phys: str = "int32") -> dict[int, flo
     # unsorted data).
     if wn > 1:
         d = np.diff(np.asarray(w_vals, dtype=np.int64))
-        # mean miniblock width over window miniblocks of 32
+        # spans viewed unsigned: int64 wrap-around on uint64-range data
+        # would otherwise yield negative spans (the delta kernel itself
+        # works mod 2^64, so an unsigned span is the honest width proxy)
         if len(d) < 32:
-            mean_w = float(bitpack.width_for_max(int(d.max() - d.min())))
+            span0 = int(np.uint64(int(d.max()) - int(d.min()) & ((1 << 64) - 1)))
+            mean_w = float(bitpack.width_for_max(span0))
         else:
             nmini = len(d) // 32
             trimmed = d[: nmini * 32].reshape(nmini, 32)
             mins = trimmed.min(axis=1)
-            spans = trimmed.max(axis=1) - mins
+            spans = (trimmed.max(axis=1) - mins).view(np.uint64)
             widths = np.fromiter(
                 (bitpack.width_for_max(int(x)) for x in spans),
                 dtype=np.int64, count=nmini)
@@ -235,7 +239,7 @@ def _plain_payload_bytes(values, phys: str) -> int:
         return sum(len(v) for v in values)
     if phys == "boolean":
         return (len(values) + 7) // 8
-    itemsize = 4 if phys in ("int32", "float") else 8
+    itemsize = 4 if phys in ("int32", "uint32", "float") else 8
     return itemsize * len(values)
 
 

@@ -57,8 +57,13 @@ def encode_parquet_direct(spark, path: str,
     splits = list_row_groups(path)
     cores = spark.sparkContext.defaultParallelism
     n_parts = min(len(splits), max(1, cores * slices_per_core))
-    splits_df = spark.createDataFrame(splits, "file string, rg int") \
-        .repartition(n_parts, "file", "rg")
+    # parallelize with explicit slice count instead of repartition: no
+    # shuffle stage (one less stage barrier per job), and contiguous row
+    # groups stay on one task — better page-cache locality. Chunk contents
+    # are identical either way (one chunk set per row group).
+    splits_df = spark.createDataFrame(
+        spark.sparkContext.parallelize(splits, n_parts),
+        "file string, rg int")
 
     encode_fn = make_arrow_encode_fn(columns, codec_overrides,
                                      dict_size_limit, props)
@@ -70,7 +75,12 @@ def encode_parquet_direct(spark, path: str,
             files = batch.column("file").to_pylist()
             rgs = batch.column("rg").to_pylist()
             for f, rg in zip(files, rgs):
-                tbl = pq.ParquetFile(f).read_row_group(rg)
+                # use_threads=False: one task = one core. Letting pyarrow
+                # fan a row-group read across the node's global thread pool
+                # makes tasks steal each other's cores (and makes low-
+                # parallelism benchmarks lie about per-core throughput).
+                tbl = pq.ParquetFile(f).read_row_group(rg,
+                                                       use_threads=False)
                 yield from encode_fn(tbl.to_batches())
 
     out = splits_df.mapInArrow(task, schema=CHUNK_SCHEMA)

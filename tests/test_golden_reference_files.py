@@ -1,0 +1,131 @@
+"""Cross-implementation golden-file tests: decode the reference repo's own
+parquet data files with the ENGINE'S kernels (rle levels + dictionary
+indices, plain values — via sources.parquet_format) and require value
+equality with pyarrow's independent C++ decode of the same files. This is
+the reference's reader-test strategy (reader-test.cc:41-69) pointed at this
+engine."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from parquet_cpp_spark.kernels import ba
+from parquet_cpp_spark.sources import parquet_format as pfmt
+
+DATA = "/root/reference/data"
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(DATA),
+                                reason="reference data not present")
+
+
+def _int96_to_ns(vals: list[bytes]) -> np.ndarray:
+    """INT96 timestamp: 8-byte LE nanos-of-day + 4-byte LE julian day."""
+    out = np.empty(len(vals), dtype=np.int64)
+    for i, v in enumerate(vals):
+        nanos = int.from_bytes(v[:8], "little")
+        julian = int.from_bytes(v[8:], "little")
+        out[i] = (julian - 2440588) * 86_400_000_000_000 + nanos
+    return out
+
+
+def _respaced(vals, deflev, max_def=1):
+    """Dense values + def levels -> list with None in null slots."""
+    if deflev is None:
+        deflev = np.full(len(vals), max_def, dtype=np.int8)
+    if isinstance(vals, ba.ByteArrayView):
+        vals = ba.to_list(vals)
+    elif isinstance(vals, np.ndarray):
+        vals = vals.tolist()
+    out = []
+    it = iter(vals)
+    for d in deflev:
+        out.append(next(it) if d == max_def else None)
+    return out
+
+
+def _compare_with_pyarrow(path):
+    import pyarrow.parquet as pq
+
+    ours = pfmt.read_file(path)
+    theirs = pq.read_table(path)
+    assert set(ours) == set(theirs.column_names)
+    for name in theirs.column_names:
+        vals, deflev = ours[name]
+        got = _respaced(vals, deflev)
+        ref_col = theirs.column(name)
+        if str(ref_col.type).startswith("timestamp"):
+            ref = ref_col.cast("int64").to_pylist()
+            present = [g for g in got if g is not None]
+            conv = iter(_int96_to_ns(present).tolist())
+            got = [next(conv) if g is not None else None for g in got]
+        else:
+            ref = ref_col.to_pylist()
+            if ref and isinstance(ref[0], str):
+                got = [None if g is None else g.decode() for g in got]
+        if ref and isinstance(ref[0], float):
+            assert np.allclose(
+                [g for g in got if g is not None],
+                [r for r in ref if r is not None]), name
+            assert [g is None for g in got] == [r is None for r in ref], name
+        else:
+            assert got == ref, f"column {name}: {got[:5]} != {ref[:5]}"
+
+
+def _raw_to_unscaled(got, dectype):
+    """Raw storage (int32/int64/FLBA bytes) -> unscaled ints."""
+    out = []
+    for g in got:
+        if g is None:
+            out.append(None)
+        elif isinstance(g, (bytes, bytearray)):
+            out.append(int.from_bytes(g, "big", signed=True))
+        else:
+            out.append(int(g))
+    return out
+
+
+def test_alltypes_plain():
+    _compare_with_pyarrow(os.path.join(DATA, "alltypes_plain.parquet"))
+
+
+def test_alltypes_dictionary():
+    _compare_with_pyarrow(os.path.join(DATA, "alltypes_dictionary.parquet"))
+
+
+def test_alltypes_plain_snappy():
+    _compare_with_pyarrow(os.path.join(DATA, "alltypes_plain.snappy.parquet"))
+
+
+@pytest.mark.parametrize("name", ["int32_decimal.parquet",
+                                  "int64_decimal.parquet",
+                                  "fixed_length_decimal.parquet",
+                                  "fixed_length_decimal_legacy.parquet"])
+def test_decimal_files(name):
+    import pyarrow.parquet as pq
+
+    path = os.path.join(DATA, name)
+    ours = pfmt.read_file(path)
+    theirs = pq.read_table(path)
+    for col in theirs.column_names:
+        vals, deflev = ours[col]
+        got = _raw_to_unscaled(_respaced(vals, deflev), None)
+        scale = theirs.column(col).type.scale
+        ref = [None if v is None else int(v * (10 ** scale))
+               for v in theirs.column(col).to_pylist()]
+        assert got == ref, name
+
+
+def test_malformed_dictionary_file():
+    """nation.dict-malformed.parquet: the reference ships this as a
+    corrupt-metadata probe. Modern decoders (pyarrow included) read its
+    data pages fine — the malformation is in header metadata, not the
+    payload — so the bar here is agreement with pyarrow, never fabricated
+    values and never a silent divergence."""
+    _compare_with_pyarrow(os.path.join(DATA,
+                                       "nation.dict-malformed.parquet"))

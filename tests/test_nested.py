@@ -190,3 +190,72 @@ def test_struct_with_nullable_leaves_roundtrip(spark):
         encode_df_arrow(src, 4, columns=cols, sort_key=None), cols)
     got = sorted((r.id, (r.s.x, r.s.y)) for r in dec.collect())
     assert got == sorted(rows)
+
+
+# ---------------------------------------------------------------------------
+# map<K,V>: the parquet 3-level MAP group (reference types.h:63-90 MAP
+# converted type; schema.h:43-77) — key/value leaf chunks sharing one
+# entries-per-row length stream
+# ---------------------------------------------------------------------------
+
+def _map_roundtrip(maps, ktype, vtype, kspec, vspec):
+    import pyarrow as pa
+
+    from parquet_cpp_spark.kernels import ba
+    from parquet_cpp_spark.operators.encode_arrow import make_arrow_encode_fn
+
+    cols = {"doc_id": "byte_array", "m": f"map<{kspec},{vspec}>"}
+    tbl = pa.table({
+        "doc_id": pa.array([f"d{i}" for i in range(len(maps))]),
+        "m": pa.array(maps, type=pa.map_(ktype, vtype)),
+    })
+    fn = make_arrow_encode_fn(cols)
+    out = pa.Table.from_batches([fn.encode_part(tbl, 1)])
+    decs = {r["col"]: chunkmod.decode_chunk(memoryview(r["blob"]))
+            for r in out.to_pylist()}
+    kd = decs["m.key_value.key"]
+    vd = decs["m.key_value.value"]
+    assert np.array_equal(kd.row_lengths, vd.row_lengths)
+    offsets = np.zeros(len(kd.row_lengths) + 1, dtype=np.int32)
+    np.cumsum(kd.row_lengths, out=offsets[1:])
+
+    def arr(dec, spec, typ):
+        if spec == "byte_array":
+            return pa.array(ba.to_list(dec.values), type=pa.binary()) \
+                .cast(typ)
+        return pa.array(np.asarray(dec.values), type=typ)
+
+    ma = pa.MapArray.from_arrays(pa.array(offsets, type=pa.int32()),
+                                 arr(kd, kspec, ktype), arr(vd, vspec, vtype))
+    assert ma.to_pylist() == maps
+
+
+def test_map_string_int_roundtrip():
+    import pyarrow as pa
+    maps = [[("a", 1), ("b", 2)], [], [("x", 9)],
+            [("k", 3), ("m", 4), ("n", 5)], []]
+    _map_roundtrip(maps, pa.string(), pa.int32(), "byte_array", "int32")
+
+
+def test_map_int_double_roundtrip_large():
+    import pyarrow as pa
+    rng = np.random.default_rng(0)
+    lens = rng.integers(0, 6, 5000)
+    tot = int(lens.sum())
+    keys = rng.integers(0, 1000, tot)
+    vals = rng.standard_normal(tot)
+    offs = np.zeros(len(lens) + 1, dtype=np.int32)
+    np.cumsum(lens, out=offs[1:])
+    m = pa.MapArray.from_arrays(pa.array(offs, type=pa.int32()),
+                                pa.array(keys, type=pa.int64()),
+                                pa.array(vals, type=pa.float64()))
+    _map_roundtrip(m.to_pylist(), pa.int64(), pa.float64(),
+                   "int64", "double")
+
+
+def test_map_spec_expansion():
+    from parquet_cpp_spark.operators.encode_arrow import expand_column_specs
+    leaves = expand_column_specs({"m": "map<byte_array,int32>"})
+    assert [(n, s) for n, _p, s in leaves] == [
+        ("m.key_value.key", "mapkey<byte_array>"),
+        ("m.key_value.value", "mapval<int32>")]

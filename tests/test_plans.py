@@ -73,14 +73,15 @@ def test_similarity_broadcasts_probes(spark):
 
 
 def test_direct_source_shuffles_only_descriptors(spark):
+    """The direct source must never move row data through an exchange.
+    Since the parallelize-with-slices change it moves NOTHING through one:
+    descriptors are sliced at creation, so the plan is exchange-free."""
     from parquet_cpp_spark.sources.parquet_direct import encode_parquet_direct
     chunks = encode_parquet_direct(
         spark, os.path.join(SF_DIR, "documents.parquet"),
         columns={"text": "byte_array"})
     plan = _plan(chunks)
-    # the exchange feeding the encode task carries (file, rg) only
-    exch = plan.split("Exchange")[1][:300] if "Exchange" in plan else ""
-    assert "file" in exch and "text" not in exch
+    assert "Exchange" not in plan, plan
 
 
 def test_minhash_signatures_zero_shuffle(spark):
@@ -126,3 +127,33 @@ def test_bucketed_join_colocates(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_cust_b")
+
+
+def test_neardup_jaccard_bucket_cap(spark):
+    """The LSH band gate must bound per-bucket candidates: a hot bucket
+    (here: many near-identical docs) is SKIPPED, not exploded into
+    O(bucket^2) pairs, and the skip is enumerable via the dropped-buckets
+    audit — no silent truncation."""
+    from parquet_cpp_spark.functions import dedup
+
+    rows = [(i, "common words shared by every doc in the hot cluster")
+            for i in range(50)]           # one hot band bucket of 50 docs
+    rows += [(100 + i, f"w{i}a w{i}b w{i}c w{i}d w{i}e w{i}f")
+             for i in range(10)]      # pairwise-disjoint word sets
+    rows += [(200, "twin pair one two three"), (201, "twin pair one two three")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    pairs = dedup.neardup_jaccard(docs, bucket_cap=32).collect()
+    ids = {r.a_id for r in pairs} | {r.b_id for r in pairs}
+    # the hot cluster (0..49) is capped out; the twin pair survives
+    assert not any(i < 100 for i in ids)
+    assert {(r.a_id, r.b_id) for r in pairs} == {(200, 201)}
+
+    dropped = dedup.neardup_jaccard_dropped_buckets(
+        docs, bucket_cap=32).collect()
+    assert dropped and all(r.n_docs == 50 for r in dropped)
+
+    # raising the cap re-admits the cluster: the gate, not the scorer,
+    # was the bound
+    pairs_hi = dedup.neardup_jaccard(docs, bucket_cap=64).collect()
+    assert sum(1 for r in pairs_hi if r.a_id < 100) == 50 * 49 // 2

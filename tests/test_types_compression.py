@@ -175,3 +175,60 @@ def test_dictionary_disabled_property():
     fn2 = make_encode_fn(props=WriterProperties(sort_key=None))
     out2 = fn2((0,), pdf)
     assert "RLE_DICTIONARY" in set(out2["codec"])  # default allows it
+
+
+# ---------------------------------------------------------------------------
+# unsigned logical ints (reference UINT_32/UINT_64 annotations over
+# int32/int64 physical storage, types.h:63-90; UNSIGNED sort order for
+# stats, types.h:125-136)
+# ---------------------------------------------------------------------------
+
+def test_unsigned_roundtrip_all_codecs():
+    import numpy as np
+    rng = np.random.default_rng(3)
+    u32 = rng.integers(0, 1 << 32, 20000, dtype=np.uint32)
+    u64 = (rng.integers(0, 1 << 63, 20000, dtype=np.uint64) * 2
+           + rng.integers(0, 2, 20000, dtype=np.uint64))
+    ids = np.cumsum(rng.integers(1, 1000, 20000).astype(np.uint64)) \
+        + np.uint64(1 << 63)
+    for vals, phys in ((u32, "uint32"), (u64, "uint64"), (ids, "uint64")):
+        for codec in (chunkmod.PLAIN, chunkmod.DELTA_BINARY_PACKED,
+                      chunkmod.RLE_DICTIONARY):
+            enc = chunkmod.encode_chunk(vals, phys, codec)
+            got = np.asarray(chunkmod.decode_chunk(memoryview(enc.blob)).values)
+            assert got.dtype == vals.dtype
+            assert np.array_equal(got, vals)
+
+
+def test_unsigned_stats_sort_order():
+    """Stats must compare UNSIGNED: a value above 2^63 is the max, not a
+    negative outlier (SortOrder::UNSIGNED, types.h:125-136)."""
+    import numpy as np
+    from parquet_cpp_spark import selector
+    vals = np.array([5, 1, (1 << 64) - 1, 1 << 63], dtype=np.uint64)
+    enc = selector.encode_best(vals, "uint64")
+    assert int(enc.stats.min_val) == 1
+    assert int(enc.stats.max_val) == (1 << 64) - 1
+
+
+def test_unsigned_rle_guard():
+    import numpy as np
+    import pytest
+    big = np.array([1 << 63], dtype=np.uint64)
+    with pytest.raises(ValueError):
+        chunkmod.encode_chunk(big, "uint64", chunkmod.RLE)
+    small = np.arange(1000, dtype=np.uint32) % 7
+    enc = chunkmod.encode_chunk(small, "uint32", chunkmod.RLE)
+    assert np.array_equal(
+        np.asarray(chunkmod.decode_chunk(memoryview(enc.blob)).values), small)
+
+
+def test_unsigned_paged():
+    import numpy as np
+    from parquet_cpp_spark import selector
+    rng = np.random.default_rng(9)
+    big = np.cumsum(rng.integers(1, 50, 400000).astype(np.uint64)) \
+        + np.uint64(1 << 63)
+    enc = selector.encode_best(big, "uint64")
+    dec = np.asarray(chunkmod.decode_chunk(memoryview(enc.blob)).values)
+    assert dec.dtype == np.uint64 and np.array_equal(dec, big)
