@@ -132,7 +132,12 @@ def main() -> None:
     totals = None
     for _round in range(SCALING_ROUNDS):
         t_rounds.append({})
-        for cpus in (1, 4):
+        # alternate leg order per round: host contention drifts
+        # monotonically within a window, which biases a fixed order
+        # (contention decaying during a (1,4) round inflates the ratio,
+        # rising deflates it); alternating cancels the drift in the median
+        order = (1, 4) if _round % 2 == 0 else (4, 1)
+        for cpus in order:
             spark = _session(cpus)
             _warmup(spark)
             t_rounds[-1][cpus], totals = _encode_direct_run(spark, path,
