@@ -75,12 +75,22 @@ def _bench_input_path() -> str:
 
 
 def _warmup(spark):
+    """Warm python workers, kernel imports, AND the exact timed plan shape
+    (parallelize -> mapInArrow -> agg over the parquet-direct source) so a
+    timed leg pays no first-run plan compile."""
+    from pyspark.sql import functions as F
     from parquet_cpp_spark.operators.encode_arrow import encode_scan_local
+    from parquet_cpp_spark.sources.parquet_direct import encode_parquet_direct
+    from parquet_cpp_spark.sources.tokens import synthesize_tokens_parquet
     warm = (spark.range(256).repartition(256)
             .selectExpr("cast(id as string) as doc_id",
                         "array(1, 2, 3) as tokens", "3 as n_tok",
                         "'web' as source"))
     encode_scan_local(warm).count()
+    tiny = synthesize_tokens_parquet(
+        os.path.join(REPO, "data", f"bench_tokens_20000_{SEED}.parquet"),
+        20000, SEED, row_group_size=ROW_GROUP)
+    encode_parquet_direct(spark, tiny).agg(F.sum("enc_bytes")).collect()
 
 
 def _encode_direct_run(spark, path: str,

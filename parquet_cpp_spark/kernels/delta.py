@@ -208,10 +208,16 @@ def decode(buf, pos: int = 0, out_dtype=np.int64) -> tuple[np.ndarray, int]:
     if block_size % miniblocks:
         raise ValueError("corrupt delta header: block_size % miniblocks != 0")
     mini_size = block_size // miniblocks
-    out = np.empty(n, dtype=np.int64)
+    # Narrow-lane reconstruction: for 4-byte outputs every step (unpacked
+    # adj + min_delta, prefix sum, + first) is exact MOD 2^32, and the true
+    # values fit 32 bits — so int32 temps (half the memory traffic of the
+    # value matrix + cumsum) produce bit-identical results even when
+    # intermediate sums wrap.
+    idt = np.int32 if np.dtype(out_dtype).itemsize == 4 else np.int64
+    out = np.empty(n, dtype=idt)
     if n == 0:
         return out.astype(out_dtype, copy=False), pos
-    out[0] = first
+    out[0] = np.int64(first).astype(idt) if idt == np.int32 else first
     nd = n - 1
     if nd == 0:
         return out.astype(out_dtype, copy=False), pos
@@ -258,7 +264,7 @@ def decode(buf, pos: int = 0, out_dtype=np.int64) -> tuple[np.ndarray, int]:
     # the 4-byte LE window at payload[B_m + (i*w)//8] >> (i*w)%8). ~4 bytes
     # of traffic per value — no per-bit matrices (DRAM-bound host).
     nmini = n_blocks * miniblocks
-    vals = np.zeros((nmini, mini_size), dtype=np.int64)
+    vals = np.zeros((nmini, mini_size), dtype=idt)
     w_max = int(widths.max()) if nmini else 0
     if w_max:
         payload = np.frombuffer(b"".join(segments), dtype=np.uint8)
@@ -287,10 +293,12 @@ def decode(buf, pos: int = 0, out_dtype=np.int64) -> tuple[np.ndarray, int]:
                 bits = np.unpackbits(rows, axis=1, bitorder="little") \
                     .reshape(len(ids) * mini_size, w)
                 vals[ids] = bitpack.values_from_bits(bits, w, np.int64) \
-                    .reshape(len(ids), mini_size)
+                    .reshape(len(ids), mini_size).astype(idt)
 
     deltas = vals.reshape(n_blocks, block_size)
-    deltas += mins[:, None]
+    # mins cast to the narrow lane first: the in-place add then wraps mod
+    # 2^32 exactly like the final values do
+    np.add(deltas, mins.astype(idt)[:, None], out=deltas)
     deltas = deltas.reshape(-1)[:nd]
     np.cumsum(deltas, out=deltas)
     out[1:] = out[0] + deltas
