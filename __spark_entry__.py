@@ -511,6 +511,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.col("uid64").cast("string").alias("uid64"))
     q["rt_unsigned"] = rt_unsigned
 
+    def rt_annotations(spark: SparkSession, sf: str) -> DataFrame:
+        """Remaining converted-type annotations (types.h:63-90): UINT_8 /
+        UINT_16 (INT32 storage, unsigned range-check), ENUM and JSON
+        (byte_array storage). INTERVAL and BSON ride the same paths and are
+        pinned by unit tests (12-byte FLBA / binary)."""
+        from parquet_cpp_spark.operators.decode_arrow import \
+            decode_chunks_typed
+        from parquet_cpp_spark.operators.encode_arrow import encode_df_arrow
+        cols = {"doc_id": "byte_array", "u8": "uint8", "u16": "uint16",
+                "enum_c": "enum", "json_c": "json"}
+        docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+        src = docs.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            (F.col("doc_id") % 200).cast("int").alias("u8"),
+            (F.col("doc_id") % 60000).cast("int").alias("u16"),
+            F.col("source").alias("enum_c"),
+            F.to_json(F.struct(F.size(F.split("text", " "))
+                               .alias("n_tok"))).alias("json_c"),
+            F.pmod(F.xxhash64(F.col("doc_id").cast("string")),
+                   F.lit(NUM_PARTS)).alias("part_id"))
+        dec = decode_chunks_typed(
+            encode_df_arrow(src, NUM_PARTS, columns=cols,
+                            sort_key="doc_id"),
+            cols)
+        return dec.select("doc_id", "u8", "u16", "enum_c", "json_c")
+    q["rt_annotations"] = rt_annotations
+
     def rt_nested_list(spark: SparkSession, sf: str) -> DataFrame:
         """list-of-list round-trip (max_rep=2, reference schema.h:43-77,
         arrow-reader-writer-test.cc:1137ff): tokens regrouped into windows
@@ -951,6 +978,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, event_type, value,
                    CAST(hour(ts) AS INTEGER) AS hour
             FROM events
+        """,
+        "rt_annotations": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CAST(doc_id % 200 AS INT) AS u8,
+                   CAST(doc_id % 60000 AS INT) AS u16,
+                   source AS enum_c,
+                   '{"n_tok":' ||
+                       CAST(len(string_split(text, ' ')) AS INT) || '}'
+                       AS json_c
+            FROM documents
         """,
         "rt_unsigned": """
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,

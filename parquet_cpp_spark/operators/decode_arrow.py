@@ -201,8 +201,12 @@ _SPARK_TYPES = {"int32": "int", "int64": "bigint", "float": "float",
                 "list<int32?>": "array<int>",
                 "list<list<int32>>": "array<array<int>>",
                 # Spark has no unsigned types; these are the lossless
-                # widenings Spark's own parquet reader uses for UINT_32/64
-                "uint32": "bigint", "uint64": "decimal(20,0)"}
+                # widenings Spark's own parquet reader uses for UINT_*
+                "uint8": "int", "uint16": "int",
+                "uint32": "bigint", "uint64": "decimal(20,0)",
+                # annotation types over byte_array / flba:12 storage
+                "enum": "string", "json": "string", "bson": "binary",
+                "interval": "binary"}
 
 
 def _spark_type(spec: str) -> str:
@@ -264,8 +268,16 @@ def decode_chunks_typed(chunks_df, columns: dict[str, str],
             idx[valid] = np.arange(int(valid.sum()), dtype=np.int64)
             # a null take-index yields a null output slot
             return dense_arr.take(pa.array(idx, mask=~valid))
-        if phys == "byte_array":
+        if phys in ("byte_array", "enum", "json"):
             return _strings(dec.values)
+        if phys in ("bson", "interval"):
+            from ..kernels import ba
+            if isinstance(dec.values, ba.ByteArrayView):
+                return ba.to_arrow(dec.values)
+            return pa.array(list(dec.values), type=pa.binary())
+        if phys in ("uint8", "uint16"):
+            return pa.array(np.asarray(dec.values, dtype=np.int32),
+                            type=pa.int32())
         if phys == "boolean":
             return pa.array(np.asarray(dec.values, dtype=bool),
                             type=pa.bool_())

@@ -157,6 +157,14 @@ def kernel_phys(phys: str) -> str:
         return "int64"   # TIMESTAMP_MICROS
     if phys == "date32":
         return "int32"   # DATE days-since-epoch
+    # remaining converted-type annotations (types.h:63-90): storage type
+    # per the parquet mapping, annotation only changes interpretation
+    if phys in ("uint8", "uint16"):
+        return "int32"   # UINT_8/UINT_16 ride INT32 storage
+    if phys in ("enum", "json", "bson"):
+        return "byte_array"
+    if phys == "interval":
+        return "flba:12"  # INTERVAL: months/days/millis u32 triple
     return phys
 
 
@@ -285,6 +293,21 @@ def _arrow_column_values_dense(column, phys: str):
         target = pa.uint32() if phys == "uint32" else pa.uint64()
         return (column.cast(target).to_numpy(zero_copy_only=False),
                 None, None, None)
+    if phys in ("uint8", "uint16"):
+        # UINT_8/UINT_16 annotations: range-check through the unsigned
+        # arrow cast, then widen to the INT32 storage type
+        target = pa.uint8() if phys == "uint8" else pa.uint16()
+        return (column.cast(target).to_numpy(zero_copy_only=False)
+                .astype(np.int32), None, None, None)
+    if phys in ("enum", "json", "bson"):
+        from ..kernels import ba
+        return ba.from_arrow(column.cast(pa.binary())), None, None, None
+    if phys == "interval":
+        from ..kernels import ba
+        vals = column.cast(pa.binary(12)).cast(pa.binary()).to_pylist()
+        if any(len(v) != 12 for v in vals):
+            raise ValueError("INTERVAL values must be 12 bytes")
+        return ba.from_list(vals), None, None, None
     dt = {"int32": np.int32, "int64": np.int64, "float": np.float32,
           "double": np.float64, "boolean": bool}[phys]
     return (column.to_numpy(zero_copy_only=False).astype(dt, copy=False),

@@ -232,3 +232,55 @@ def test_unsigned_paged():
     enc = selector.encode_best(big, "uint64")
     dec = np.asarray(chunkmod.decode_chunk(memoryview(enc.blob)).values)
     assert dec.dtype == np.uint64 and np.array_equal(dec, big)
+
+
+def test_annotation_specs_roundtrip():
+    """UINT_8/UINT_16 (INT32 storage), ENUM/JSON (byte_array), BSON
+    (binary), INTERVAL (12-byte FLBA) — the remaining converted-type
+    annotations (reference types.h:63-90) through the Arrow operators'
+    value extraction + chunk round-trip."""
+    import numpy as np
+    import pyarrow as pa
+
+    from parquet_cpp_spark.kernels import ba
+    from parquet_cpp_spark.operators.encode_arrow import (
+        _arrow_column_values, kernel_phys)
+    from parquet_cpp_spark import selector
+
+    iv = [(m, d, ms) for m, d, ms in
+          [(1, 2, 3), (0, 0, 0), (11, 27, 999)]]
+    ivb = [m.to_bytes(4, "little") + d.to_bytes(4, "little")
+           + ms.to_bytes(4, "little") for m, d, ms in iv]
+    tbl = pa.table({
+        "u8": pa.array([0, 199, 7], type=pa.int32()),
+        "u16": pa.array([0, 59999, 300], type=pa.int32()),
+        "enum_c": pa.array(["A", "B", "A"]),
+        "json_c": pa.array(['{"a":1}', "{}", '{"b":[2,3]}']),
+        "bson_c": pa.array([b"\x01\x02", b"", b"\xff"], type=pa.binary()),
+        "interval_c": pa.array(ivb, type=pa.binary(12)),
+    })
+    specs = {"u8": "uint8", "u16": "uint16", "enum_c": "enum",
+             "json_c": "json", "bson_c": "bson", "interval_c": "interval"}
+    for col, spec in specs.items():
+        vals, rl, ev, il, vm = _arrow_column_values(tbl, col, spec, ())
+        enc = selector.encode_best(vals, kernel_phys(spec))
+        dec = chunkmod.decode_chunk(memoryview(enc.blob))
+        got = dec.values
+        if isinstance(got, ba.ByteArrayView):
+            got = ba.to_list(got)
+        if isinstance(vals, ba.ByteArrayView):
+            vals = ba.to_list(vals)
+        if isinstance(vals, np.ndarray):
+            assert np.array_equal(np.asarray(got, dtype=vals.dtype), vals), col
+        else:
+            assert list(got) == list(vals), col
+
+
+def test_uint8_range_check():
+    import pyarrow as pa
+    import pytest
+
+    from parquet_cpp_spark.operators.encode_arrow import _arrow_column_values
+    tbl = pa.table({"u8": pa.array([0, 256], type=pa.int32())})
+    with pytest.raises(Exception):
+        _arrow_column_values(tbl, "u8", "uint8", ())
