@@ -25,6 +25,25 @@ from parquet_cpp_spark.sources import tokens as tokens_src
 
 NUM_PARTS = 8
 
+
+def _parts(sf: str) -> int:
+    """Partition count pinned to data volume: ~256 MiB of raw document
+    payload per partition (encode_job.plan_num_parts' sizing rule), with a
+    floor of NUM_PARTS so tiny sf dirs still exercise multi-partition
+    paths.
+
+    Invariant the static oracles rely on: at every driver test scale
+    (sf0.001-sf0.1, documents.parquet far under 256 MiB) this returns
+    exactly NUM_PARTS — the value baked into the part-id-exposing oracle
+    SQL (`doc_id % 8`). Dynamic sizing only engages past oracle-checked
+    scales, where no oracle exists to desync."""
+    try:
+        size = os.path.getsize(os.path.join(sf, "documents.parquet"))
+    except OSError:
+        return NUM_PARTS
+    return max(NUM_PARTS, -(-size // (256 << 20)))
+
+
 # rt_nullable's token derivation: every token divisible by 7 becomes NULL
 # (mirrors the Spark-side transform in the query)
 _NULLABLE_TOKEN_EXPR_DUCKDB = (
@@ -306,7 +325,7 @@ def _digest(df: DataFrame) -> DataFrame:
 
 def _roundtrip(spark: SparkSession, sf_dir: str,
                codec_overrides: dict[str, str] | None = None) -> DataFrame:
-    src = tokens_src.tokens_from_documents(spark, sf_dir, NUM_PARTS)
+    src = tokens_src.tokens_from_documents(spark, sf_dir, _parts(sf_dir))
     chunks = encode_job.encode_pipeline(src, NUM_PARTS,
                                         codec_overrides=codec_overrides)
     return _digest(encode_job.decode_pipeline(chunks))
@@ -319,7 +338,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _chunks(spark: SparkSession, sf_dir: str,
             codec_overrides: dict[str, str] | None = None) -> DataFrame:
-    src = tokens_src.tokens_from_documents(spark, sf_dir, NUM_PARTS)
+    src = tokens_src.tokens_from_documents(spark, sf_dir, _parts(sf_dir))
     return encode_job.encode_pipeline(src, NUM_PARTS,
                                       codec_overrides=codec_overrides)
 
@@ -350,7 +369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """Round-trip through multi-page chunks: a 64 KiB page flush forces
         several pages per chunk (reference 1 MiB policy scaled to the sf
         data; column_writer.cc:645-650)."""
-        src = tokens_src.tokens_from_documents(spark, sf, NUM_PARTS)
+        src = tokens_src.tokens_from_documents(spark, sf, _parts(sf))
         chunks = encode_job.encode_pipeline(src, NUM_PARTS,
                                             page_size=64 << 10)
         return _digest(encode_job.decode_pipeline(chunks))
@@ -361,7 +380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         the reference's 3-level list encoding, schema.h:43-77): every token
         divisible by 7 becomes NULL before encoding; the digest re-includes
         nulls, so dropping or misplacing one flips the hash."""
-        src = tokens_src.tokens_from_documents(spark, sf, NUM_PARTS)
+        src = tokens_src.tokens_from_documents(spark, sf, _parts(sf))
         src = src.withColumn(
             "tokens",
             F.transform("tokens", lambda x: F.when(x % 7 != 0, x)))
@@ -548,7 +567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             decode_chunks_typed
         from parquet_cpp_spark.operators.encode_arrow import encode_df_arrow
         cols = {"doc_id": "byte_array", "windows": "list<list<int32>>"}
-        src = tokens_src.tokens_from_documents(spark, sf, NUM_PARTS)
+        src = tokens_src.tokens_from_documents(spark, sf, _parts(sf))
         nwin = F.ceil(F.size("tokens") / 5.0).cast("int")
         windows = F.when(F.size("tokens") == 0, F.array().cast(
             "array<array<int>>")).otherwise(
@@ -628,7 +647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def rt_salted(spark: SparkSession, sf: str) -> DataFrame:
         """Round-trip through the skew-aware salted partitioning path."""
-        src = tokens_src.tokens_from_documents(spark, sf, NUM_PARTS) \
+        src = tokens_src.tokens_from_documents(spark, sf, _parts(sf)) \
             .drop("part_id")
         spread = encode_job.plan_salted_parts(src, NUM_PARTS * 2)
         salted = encode_job.add_salted_part_id(src, spread)
@@ -640,7 +659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """Block-compressed chunks (GZIP over assembled sections) round-trip."""
         from parquet_cpp_spark.operators import encode as encode_op
         from parquet_cpp_spark.properties import WriterProperties
-        src = tokens_src.tokens_from_documents(spark, sf, NUM_PARTS)
+        src = tokens_src.tokens_from_documents(spark, sf, _parts(sf))
         chunks = encode_op.encode_df(
             src, NUM_PARTS, props=WriterProperties(compression="GZIP"))
         return _digest(encode_job.decode_pipeline(chunks))
@@ -652,7 +671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         types.h:106-118)."""
         from parquet_cpp_spark.operators import encode as encode_op
         from parquet_cpp_spark.properties import WriterProperties
-        src = tokens_src.tokens_from_documents(spark, sf, NUM_PARTS)
+        src = tokens_src.tokens_from_documents(spark, sf, _parts(sf))
         chunks = encode_op.encode_df(
             src, NUM_PARTS, props=WriterProperties(compression="ZSTD"))
         return _digest(encode_job.decode_pipeline(chunks))
@@ -664,7 +683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         — SNAPPY-compressed so the layout difference is actually exercised."""
         from parquet_cpp_spark.operators import encode as encode_op
         from parquet_cpp_spark.properties import WriterProperties
-        src = tokens_src.tokens_from_documents(spark, sf, NUM_PARTS)
+        src = tokens_src.tokens_from_documents(spark, sf, _parts(sf))
         chunks = encode_op.encode_df(
             src, NUM_PARTS, props=WriterProperties(
                 compression="SNAPPY", format_version="V2"))
@@ -709,7 +728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """Exact dedup over the token table itself: documents collapse by
         md5 of their token stream (fixed-width shuffle keys; the
         training-pipeline dedup runs on tokens, not raw text)."""
-        src = tokens_src.tokens_from_documents(spark, sf, NUM_PARTS)
+        src = tokens_src.tokens_from_documents(spark, sf, _parts(sf))
         tok_str = F.array_join(
             F.transform("tokens", lambda x: x.cast("string")), " ")
         return (src.groupBy(F.md5(tok_str).alias("content_hash"))
@@ -721,7 +740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """Vocabulary histogram over the token table: the 100 most frequent
         token ids (count desc, id asc) — the first statistic any training
         pipeline computes; one explode + hash aggregation."""
-        src = tokens_src.tokens_from_documents(spark, sf, NUM_PARTS)
+        src = tokens_src.tokens_from_documents(spark, sf, _parts(sf))
         return (src.select(F.explode("tokens").alias("token"))
                 .groupBy("token").agg(F.count("*").alias("n"))
                 .orderBy(F.desc("n"), F.asc("token")).limit(100))
@@ -776,7 +795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def point_lookup(spark: SparkSession, sf: str) -> DataFrame:
         from parquet_cpp_spark.operators import encode as encode_op
         from parquet_cpp_spark.plans import lookup
-        src = tokens_src.tokens_from_documents(spark, sf, NUM_PARTS)
+        src = tokens_src.tokens_from_documents(spark, sf, _parts(sf))
         chunks = encode_op.encode_df(src, NUM_PARTS,
                                      bloom_columns={"doc_id"})
         return (lookup.point_lookup(chunks, "42")
@@ -840,7 +859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         partition, remainder dropped) — the canonical pre-training reshape.
         One shuffle; numpy packing per partition task."""
         from parquet_cpp_spark.functions import packing
-        src = tokens_src.tokens_from_documents(spark, sf, NUM_PARTS)
+        src = tokens_src.tokens_from_documents(spark, sf, _parts(sf))
         packed = packing.pack_sequences(src, seq_len=512)
         tok_str = F.array_join(
             F.transform("tokens", lambda x: x.cast("string")), " ")
