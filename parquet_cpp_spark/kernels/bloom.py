@@ -45,7 +45,13 @@ def _fmix64(k: np.ndarray) -> np.ndarray:
     return k
 
 
-def murmur3_64_int64(keys: np.ndarray) -> np.ndarray:
+# The reference hashes bloom keys with parquet-mr's generated seed, NOT 0
+# (murmur3.h:47-49 DEFAULT_SEED = 1361930890); pinned bit-for-bit against
+# /root/reference/data/bloom_filter.bin in the golden cross-compat tests.
+BLOOM_SEED = 1361930890
+
+
+def murmur3_64_int64(keys: np.ndarray, seed: int = BLOOM_SEED) -> np.ndarray:
     """murmur3_x64_128 (first 64 bits) of each int64 key's 8 LE bytes —
     vectorized. Matches the scalar path for len=8 inputs."""
     with np.errstate(over="ignore"):
@@ -53,8 +59,8 @@ def murmur3_64_int64(keys: np.ndarray) -> np.ndarray:
         k1 = k1 * _C1
         k1 = _rotl64(k1, 31)
         k1 = k1 * _C2
-        h1 = k1.copy()  # seed 0 ^ k1
-        h2 = np.zeros(len(keys), dtype=np.uint64)
+        h1 = np.uint64(seed) ^ k1
+        h2 = np.full(len(keys), np.uint64(seed), dtype=np.uint64)
         h1 = h1 ^ np.uint64(8)
         h2 = h2 ^ np.uint64(8)
         h1 = h1 + h2
@@ -65,9 +71,9 @@ def murmur3_64_int64(keys: np.ndarray) -> np.ndarray:
     return h1
 
 
-def murmur3_64_bytes(key: bytes) -> int:
+def murmur3_64_bytes(key: bytes, seed: int = BLOOM_SEED) -> int:
     """Scalar murmur3_x64_128 (first 64 bits), any length."""
-    h1 = h2 = 0
+    h1 = h2 = seed & _MASK
     c1, c2 = 0x87c37b91114253d5, 0x4cf5ad432745937f
     n = len(key)
     nblocks = n // 16
@@ -139,8 +145,12 @@ class BlockSplitBloomFilter:
 
     def _block_and_masks(self, hashes: np.ndarray):
         with np.errstate(over="ignore"):
-            block = ((hashes >> np.uint64(32)) *
-                     np.uint64(self.num_blocks)) >> np.uint64(32)
+            # block index = (hash >> 32) & (num_blocks - 1): the
+            # reference's rule (bloom_filter.cc:151-154; num_bytes is
+            # always a power of two here). Pinned bit-for-bit against the
+            # parquet-mr-written /root/reference/data/bloom_filter.bin.
+            block = (hashes >> np.uint64(32)) & \
+                np.uint64(self.num_blocks - 1)
             key = hashes.astype(np.uint32)
             mul = key[:, None] * SALT[None, :]
             masks = np.uint32(1) << (mul >> np.uint32(27))

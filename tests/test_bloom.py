@@ -55,8 +55,13 @@ def test_serialize_roundtrip():
 
 
 def test_murmur3_reference_vectors():
-    # public murmur3_x64_128 test vectors (first 64 bits, seed 0)
-    assert bloom.murmur3_64_bytes(b"") == 0
+    # public murmur3_x64_128 test vectors (first 64 bits, seed 0) — the
+    # seed parameter defaults to the reference's bloom seed 1361930890
+    # (murmur3.h:47-49), so canonical seed-0 vectors pass seed=0 explicitly
+    assert bloom.murmur3_64_bytes(b"", seed=0) == 0
     # value computed from the canonical smhasher implementation
-    h = bloom.murmur3_64_bytes(b"hello")
+    h = bloom.murmur3_64_bytes(b"hello", seed=0)
     assert h == 0xcbd8a7b341bd9b02, hex(h)
+    # the parquet-mr-seeded path is pinned bit-for-bit against
+    # /root/reference/data/bloom_filter.bin in
+    # tests/test_golden_reference_files.py

@@ -129,3 +129,23 @@ def test_malformed_dictionary_file():
     values and never a silent divergence."""
     _compare_with_pyarrow(os.path.join(DATA,
                                        "nation.dict-malformed.parquet"))
+
+
+def test_bloom_filter_bin_cross_compat():
+    """The reference's CompatibilityTest (bloom_filter-test.cc:148-190):
+    deserialize the parquet-mr-written bloom_filter.bin with OUR kernel,
+    find the four inserted strings, and rebuild a byte-for-byte identical
+    bitset from scratch (murmur3_x64_128 seed 1361930890, block =
+    (hash>>32) & (num_blocks-1), SALT masks)."""
+    from parquet_cpp_spark.kernels import bloom
+
+    data = open(os.path.join(DATA, "bloom_filter.bin"), "rb").read()
+    assert len(data) == 1036
+    bf = bloom.BlockSplitBloomFilter.deserialize(data)
+    words = [b"hello", b"parquet", b"bloom", b"filter"]
+    assert bf.check_bytes(words).all()
+    assert not bf.check_bytes([b"not-inserted", b"zzz", b"qqq"]).any()
+
+    mine = bloom.BlockSplitBloomFilter(1024)
+    mine.insert_bytes(words)
+    assert mine.words.tobytes() == bf.words.tobytes()
