@@ -164,8 +164,11 @@ def decode_parquet_direct(spark, chunks_path: str, slices_per_core: int = 2,
         raise ValueError(f"no chunk files under {chunks_path}")
     cores = spark.sparkContext.defaultParallelism
     n_parts = min(len(files), max(1, cores * slices_per_core))
-    files_df = spark.createDataFrame([(f,) for f in files], "file string") \
-        .repartition(n_parts, "file")
+    # parallelize with explicit slices (no shuffle stage; see
+    # sources.parquet_direct) — whole files per task either way
+    files_df = spark.createDataFrame(
+        spark.sparkContext.parallelize([(f,) for f in files], n_parts),
+        "file string")
 
     def task(batches):
         import re
@@ -202,6 +205,7 @@ _SPARK_TYPES = {"int32": "int", "int64": "bigint", "float": "float",
                 "list<list<int32>>": "array<array<int>>",
                 # Spark has no unsigned types; these are the lossless
                 # widenings Spark's own parquet reader uses for UINT_*
+                "int8": "int", "int16": "int",
                 "uint8": "int", "uint16": "int",
                 "uint32": "bigint", "uint64": "decimal(20,0)",
                 # annotation types over byte_array / flba:12 storage
@@ -275,7 +279,7 @@ def decode_chunks_typed(chunks_df, columns: dict[str, str],
             if isinstance(dec.values, ba.ByteArrayView):
                 return ba.to_arrow(dec.values)
             return pa.array(list(dec.values), type=pa.binary())
-        if phys in ("uint8", "uint16"):
+        if phys in ("int8", "int16", "uint8", "uint16"):
             return pa.array(np.asarray(dec.values, dtype=np.int32),
                             type=pa.int32())
         if phys == "boolean":

@@ -159,8 +159,8 @@ def kernel_phys(phys: str) -> str:
         return "int32"   # DATE days-since-epoch
     # remaining converted-type annotations (types.h:63-90): storage type
     # per the parquet mapping, annotation only changes interpretation
-    if phys in ("uint8", "uint16"):
-        return "int32"   # UINT_8/UINT_16 ride INT32 storage
+    if phys in ("int8", "int16", "uint8", "uint16"):
+        return "int32"   # INT_8/16 and UINT_8/16 ride INT32 storage
     if phys in ("enum", "json", "bson"):
         return "byte_array"
     if phys == "interval":
@@ -293,10 +293,11 @@ def _arrow_column_values_dense(column, phys: str):
         target = pa.uint32() if phys == "uint32" else pa.uint64()
         return (column.cast(target).to_numpy(zero_copy_only=False),
                 None, None, None)
-    if phys in ("uint8", "uint16"):
-        # UINT_8/UINT_16 annotations: range-check through the unsigned
-        # arrow cast, then widen to the INT32 storage type
-        target = pa.uint8() if phys == "uint8" else pa.uint16()
+    if phys in ("int8", "int16", "uint8", "uint16"):
+        # INT_8/16 / UINT_8/16 annotations: range-check through the arrow
+        # cast of the annotated width, then widen to the INT32 storage type
+        target = {"int8": pa.int8(), "int16": pa.int16(),
+                  "uint8": pa.uint8(), "uint16": pa.uint16()}[phys]
         return (column.cast(target).to_numpy(zero_copy_only=False)
                 .astype(np.int32), None, None, None)
     if phys in ("enum", "json", "bson"):
