@@ -41,13 +41,42 @@ SAMPLE_BYTES = 1 << 14  # 16 KiB training sample
 TRAIN_ITERATIONS = 5
 
 
+def _token_keys(view: ba.ByteArrayView) -> tuple[np.ndarray, np.ndarray]:
+    """(u64 LE key, length) per token (all tokens are <= 8 bytes)."""
+    lens = view.lengths.astype(np.int64)
+    dpad = np.concatenate([view.data, np.zeros(8, dtype=np.uint8)])
+    win = np.arange(MAX_SYMBOL_LEN, dtype=np.int64)
+    w = np.ascontiguousarray(
+        dpad[view.offsets[:-1][:, None] + win]).view("<u8").ravel()
+    with np.errstate(over="ignore"):
+        mask = np.where(lens >= 8, np.uint64(0xFFFFFFFFFFFFFFFF),
+                        (np.uint64(1) << (np.uint64(8) * lens.astype(np.uint64)))
+                        - np.uint64(1))
+    return w & mask, lens
+
+
+def _unique_gains(keys: np.ndarray, lens: np.ndarray) -> tuple:
+    """(unique key, unique len, count*len) over (key, len) pairs."""
+    order = np.lexsort((keys, lens))
+    k, ln = keys[order], lens[order]
+    new = np.ones(len(k), dtype=bool)
+    new[1:] = (k[1:] != k[:-1]) | (ln[1:] != ln[:-1])
+    starts = np.flatnonzero(new)
+    counts = np.diff(np.concatenate((starts, [len(k)])))
+    return k[starts], ln[starts], counts * ln[starts]
+
+
 def train(values) -> list[bytes]:
     """Build a deterministic symbol table from a sample of the input.
 
     Each iteration greedily tokenizes the sample with the current table
     (vectorized frontier rounds, same matcher as encode) and counts token
     and adjacent-pair occurrences; gains = count * len, ranked
-    (gain desc, bytes asc)."""
+    (gain desc, bytes asc). Counting/ranking is pure numpy over u64 token
+    keys (tokens and pairs are <= 8 bytes, so a pair key is
+    ``left | right << 8*len(left)`` — no byte materialization); the ranked
+    table is byte-identical to the original dict/sorted implementation
+    (bytes-asc order == big-endian zero-padded key, then length)."""
     sample: list[bytes] = []
     budget = SAMPLE_BYTES
     for v in values:
@@ -59,59 +88,37 @@ def train(values) -> list[bytes]:
     symbols: list[bytes] = []
     for _ in range(TRAIN_ITERATIONS):
         tokens, sids = _tokenize(view, _lookup_arrays(symbols))
-        sym_count = _count_values(tokens)
-        pair_count = _count_values(_adjacent_pairs(tokens, sids))
-        gains: dict[bytes, int] = {}
-        for sym, cnt in sym_count.items():
-            gains[sym] = max(gains.get(sym, 0), cnt * len(sym))
-        for sym, cnt in pair_count.items():
-            gains[sym] = max(gains.get(sym, 0), cnt * len(sym))
-        ranked = sorted(gains.items(), key=lambda kv: (-kv[1], kv[0]))
-        symbols = [sym for sym, _ in ranked[:MAX_SYMBOLS]]
+        tkeys, tlens = _token_keys(tokens)
+        # adjacent same-string pairs, length-capped — arithmetic only
+        ok = (sids[1:] == sids[:-1]) & (tlens[:-1] + tlens[1:]
+                                        <= MAX_SYMBOL_LEN)
+        with np.errstate(over="ignore"):
+            pkeys = tkeys[:-1][ok] | (
+                tkeys[1:][ok] << (np.uint64(8)
+                                  * tlens[:-1][ok].astype(np.uint64)))
+        plens = (tlens[:-1] + tlens[1:])[ok]
+        uk1, ul1, g1 = _unique_gains(tkeys, tlens)
+        uk2, ul2, g2 = _unique_gains(pkeys, plens) if len(pkeys) else \
+            (np.zeros(0, np.uint64), np.zeros(0, np.int64),
+             np.zeros(0, np.int64))
+        # max-merge the two gain sets on (key, len)
+        ak = np.concatenate((uk1, uk2))
+        al = np.concatenate((ul1, ul2))
+        ag = np.concatenate((g1, g2))
+        order = np.lexsort((ak, al))
+        ak, al, ag = ak[order], al[order], ag[order]
+        new = np.ones(len(ak), dtype=bool)
+        new[1:] = (ak[1:] != ak[:-1]) | (al[1:] != al[:-1])
+        gid = np.cumsum(new) - 1
+        gmax = np.zeros(int(gid[-1]) + 1 if len(gid) else 0, dtype=np.int64)
+        np.maximum.at(gmax, gid, ag)
+        ak, al = ak[new], al[new]
+        # rank by (gain desc, bytes asc): bytes-asc == big-endian
+        # zero-padded key asc, then length asc ("a" < "a\\x00")
+        be = ak.byteswap() if ak.dtype.byteorder != ">" else ak
+        top = np.lexsort((al, be, -gmax))[:MAX_SYMBOLS]
+        symbols = [int(ak[i]).to_bytes(8, "little")[: al[i]] for i in top]
     return symbols
-
-
-def _count_values(view: ba.ByteArrayView) -> dict[bytes, int]:
-    """value -> count over a byte-array view (Arrow C hash table)."""
-    import pyarrow.compute as pc
-
-    if len(view) == 0:
-        return {}
-    vc = pc.value_counts(ba.to_arrow(view))
-    return {v.as_py(): c.as_py()
-            for v, c in zip(vc.field("values"), vc.field("counts"))}
-
-
-def _adjacent_pairs(tokens: ba.ByteArrayView,
-                    sids: np.ndarray) -> ba.ByteArrayView:
-    """Concatenations of adjacent same-string token pairs, length-capped at
-    MAX_SYMBOL_LEN — the trainer's pair candidates."""
-    n = len(tokens)
-    if n < 2:
-        return ba.from_list([])
-    lens = tokens.lengths
-    pair_len = lens[:-1] + lens[1:]
-    ok = (sids[1:] == sids[:-1]) & (pair_len <= MAX_SYMBOL_LEN)
-    idx = np.flatnonzero(ok)
-    if not len(idx):
-        return ba.from_list([])
-    left = ba.take(tokens, idx)
-    right = ba.take(tokens, idx + 1)
-    # interleave left[i]+right[i]: offsets of the pair view
-    out_lens = left.lengths + right.lengths
-    offsets = np.zeros(len(idx) + 1, dtype=np.int64)
-    np.cumsum(out_lens, out=offsets[1:])
-    data = np.empty(int(offsets[-1]), dtype=np.uint8)
-    # left halves then right halves, scattered into their pair slots
-    ldst = np.repeat(offsets[:-1], left.lengths) + \
-        (np.arange(left.total_bytes, dtype=np.int64)
-         - np.repeat(left.offsets[:-1], left.lengths))
-    data[ldst] = left.data
-    rdst = np.repeat(offsets[:-1] + left.lengths, right.lengths) + \
-        (np.arange(right.total_bytes, dtype=np.int64)
-         - np.repeat(right.offsets[:-1], right.lengths))
-    data[rdst] = right.data
-    return ba.ByteArrayView(data, offsets)
 
 
 def _tokenize(view: ba.ByteArrayView, lookup):
