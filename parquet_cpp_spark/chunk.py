@@ -224,6 +224,13 @@ def compute_stats(values, phys: str) -> ChunkStats:
     arr = np.asarray(values)
     if arr.size == 0:
         return ChunkStats(None, None, 0)
+    if arr.dtype.kind == "f":
+        # the reference's NaN rule (statistics-test.cc NaN cases): NaN is
+        # not a value for ordering — min/max skip NaNs, and an all-NaN
+        # chunk carries no min/max rather than a poisoned one
+        if np.isnan(arr).all():
+            return ChunkStats(None, None, 0)
+        return ChunkStats(str(np.nanmin(arr)), str(np.nanmax(arr)), 0)
     return ChunkStats(str(arr.min()), str(arr.max()), 0)
 
 

@@ -218,3 +218,18 @@ def test_fsst_trailing_escape_raises():
                + bytes([fsst.ESCAPE]))
     with pytest.raises(ValueError, match="escape at end"):
         fsst.decode_view(corrupt)
+
+
+def test_float_stats_skip_nan():
+    """NaN never poisons min/max (reference statistics-test NaN cases);
+    all-NaN chunks carry no stats."""
+    import numpy as np
+    f = np.array([1.0, np.nan, -3.0, 2.0], dtype=np.float64)
+    enc = chunkmod.encode_chunk(f, "double", chunkmod.PLAIN)
+    assert enc.stats.min_val == "-3.0" and enc.stats.max_val == "2.0"
+    dec = chunkmod.decode_chunk(memoryview(enc.blob))
+    got = np.asarray(dec.values)
+    assert np.isnan(got[1]) and got[0] == 1.0   # NaN round-trips as a value
+    allnan = np.full(5, np.nan, dtype=np.float32)
+    enc2 = chunkmod.encode_chunk(allnan, "float", chunkmod.PLAIN)
+    assert enc2.stats.min_val is None and enc2.stats.max_val is None
