@@ -26,7 +26,8 @@ sys.path.insert(0, REPO)
 
 ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "2000000"))
 SEED = 42
-LEVELS = (1, 8, 32)
+# 4 is the headline N->4N pair's high leg; 8/32 show the DRAM ceiling
+LEVELS = (1, 4, 8, 32)
 
 
 def _input_path() -> str:
@@ -74,6 +75,8 @@ def main() -> None:
             "memcpy_per_task_s": round(float(np.mean(mem)), 3),
         }
     lv = out["levels"]
+    out["per_task_flatness_1_to_4"] = round(
+        lv["1"]["encode_per_task_s"] / lv["4"]["encode_per_task_s"], 3)
     out["per_task_flatness_1_to_32"] = round(
         lv["1"]["encode_per_task_s"] / lv["32"]["encode_per_task_s"], 3)
     out["memcpy_slowdown_1_to_32"] = round(
