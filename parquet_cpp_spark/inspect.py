@@ -30,6 +30,8 @@ def cmd_meta(path: str) -> None:
     tbl = _load(path)
     cols = ["part_id", "col", "codec", "n_rows", "n_values", "raw_bytes",
             "enc_bytes", "min_val", "max_val"]
+    if "distinct_count" in tbl.column_names:
+        cols.append("distinct_count")
     data = {c: tbl.column(c).to_pylist() for c in cols}
     hdr = (f"{'part_id':>20} {'col':<8} {'codec':<22} {'n_rows':>9} "
            f"{'n_values':>11} {'raw':>12} {'enc':>12} {'ratio':>6}  min..max")
@@ -41,7 +43,10 @@ def cmd_meta(path: str) -> None:
         print(f"{data['part_id'][i]:>20} {data['col'][i]:<8} "
               f"{data['codec'][i]:<22} {data['n_rows'][i]:>9} "
               f"{data['n_values'][i]:>11} {raw:>12} {enc:>12} {ratio:>6.3f}  "
-              f"{data['min_val'][i]}..{data['max_val'][i]}")
+              f"{data['min_val'][i]}..{data['max_val'][i]}"
+              + (f" ndv={data['distinct_count'][i]}"
+                 if data.get("distinct_count") and
+                 data['distinct_count'][i] is not None else ""))
     total_raw = sum(data["raw_bytes"])
     total_enc = sum(data["enc_bytes"])
     print(f"\n{tbl.num_rows} chunks; raw={total_raw:,} enc={total_enc:,} "

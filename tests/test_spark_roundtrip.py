@@ -185,3 +185,24 @@ def test_colocated_decode_matches(spark, tmp_path):
     encode_scan_local(src).write.parquet(p)
     dec = decode_chunks_arrow(spark.read.parquet(p), assume_colocated=True)
     assert _collect_sorted(dec) == _collect_sorted(src)
+
+
+def test_written_part_ids_nonnumeric_fallback(spark, tmp_path):
+    """Resume listing survives non-numeric partition dirs (e.g.
+    __HIVE_DEFAULT_PARTITION__) by falling back to a Spark read instead of
+    crashing on int()."""
+    from parquet_cpp_spark.plans.encode_job import _written_part_ids
+
+    chunks = tmp_path / "chunks"
+    (chunks / "part_id=3").mkdir(parents=True)
+    df = spark.createDataFrame([(3, "x")], "part_id bigint, col string")
+    df.write.mode("overwrite").partitionBy("part_id").parquet(str(chunks))
+    # sane layout: dir listing path
+    have = _written_part_ids(spark, str(chunks))
+    assert {r.part_id for r in have.collect()} == {3}
+    # poison it with a non-numeric partition dir -> Spark-read fallback
+    (chunks / "part_id=__HIVE_DEFAULT_PARTITION__").mkdir()
+    have2 = _written_part_ids(spark, str(chunks))
+    assert 3 in {r.part_id for r in have2.collect()}
+    # absent dataset -> None
+    assert _written_part_ids(spark, str(tmp_path / "nope")) is None
