@@ -206,3 +206,30 @@ def test_written_part_ids_nonnumeric_fallback(spark, tmp_path):
     assert 3 in {r.part_id for r in have2.collect()}
     # absent dataset -> None
     assert _written_part_ids(spark, str(tmp_path / "nope")) is None
+
+
+def test_chunk_sink_direct(spark, tmp_path):
+    """Direct sink: encode tasks write chunk files worker-side; only
+    manifest rows (no blob) cross the JVM; decode_parquet_direct reads the
+    files back bit-identically."""
+    from pyspark.sql import functions as F
+
+    from parquet_cpp_spark.operators.decode_arrow import decode_parquet_direct
+    from parquet_cpp_spark.sources.chunk_sink import encode_parquet_direct_sink
+    from parquet_cpp_spark.sources.tokens import synthesize_tokens_parquet
+
+    src_path = synthesize_tokens_parquet(
+        str(tmp_path / "tok.parquet"), 2000, 7, row_group_size=500)
+    out = str(tmp_path / "chunks")
+    man = encode_parquet_direct_sink(spark, src_path, out)
+    assert "blob" not in man.columns and "file" in man.columns
+    rows = man.collect()
+    assert rows and all(r.checksum for r in rows)
+
+    def csum(df):
+        h = F.xxhash64("doc_id", "tokens", "n_tok", "source") \
+            .cast("decimal(38,0)")
+        return df.agg(F.sum(h).alias("s"), F.count("*").alias("n")).collect()[0]
+    a = csum(spark.read.parquet(src_path))
+    b = csum(decode_parquet_direct(spark, out).drop("part_id"))
+    assert a.s == b.s and a.n == b.n
