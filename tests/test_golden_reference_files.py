@@ -149,3 +149,43 @@ def test_bloom_filter_bin_cross_compat():
     mine = bloom.BlockSplitBloomFilter(1024)
     mine.insert_bytes(words)
     assert mine.words.tobytes() == bf.words.tobytes()
+
+
+def test_parquet_format_reader_corrupt_inputs(tmp_path):
+    """file-deserialize-test.cc categories pointed at the thrift/page
+    reader: bad magic, truncated footer, garbage metadata all raise —
+    never fabricate values or hang."""
+    good = open(os.path.join(DATA, "alltypes_plain.parquet"), "rb").read()
+
+    with pytest.raises(Exception):
+        pfmt.read_footer(memoryview(b"JUNK" + good[4:]))
+    with pytest.raises(Exception):
+        pfmt.read_footer(memoryview(good[:-4] + b"XXXX"))
+    # truncated to half: footer length points past the buffer or thrift
+    # runs off the end
+    with pytest.raises(Exception):
+        pfmt.read_footer(memoryview(good[: len(good) // 2]))
+    # metadata length inflated
+    bad = bytearray(good)
+    bad[-8:-4] = (len(good) * 2).to_bytes(4, "little")
+    with pytest.raises(Exception):
+        pfmt.read_footer(memoryview(bytes(bad)))
+    # flip a byte inside the thrift metadata region
+    meta_len = int.from_bytes(good[-8:-4], "little")
+    bad2 = bytearray(good)
+    bad2[len(good) - 8 - meta_len + 3] ^= 0xFF
+    try:
+        meta = pfmt.read_footer(memoryview(bytes(bad2)))
+        # if the flip landed somewhere survivable, reading columns must
+        # still either succeed or raise - never loop forever (bounded by
+        # num_values/total_compressed_size)
+        mv = memoryview(bytes(bad2))
+        for rg in meta.row_groups:
+            for ch in rg:
+                try:
+                    pfmt.read_column(mv, {lf.name: lf for lf in
+                                          meta.leaves}[ch.path], ch)
+                except Exception:
+                    pass
+    except Exception:
+        pass
