@@ -140,6 +140,8 @@ def main() -> None:
     t_rounds: list[dict[int, float]] = []
     t_level: dict[int, float] = {}
     totals = None
+    window_probes: list[float] = []
+    from multiprocessing import Pool as _Pool
     for _round in range(SCALING_ROUNDS):
         t_rounds.append({})
         # alternate leg order per round: host contention drifts
@@ -153,6 +155,15 @@ def main() -> None:
             t_rounds[-1][cpus], totals = _encode_direct_run(spark, path,
                                                             reps=1)
             spark.stop()
+        # per-window contention tag (RECORDED, never used for selection):
+        # 4-proc/1-proc memcpy ratio — a throttled neighbor window reads
+        # 5-25x, a clean one ~1-2x; lets the artifact show which windows
+        # the median integrated over
+        with _Pool(1) as p:
+            w1 = min(p.map(_memcpy_task, [0]))
+        with _Pool(4) as p:
+            w4 = sum(p.map(_memcpy_task, range(4))) / 4.0
+        window_probes.append(round(w4 / w1, 2))
     for cpus in (1, 4):
         t_level[cpus] = min(r[cpus] for r in t_rounds)
         queries[f"encode_local{cpus}"] = round(t_level[cpus], 3)
@@ -313,6 +324,7 @@ def main() -> None:
         "scaling_headline_best_window": round(headline_best, 3),
         "scaling_pairs": pairs,
         "scaling_pair_windows": pairs_windows,
+        "scaling_window_memcpy_ratio": window_probes,
     })
     extras.update({
         "n_tokens": n_tokens,
