@@ -60,7 +60,8 @@ def encode(values: np.ndarray, bit_width: int) -> bytes:
         return bytes(out)
 
     g = a[: n_groups * 8].reshape(n_groups, 8)
-    if bit_width == 1 and a.dtype.itemsize == 1 and n_groups:
+    if (bit_width == 1 and a.dtype.itemsize == 1 and n_groups
+            and a.ctypes.data % 8 == 0):  # u64 view needs 8-byte alignment
         # levels fast path: one group of 8 one-byte 0/1 values IS one u64
         # word — uniform iff the word is all-zeros or all-ones, group value
         # is the low byte. One pass over n bytes instead of an (n/8, 8)
