@@ -272,3 +272,26 @@ def test_ba_view_primitives():
     e = ba.from_list([])
     assert len(e) == 0 and ba.to_list(e) == []
     assert ba.take(e, np.array([], dtype=np.int64)) == []
+
+
+def test_delta_narrow_lane_edges():
+    """Narrow int32-lane delta paths: uint32 small-span, int16, unaligned
+    inputs, and the exact 2^31-1 span boundary all match the wide path
+    byte-for-byte."""
+    import numpy as np
+
+    from parquet_cpp_spark.kernels import delta
+
+    cases = [
+        (np.arange(50000, dtype=np.uint32) % 1000),
+        ((np.arange(30000) % 7).astype(np.int16) - 3),
+        np.array([0, 2**31 - 1, 0, 2**31 - 1], dtype=np.int64)
+        .astype(np.int32, copy=False),                # span == 2^31-1 edge
+        np.ones(999, dtype=np.int8)[1:].astype(np.int16),  # from odd slice
+    ]
+    for c in cases:
+        got = delta.encode(c)
+        wide = delta.encode(np.ascontiguousarray(c, dtype=np.int64))
+        assert got == wide
+        dec, _ = delta.decode(got, out_dtype=np.int64)
+        assert np.array_equal(np.asarray(dec, dtype=c.dtype), c)
