@@ -108,8 +108,18 @@ def neardup_jaccard(docs: DataFrame, text_col: str = "text",
     are compared (per-key join fan-out is bounded by cap^2 rows — the
     property that keeps the plan alive on skewed corpora), then the exact
     word-set Jaccard (integer percentage, floor) filters them.
-    Returns (a_id, b_id, jaccard_pct). Dropped hot buckets are enumerable
-    via :func:`neardup_jaccard_dropped_buckets` — no silent truncation."""
+
+    RECALL CONTRACT (changed in round 4, when ``bucket_cap`` gained its
+    default of 32): pairs whose ONLY shared band bucket holds more than
+    ``bucket_cap`` docs are NOT returned — and those hot buckets are
+    precisely the near-duplicate-dense clusters. Callers must pair this
+    query with :func:`neardup_jaccard_dropped_buckets` (same cap rule) and
+    either re-shingle, add bands, or exact-compare the enumerated buckets
+    out of band. Pass ``bucket_cap=None`` for the uncapped pre-round-4
+    behavior (full recall, unbounded per-key fan-out — test scales only).
+    Returns (a_id, b_id, jaccard_pct)."""
+    if bucket_cap is None:
+        bucket_cap = 1 << 62  # uncapped: every >=2-doc bucket generates pairs
     sigs = minhash_signatures(docs, text_col, id_col, seeds)
     words = docs.select(
         F.col(id_col),
@@ -149,6 +159,8 @@ def neardup_jaccard_dropped_buckets(docs: DataFrame, text_col: str = "text",
     cap rule SKIPPED, as (band, bi, bj, n_docs) — truncation is enumerable,
     not silent. At scale this is the skew report a pipeline operator reads
     before deciding to add bands or re-shingle."""
+    if bucket_cap is None:
+        bucket_cap = 1 << 62  # mirror neardup_jaccard: uncapped drops nothing
     sigs = minhash_signatures(docs, text_col, id_col, seeds)
     out = None
     for band_no, (i, j) in enumerate(bands):

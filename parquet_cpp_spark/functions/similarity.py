@@ -166,20 +166,70 @@ def _int_bucket(qe: str, planes: np.ndarray):
     return bucket
 
 
+# Cosine-LSH buckets larger than this generate NO pairs (the
+# neardup_jaccard cap pattern, functions/dedup.py): a hot bucket otherwise
+# yields O(bucket^2) candidate pairs inside one join key — the quadratic
+# blowup that kills the job at 100 TB. Skipped buckets are enumerable via
+# neardup_cosine_dropped_buckets — truncation is auditable, never silent.
+DEFAULT_COSINE_BUCKET_CAP = 64
+# auto_n_planes targets this many vectors per bucket, so bucket count grows
+# with the corpus (2^n_planes ~= n/target) instead of staying constant —
+# constant buckets make the capped-out fraction (or, uncapped, the join
+# cost) grow linearly with corpus size.
+TARGET_BUCKET_SIZE = 32
+
+
+def auto_n_planes(n_rows: int, target_bucket_size: int = TARGET_BUCKET_SIZE,
+                  lo: int = 4, hi: int = 24) -> int:
+    """Corpus-scaled hyperplane count: ceil(log2(n/target)), clamped.
+    Deterministic in n_rows, so a SQL oracle built from the table's row
+    count bakes in the identical plane set."""
+    import math
+    if n_rows <= target_bucket_size * (1 << lo):
+        return lo
+    return min(hi, math.ceil(math.log2(n_rows / target_bucket_size)))
+
+
+def _resolve_n_planes(emb: DataFrame, n_planes: "int | None") -> int:
+    if n_planes is not None:
+        return n_planes
+    # at scale this is a parquet metadata-only count, not a data scan
+    return auto_n_planes(emb.count())
+
+
 def neardup_cosine_lsh(emb: DataFrame, tau_sq_x10000: int = 900,
-                       n_planes: int = 4, dim: int = 64,
-                       seed: int = 7) -> DataFrame:
+                       n_planes: "int | None" = None, dim: int = 64,
+                       seed: int = 7,
+                       bucket_cap: "int | None" = DEFAULT_COSINE_BUCKET_CAP
+                       ) -> DataFrame:
     """Scale path: only pairs sharing an LSH bucket are scored (bucket join
     instead of cross join). Buckets use integer-quantized hyperplanes and
     the rescoring predicate is exact integer arithmetic, so the whole query
-    has a SQL oracle despite being an approximate (recall < 1) operator."""
+    has a SQL oracle despite being an approximate (recall < 1) operator.
+
+    ``n_planes=None`` (default) scales the plane count with the corpus
+    (:func:`auto_n_planes`): bucket count ~= n/TARGET_BUCKET_SIZE, so the
+    join stays ~O(n * target) instead of O(n^2 / constant).
+
+    RECALL CONTRACT: buckets holding more than ``bucket_cap`` vectors
+    generate no pairs (per-key join fan-out bounded by cap^2). The skipped
+    buckets are enumerable via :func:`neardup_cosine_dropped_buckets`
+    (same cap rule) — run it alongside and re-bucket or exact-compare the
+    hot clusters out of band. ``bucket_cap=None`` uncaps (test scales)."""
+    n_planes = _resolve_n_planes(emb, n_planes)
+    if bucket_cap is None:
+        bucket_cap = 1 << 62  # uncapped: every >=2-vec bucket generates pairs
     planes = quantized_planes(dim, n_planes, seed)
     qcol = F.transform(F.col("embedding"), lambda x: F.floor(
         x.cast("double") * NEARDUP_SCALE + F.lit(0.5)).cast("long"))
     b = emb.select("vec_id", qcol.alias("qe")) \
         .withColumn("bucket", _int_bucket("qe", planes))
-    left = b.select(F.col("vec_id").alias("a_id"),
-                    F.col("bucket").alias("ab"), F.col("qe").alias("qa"))
+    ok = (b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vecs"))
+          .filter((F.col("n_vecs") >= 2) & (F.col("n_vecs") <= bucket_cap))
+          .select("bucket"))
+    left = b.join(ok, "bucket") \
+        .select(F.col("vec_id").alias("a_id"),
+                F.col("bucket").alias("ab"), F.col("qe").alias("qa"))
     right = b.select(F.col("vec_id").alias("b_id"),
                      F.col("bucket").alias("bb"), F.col("qe").alias("qb"))
     pairs = left.join(right, (F.col("ab") == F.col("bb")) &
@@ -198,6 +248,28 @@ def neardup_cosine_lsh(emb: DataFrame, tau_sq_x10000: int = 900,
             .select("a_id", "b_id"))
 
 
+def neardup_cosine_dropped_buckets(
+        emb: DataFrame, n_planes: "int | None" = None, dim: int = 64,
+        seed: int = 7,
+        bucket_cap: "int | None" = DEFAULT_COSINE_BUCKET_CAP) -> DataFrame:
+    """Audit companion to :func:`neardup_cosine_lsh`: every LSH bucket the
+    cap rule SKIPPED, as (bucket, n_vecs) — the skew report an operator
+    reads before deciding to add planes or exact-compare a hot cluster.
+    Same plane/cap resolution as the main query, so the two enumerate a
+    partition of the candidate space (scored buckets + dropped buckets)."""
+    n_planes = _resolve_n_planes(emb, n_planes)
+    if bucket_cap is None:
+        bucket_cap = 1 << 62
+    planes = quantized_planes(dim, n_planes, seed)
+    qcol = F.transform(F.col("embedding"), lambda x: F.floor(
+        x.cast("double") * NEARDUP_SCALE + F.lit(0.5)).cast("long"))
+    b = emb.select("vec_id", qcol.alias("qe")) \
+        .withColumn("bucket", _int_bucket("qe", planes))
+    return (b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vecs"))
+            .filter(F.col("n_vecs") > bucket_cap)
+            .select("bucket", "n_vecs"))
+
+
 def quantized_planes(dim: int = 64, n_planes: int = 6,
                      seed: int = 7) -> np.ndarray:
     """Integer-quantized hyperplanes (floor(x*1000+0.5)): both the Spark
@@ -208,7 +280,8 @@ def quantized_planes(dim: int = 64, n_planes: int = 6,
 
 
 def topk_inner_product_lsh(emb: DataFrame, probe_ids: list[int],
-                           k: int = 10, n_planes: int = 6, dim: int = 64,
+                           k: int = 10, n_planes: "int | None" = 6,
+                           dim: int = 64,
                            seed: int = 7, nprobe: int = 1) -> DataFrame:
     """LSH-pruned exact-integer MIPS: candidates share the probe's
     sign-bit bucket over integer-quantized hyperplanes; rescoring is the
@@ -220,7 +293,12 @@ def topk_inner_product_lsh(emb: DataFrame, probe_ids: list[int],
     the buckets reached by flipping its (nprobe-1) weakest sign bits (the
     planes with the smallest |dot|, ties to the lowest plane index) — the
     classic recall lift at the same plan shape (one broadcast bucket join);
-    the probe side fans out nprobe-fold, the corpus side is unchanged."""
+    the probe side fans out nprobe-fold, the corpus side is unchanged.
+
+    ``n_planes=None`` scales planes with the corpus (auto_n_planes) so the
+    per-probe candidate set stays ~TARGET_BUCKET_SIZE as the corpus grows;
+    the pinned default of 6 keeps the driver oracle's plane set static."""
+    n_planes = _resolve_n_planes(emb, n_planes)
     planes = quantized_planes(dim, n_planes, seed)
     q = emb.select("vec_id", _quantize(F.col("embedding")).alias("qe"))
     b = q.withColumn("bucket", _int_bucket("qe", planes))
@@ -388,11 +466,13 @@ def topk_cosine_ivf(emb: DataFrame, probe_ids: list[int], k: int = 10,
 
 
 def topk_cosine_lsh(emb: DataFrame, probe_ids: list[int], k: int = 10,
-                    n_planes: int = 6, dim: int = 64,
+                    n_planes: "int | None" = 6, dim: int = 64,
                     seed: int = 7) -> DataFrame:
     """Scale path: candidates share the probe's LSH bucket (integer
     sign-bit planes); rescoring is the exact integer cosine-ppm score, so
-    the bucket join + rescoring pipeline has a full SQL oracle."""
+    the bucket join + rescoring pipeline has a full SQL oracle.
+    ``n_planes=None`` scales planes with the corpus (auto_n_planes)."""
+    n_planes = _resolve_n_planes(emb, n_planes)
     planes = quantized_planes(dim, n_planes, seed)
     qcol = F.transform(F.col("embedding"), lambda x: F.floor(
         x.cast("double") * NEARDUP_SCALE + F.lit(0.5)).cast("long"))

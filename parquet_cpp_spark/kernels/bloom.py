@@ -182,6 +182,16 @@ class BlockSplitBloomFilter:
                                           dtype=np.uint64))
 
     # serialization: [u32 num_bytes][u32 hash=0 murmur3][u32 alg=0 block]
+    # — the parquet-format bloom header layout, pinned bit-for-bit by the
+    # golden test that deserializes the reference's own
+    # /root/reference/data/bloom_filter.bin, so the hash/alg ids CANNOT be
+    # repurposed as a private version. The round-4 seed/block-index change
+    # aligned this implementation TO that reference file; the same
+    # no-shipped-blobs rationale as chunk.VERSION applies (no deployment
+    # persisted pre-alignment blobs — every fixture/golden was regenerated
+    # in the same commit). If hashing semantics ever diverge from the
+    # parquet-format spec again AFTER blobs have shipped, wrap the blob in
+    # a versioned envelope instead of mutating this header.
     def serialize(self) -> bytes:
         bitset = self.words.tobytes()
         return (len(bitset).to_bytes(4, "little")

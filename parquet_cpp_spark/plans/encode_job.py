@@ -56,11 +56,24 @@ def _written_part_ids(spark, chunks_path: str) -> "DataFrame | None":
         if have_ids is not None:
             return spark.createDataFrame([(p,) for p in have_ids],
                                          "part_id bigint")
+    from pyspark.errors import AnalysisException
     try:
         return (spark.read.parquet(chunks_path)
                 .select("part_id").distinct())
-    except Exception:
-        return None  # dataset absent
+    except AnalysisException as exc:
+        # ONLY dataset-absent disengages the orphan guard. Any other read
+        # failure (transient remote-FS error, permission, corrupt footer)
+        # must abort the job: treating it as "absent" would re-encode and
+        # re-APPEND crash-window partitions whose chunks already landed —
+        # duplicated chunk rows, the exact corruption the guard prevents.
+        cls = ""
+        try:
+            cls = exc.getErrorClass() or ""
+        except Exception:
+            pass
+        if "PATH_NOT_FOUND" in cls or "Path does not exist" in str(exc):
+            return None  # dataset absent
+        raise
 
 
 def plan_num_parts(total_rows: int, avg_tokens_per_row: float = 256.0,

@@ -56,6 +56,8 @@ def encode_parquet_direct_sink(spark, path: str, out_dir: str,
                                      dict_size_limit, props)
 
     def task(batches):
+        import hashlib
+
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -63,11 +65,20 @@ def encode_parquet_direct_sink(spark, path: str, out_dir: str,
             files = batch.column("file").to_pylist()
             rgs = batch.column("rg").to_pylist()
             for f, rg in zip(files, rgs):
+                # the filename carries BOTH the content-derived part_id and
+                # a source tag (file, rg): retries of the same split still
+                # overwrite with identical bytes (idempotent), but two
+                # DISTINCT row groups that happen to share a part_id
+                # (duplicate first doc_id + equal row count) can no longer
+                # silently shadow each other's chunk file
+                src_tag = hashlib.sha256(
+                    f"{f}#{rg}".encode()).hexdigest()[:12]
                 tbl = pq.ParquetFile(f).read_row_group(rg,
                                                        use_threads=False)
                 for chunk_batch in encode_fn(tbl.to_batches()):
                     pid = chunk_batch.column("part_id")[0].as_py()
-                    dest = os.path.join(out_dir, f"part-{pid:020d}.parquet")
+                    dest = os.path.join(
+                        out_dir, f"part-{pid:020d}-{src_tag}.parquet")
                     tmp = dest + ".inprogress"
                     pq.write_table(pa.Table.from_batches([chunk_batch]),
                                    tmp, compression="zstd")

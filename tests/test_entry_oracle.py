@@ -58,10 +58,10 @@ def test_every_query_has_callable_signature():
     # every oracle-less query is flagged intentionally: engine
     # introspection (no SQL analog) and multimodal decode (SQL cannot
     # parse PPM/WAV). Exact equality so a new query silently missing its
-    # oracle fails here.
+    # oracle fails here. (compression_manifest gained a full oracle in
+    # round 5: raw_bytes recomputed from first principles.)
     no_oracle = set(q) - set(o)
-    assert no_oracle == {"codec_selection", "compression_manifest",
-                         "media_features"}
+    assert no_oracle == {"codec_selection", "media_features"}
 
 
 @pytest.mark.parametrize("name", sorted(entry_mod.oracle_sql().keys()))

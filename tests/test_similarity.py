@@ -126,3 +126,53 @@ def test_cosine_overflow_guard(spark):
         big, "vec_id bigint, embedding array<float>, label string")
     with pytest.raises(Exception, match="quantized norm too large"):
         similarity.topk_cosine(emb, [0], k=2).collect()
+
+
+def test_neardup_cosine_bucket_cap_bounds_fanout(spark):
+    """The cap rule's scale contract: a hot LSH bucket (a dense
+    near-duplicate cluster) generates ZERO pairs when it exceeds
+    bucket_cap, every skipped bucket appears in the dropped audit, and
+    scored + dropped buckets partition the candidate space (no pair lost
+    silently). Per-key join fan-out is thereby bounded by cap^2."""
+    import numpy as np
+    rng = np.random.default_rng(9)
+    base = rng.standard_normal(64)
+    base /= np.linalg.norm(base)
+    rows = []
+    # hot cluster: 60 near-identical vectors -> one bucket (noise 0.002 is
+    # far below every |plane . base|, so no sign bit flips)
+    for i in range(60):
+        v = base + rng.standard_normal(64) * 0.002
+        v /= np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v], "hot"))
+    # background: 30 spread vectors
+    for i in range(60, 90):
+        v = rng.standard_normal(64)
+        v /= np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v], "bg"))
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label string")
+
+    capped = similarity.neardup_cosine_lsh(
+        emb, n_planes=4, bucket_cap=32).collect()
+    dropped = similarity.neardup_cosine_dropped_buckets(
+        emb, n_planes=4, bucket_cap=32).collect()
+    uncapped = similarity.neardup_cosine_lsh(
+        emb, n_planes=4, bucket_cap=None).collect()
+
+    # the 60-vector hot bucket must be dropped, and with it the near-dup
+    # pairs it contained; audit enumerates it with its true size
+    assert any(r.n_vecs >= 60 for r in dropped), dropped
+    hot_pairs = {(r.a_id, r.b_id) for r in uncapped
+                 if r.a_id < 60 and r.b_id < 60}
+    assert len(hot_pairs) > 100  # the quadratic mass the cap removed
+    capped_pairs = {(r.a_id, r.b_id) for r in capped}
+    assert not (capped_pairs & hot_pairs)
+    # pairs outside dropped buckets are untouched (no silent loss)
+    assert capped_pairs <= {(r.a_id, r.b_id) for r in uncapped}
+
+    # corpus-scaled planes: bucket count grows with n, never shrinks
+    assert similarity.auto_n_planes(500) == 4
+    assert similarity.auto_n_planes(10_000_000) > \
+        similarity.auto_n_planes(100_000) > similarity.auto_n_planes(500)
+    assert similarity.auto_n_planes(10**12) <= 24
