@@ -155,6 +155,29 @@ def _ann_cosine_lsh_oracle_sql(probe_ids=(0, 1, 2), k: int = 5,
     """
 
 
+def _media_fixture_path() -> str:
+    """Deterministic media fixture (payloads + ground-truth features),
+    synthesized once under the repo's data dir; both the Spark query and
+    the DuckDB oracle read this same file."""
+    from parquet_cpp_spark.functions import multimodal
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "data", "media_96_42.parquet")
+    return multimodal.synthesize_media_parquet(path, n_rows=96, seed=42)
+
+
+def _media_features_oracle_sql() -> str:
+    """The media oracle compares against the persisted ground truth: every
+    row must decode (decode_ok) to exactly the stored features
+    (feats_match), with the stored dimension."""
+    return f"""
+        SELECT media_id, kind,
+               CAST(expected_feat_dim AS INTEGER) AS feat_dim,
+               TRUE AS decode_ok, TRUE AS feats_match
+        FROM read_parquet('{_media_fixture_path()}')
+        ORDER BY media_id
+    """
+
+
 def _emb_auto_n_planes(sf_dir: str = "/root/testdata/sf0.01") -> int:
     """The SAME corpus-scaled plane count the Spark path resolves from
     emb.count(), computed from the parquet row-count metadata (auto_n_planes
@@ -922,14 +945,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- multimodal: real pure-numpy decode (PPM/WAV/concat-PPM video) ---
     def media_features(spark: SparkSession, sf: str) -> DataFrame:
-        """Feature extraction over synthesized real media payloads (binary
-        column + typed metadata; byte-capped mapInPandas batches). No SQL
-        oracle — PPM/WAV parsing is not expressible in SQL — but decode_ok
-        must be TRUE for every row (real decoders, not stubs)."""
+        """Feature extraction over persisted real media payloads (binary
+        column + typed metadata; byte-capped mapInPandas batches), now
+        FULLY oracle-checked: the synthesizer stored ground-truth features
+        beside each payload (it built the bytes, so it knows them), the
+        query compares decoded-vs-expected with exact float32 equality,
+        and the SQL oracle reads the persisted truth — SQL never parses
+        PPM/WAV, it only compares."""
         from parquet_cpp_spark.functions import multimodal
-        media = multimodal.synthesize_media(spark, 96)
-        return (multimodal.extract_features(media)
-                .select("media_id", "kind", "feat_dim", "decode_ok"))
+        media = spark.read.parquet(_media_fixture_path())
+        feats = multimodal.extract_features(
+            media.select("media_id", "kind", "payload", "width", "height",
+                         "sample_rate", "n_frames"))
+        exp = media.select("media_id",
+                           F.col("expected_features").alias("ef"))
+        return (feats.join(exp, "media_id")
+                .select("media_id", "kind", "feat_dim", "decode_ok",
+                        (F.col("features") == F.col("ef"))
+                        .alias("feats_match"))
+                .orderBy("media_id"))
     q["media_features"] = media_features
 
     # --- dedup / text-analysis / similarity operators ---
@@ -1308,6 +1342,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # LSH scale path oracle (the exact cross-join baseline lives in
         # tests/test_similarity.py, not in the driver set)
+        "media_features": _media_features_oracle_sql(),
         "neardup_cosine": _neardup_cosine_lsh_oracle_sql(),
         "neardup_cosine_dropped": _neardup_cosine_dropped_oracle_sql(
             n_planes=4, bucket_cap=32),

@@ -20,6 +20,7 @@ Layout rules that matter at 100 TB:
 
 from __future__ import annotations
 
+import os
 import struct
 from collections.abc import Iterator
 
@@ -212,6 +213,65 @@ def synthesize_media(spark, n_rows: int = 64, seed: int = 42) -> DataFrame:
         rows.append((f"media-{i:06d}", kind, bytearray(payload),
                      width, height, rate, nf))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def synthesize_media_parquet(path: str, n_rows: int = 96,
+                             seed: int = 42) -> str:
+    """Persist the deterministic media table WITH expected per-row features.
+
+    The synthesizer constructs every payload, so it can also run the same
+    pure-numpy feature extractors at build time and store the ground truth
+    beside the payload (``expected_features``/``expected_feat_dim``). That
+    turns the Spark-side decode into a fully checkable query: the driver
+    compares decoded-vs-expected (exact float32 equality — both sides run
+    identical numpy on identical bytes) and a SQL oracle only has to read
+    the persisted truth, never parse PPM/WAV. Idempotent: an existing file
+    is reused (same seed => same bytes)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.exists(path):
+        return path
+    rng = np.random.default_rng(seed)
+    kinds = ["image", "audio", "video"]
+    rows: list[tuple] = []
+    for i in range(n_rows):
+        kind = kinds[i % 3]
+        if kind == "image":
+            w, h = 8 + (i % 4) * 4, 8
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            payload, width, height, rate, nf = \
+                encode_ppm(img), w, h, None, None
+        elif kind == "audio":
+            rate = 16000
+            samples = rng.integers(-2048, 2048, (640, 1), dtype=np.int16)
+            payload, width, height, nf = \
+                encode_wav(samples, rate), None, None, None
+        else:
+            nf = 2 + i % 3
+            frames = [rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+                      for _ in range(nf)]
+            payload = b"".join(encode_ppm(f) for f in frames)
+            width, height, rate = 8, 8, None
+        exp = _decode_one(kind, payload, strict=True)
+        rows.append((f"media-{i:06d}", kind, payload, width, height, rate,
+                     nf, len(exp), exp.tolist()))
+    cols = list(zip(*rows))
+    schema = pa.schema([
+        ("media_id", pa.string()), ("kind", pa.string()),
+        ("payload", pa.binary()), ("width", pa.int32()),
+        ("height", pa.int32()), ("sample_rate", pa.int32()),
+        ("n_frames", pa.int32()), ("expected_feat_dim", pa.int32()),
+        ("expected_features", pa.list_(pa.float32())),
+    ])
+    tbl = pa.Table.from_arrays(
+        [pa.array(list(c), type=f.type) for c, f in zip(cols, schema)],
+        schema=schema)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".inprogress"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+    return path
 
 
 def _decode_one(kind: str, payload: bytes, strict: bool) -> np.ndarray:

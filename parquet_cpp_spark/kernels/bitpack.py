@@ -79,6 +79,37 @@ def pack_rows(vals: np.ndarray, bit_width: int) -> np.ndarray:
     return acc.view(np.uint8).reshape(k, nwords * 8)[:, : m * w // 8]
 
 
+def pack_rows32(vals: np.ndarray, bit_width: int) -> np.ndarray:
+    """u32-lane variant of :func:`pack_rows` for ``bit_width <= 25``
+    (uint32 rows in, same LSB-first bitstream out — little-endian u32
+    words concatenate to the identical byte sequence as u64 words). Half
+    the accumulator/temp traffic of the u64 lane; on this DRAM-throttled
+    host that is the difference that keeps the pack phase core-bound."""
+    k, m = vals.shape
+    w = bit_width
+    nwords = (m * w + 31) // 32
+    acc = np.zeros((k, nwords), dtype=np.uint32)
+    for i in range(m):
+        bit = i * w
+        wl, sh = bit >> 5, bit & 31
+        acc[:, wl] |= vals[:, i] << np.uint32(sh)
+        if sh + w > 32:
+            acc[:, wl + 1] |= vals[:, i] >> np.uint32(32 - sh)
+    if acc.dtype.byteorder == ">":
+        acc = acc.byteswap()
+    return acc.view(np.uint8).reshape(k, nwords * 4)[:, : m * w // 8]
+
+
+def _rows_u32(values: np.ndarray) -> np.ndarray:
+    """uint32 view/cast for the narrow pack lane (zero-copy for int32)."""
+    v = np.ascontiguousarray(values)
+    if v.dtype == np.int32:
+        return v.view(np.uint32)
+    if v.dtype == np.uint32:
+        return v
+    return v.astype(np.uint32)
+
+
 def pack(values: np.ndarray, bit_width: int) -> bytes:
     """Pack non-negative integers into an LSB-first bitstream.
 
@@ -96,16 +127,21 @@ def pack(values: np.ndarray, bit_width: int) -> bytes:
                            bitorder="little").tobytes()
     if bit_width == 8:
         return np.ascontiguousarray(values, dtype=np.uint8).tobytes()
-    v = np.ascontiguousarray(values).astype(np.uint64, copy=False)
+    if bit_width == 16:
+        return np.ascontiguousarray(values).astype("<u2").tobytes()
+    narrow = bit_width <= 25
+    v = _rows_u32(values) if narrow \
+        else np.ascontiguousarray(values).astype(np.uint64, copy=False)
+    rows = pack_rows32 if narrow else pack_rows
     n8 = (n // 8) * 8
-    head = pack_rows(v[:n8].reshape(-1, 8), bit_width).tobytes() if n8 \
+    head = rows(v[:n8].reshape(-1, 8), bit_width).tobytes() if n8 \
         else b""
     if n == n8:
         return head
-    tailv = np.zeros(8, dtype=np.uint64)
+    tailv = np.zeros(8, dtype=v.dtype)
     tailv[: n - n8] = v[n8:]
     tail_bits = (n - n8) * bit_width
-    tail = pack_rows(tailv.reshape(1, 8), bit_width).tobytes()
+    tail = rows(tailv.reshape(1, 8), bit_width).tobytes()
     return head + tail[: (tail_bits + 7) // 8]
 
 

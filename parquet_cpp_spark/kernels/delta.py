@@ -132,10 +132,18 @@ def encode(values: np.ndarray) -> bytes:
                 # pack as 8-value rows (8w bits stay byte-aligned, so the
                 # bitstream is identical): 4x fewer shift/or passes at 4x
                 # the row count — ~2x less numpy call overhead, measured.
-                # The gather doubles as the uint64 widening the packer needs.
-                rows = bitpack.pack_rows(
-                    minis[ids].reshape(-1, 8).astype(np.uint64, copy=False),
-                    w).reshape(len(ids), 4 * w)
+                # Widths <= 25 ride the u32 packer lane (half the temp
+                # traffic; in narrow mode the gather stays uint32
+                # end-to-end, no widening copy at all).
+                rvals = minis[ids].reshape(-1, 8)
+                if w <= 25:
+                    rows = bitpack.pack_rows32(
+                        rvals.astype(np.uint32, copy=False),
+                        w).reshape(len(ids), 4 * w)
+                else:
+                    rows = bitpack.pack_rows(
+                        rvals.astype(np.uint64, copy=False),
+                        w).reshape(len(ids), 4 * w)
                 dst = byte_off[ids][:, None] + \
                     np.arange(rows.shape[1], dtype=np.int64)
                 stream[dst.reshape(-1)] = rows.reshape(-1)

@@ -457,22 +457,31 @@ def make_grouped_arrow_encode_fn(columns: dict[str, str] | None = None,
                                 props, page_size)
 
     def task(batches):
-        import pyarrow.compute as pc
-
         batch_list = list(batches)
         if not batch_list:
             return
         tbl = pa.Table.from_batches(batch_list)
         if tbl.num_rows == 0:
             return
-        pids = tbl.column("part_id")
-        uniq = np.unique(pids.to_numpy(zero_copy_only=False))
-        for pid in uniq.tolist():
-            sub = tbl.filter(pc.equal(pids, pa.scalar(int(pid),
-                                                      type=pids.type)))
-            if sort_key is not None and sort_key in sub.column_names:
-                sub = sub.sort_by([(sort_key, "ascending")])
-            yield base.encode_part(sub, int(pid), bloom_columns)
+        # ONE sort by (part_id, sort_key), then zero-copy contiguous
+        # slices per partition — the previous per-pid filter + per-pid
+        # sort paid one full-payload copy per partition held by the task
+        # (tasks holding a single partition still paid the filter copy).
+        # Per-partition row order is identical (same key set, same
+        # sort_key order), so blobs stay deterministic across retries.
+        keys = [("part_id", "ascending")]
+        if sort_key is not None and sort_key in tbl.column_names:
+            keys.append((sort_key, "ascending"))
+        pids_np = tbl.column("part_id").to_numpy(zero_copy_only=False)
+        if len(np.unique(pids_np)) > 1 or len(keys) > 1:
+            tbl = tbl.sort_by(keys)
+            pids_np = tbl.column("part_id").to_numpy(zero_copy_only=False)
+        bounds = np.flatnonzero(np.diff(pids_np)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(pids_np)]))
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            yield base.encode_part(tbl.slice(s, e - s), int(pids_np[s]),
+                                   bloom_columns)
 
     return task
 

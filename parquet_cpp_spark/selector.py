@@ -69,8 +69,17 @@ def _estimate_cardinality(sample_card: int, singletons: int, sn: int,
     return min(float(n), sample_card / (1.0 - frac_single))
 
 
-def estimate_int_sizes(values: np.ndarray, phys: str = "int32") -> dict[int, float]:
-    """Estimated encoded bytes per codec for an integer column chunk."""
+def estimate_int_sizes(values: np.ndarray, phys: str = "int32",
+                       known_ndv: "int | None" = None) -> dict[int, float]:
+    """Estimated encoded bytes per codec for an integer column chunk.
+
+    ``known_ndv``: exact per-chunk cardinality when the caller already has
+    it (a re-encode of a column whose manifest recorded
+    ``distinct_counts`` — plans.encode_job). Skips the sampled
+    unique/singleton pass (the expensive part of the estimate) and replaces
+    the Good-Turing guess with the exact value; codec choice is identical
+    whenever the estimate was right, and strictly better informed when it
+    was not."""
     n = len(values)
     itemsize = 4 if phys in ("int32", "uint32", "float") else 8
     if n == 0:
@@ -81,9 +90,13 @@ def estimate_int_sizes(values: np.ndarray, phys: str = "int32") -> dict[int, flo
     w_vals = _window(values, SAMPLE_VALUES)
     wn = len(w_vals)
 
-    uniques, counts = np.unique(s, return_counts=True)
-    card = len(uniques)
-    singletons = int((counts == 1).sum())
+    if known_ndv is None:
+        uniques, counts = np.unique(s, return_counts=True)
+        card = len(uniques)
+        singletons = int((counts == 1).sum())
+        est_card = _estimate_cardinality(card, singletons, sn, n)
+    else:
+        est_card = float(known_ndv)
     mn = int(s.min())
     mx = int(s.max())
     runs = int((np.diff(w_vals) != 0).sum()) + 1
@@ -93,7 +106,6 @@ def estimate_int_sizes(values: np.ndarray, phys: str = "int32") -> dict[int, flo
     est[chunkmod.PLAIN] = float(n * itemsize)
 
     # Dictionary: dict page + bit-packed/RLE indices.
-    est_card = _estimate_cardinality(card, singletons, sn, n)
     bw = max(1, bitpack.width_for_max(int(est_card)))
     idx_bytes = min(n * bw / 8.0 * 1.02,                    # bit-packed groups
                     run_rate * n * (2 + (bw + 7) // 8))     # or mostly RLE runs
@@ -131,8 +143,11 @@ def estimate_int_sizes(values: np.ndarray, phys: str = "int32") -> dict[int, flo
     return est
 
 
-def estimate_bytes_sizes(values: list[bytes]) -> dict[int, float]:
-    """Estimated encoded bytes per codec for a byte-array column chunk."""
+def estimate_bytes_sizes(values: list[bytes],
+                         known_ndv: "int | None" = None) -> dict[int, float]:
+    """Estimated encoded bytes per codec for a byte-array column chunk.
+    ``known_ndv`` as in :func:`estimate_int_sizes` (skips the Counter
+    pass; the dict-page payload is then scaled by exact cardinality)."""
     n = len(values)
     if n == 0:
         return {chunkmod.PLAIN: 0.0}
@@ -149,14 +164,19 @@ def estimate_bytes_sizes(values: list[bytes]) -> dict[int, float]:
     est: dict[int, float] = {}
     est[chunkmod.PLAIN] = total_payload + 4.0 * n
 
-    from collections import Counter
-    cnt = Counter(s)
-    card = len(cnt)
-    singletons = sum(1 for c in cnt.values() if c == 1)
-    est_card = _estimate_cardinality(card, singletons, sn, n)
+    avg_item = float(lens.mean()) + 4.0
+    if known_ndv is None:
+        from collections import Counter
+        cnt = Counter(s)
+        card = len(cnt)
+        singletons = sum(1 for c in cnt.values() if c == 1)
+        est_card = _estimate_cardinality(card, singletons, sn, n)
+        uniq_payload = float(sum(len(v) + 4 for v in cnt)) * \
+            (est_card / max(1, card))
+    else:
+        est_card = float(known_ndv)
+        uniq_payload = est_card * avg_item
     bw = max(1, bitpack.width_for_max(int(est_card)))
-    uniq_payload = float(sum(len(v) + 4 for v in cnt)) * \
-        (est_card / max(1, card))
     est[chunkmod.RLE_DICTIONARY] = uniq_payload + n * bw / 8.0 * 1.02 + 1
 
     est[chunkmod.DELTA_LENGTH_BYTE_ARRAY] = total_payload + 1.1 * n
@@ -203,7 +223,8 @@ def select_bytes_codec(values: list[bytes]) -> int:
 
 
 def candidates(values, phys: str,
-               allow_dictionary: bool = True) -> list[int]:
+               allow_dictionary: bool = True,
+               known_ndv: "int | None" = None) -> list[int]:
     """Codecs worth actually encoding: the estimate winner plus any within
     the runoff factor (closed-form estimates are approximate; the runoff
     on real bytes is the authoritative pick — analog of the reference
@@ -217,10 +238,10 @@ def candidates(values, phys: str,
         return [chunkmod.RLE_DICTIONARY, chunkmod.PLAIN] if allow_dictionary \
             else [chunkmod.PLAIN]
     if phys == "byte_array":
-        est = estimate_bytes_sizes(values)
+        est = estimate_bytes_sizes(values, known_ndv=known_ndv)
         factor, cap = RUNOFF_FACTOR_BYTES, RUNOFF_MAX_BYTES
     else:
-        est = estimate_int_sizes(values, phys)
+        est = estimate_int_sizes(values, phys, known_ndv=known_ndv)
         factor, cap = RUNOFF_FACTOR_INT, RUNOFF_MAX_INT
     if not allow_dictionary:
         est.pop(chunkmod.RLE_DICTIONARY, None)
@@ -253,7 +274,8 @@ def encode_best(values, phys: str, *, row_lengths=None,
                 elem_valid=None,
                 inner_lengths=None,
                 valid_mask=None,
-                data_page_version: int = 1) -> "chunkmod.EncodedChunk":
+                data_page_version: int = 1,
+                known_ndv: "int | None" = None) -> "chunkmod.EncodedChunk":
     """Encode with the selected (or forced) codec. When estimates are close,
     encode the top candidates and keep the actual-smallest; always fall back
     to PLAIN if the pick loses to PLAIN on actual bytes (preserves the
@@ -275,7 +297,7 @@ def encode_best(values, phys: str, *, row_lengths=None,
                                      valid_mask=valid_mask,
                                      data_page_version=data_page_version)
 
-    cands = candidates(values, phys, allow_dictionary)
+    cands = candidates(values, phys, allow_dictionary, known_ndv=known_ndv)
 
     # Byte-array runoff on a contiguous sample: string codecs (FSST
     # training + greedy match) are the expensive ones, so pick the winner on

@@ -233,3 +233,40 @@ def test_float_stats_skip_nan():
     allnan = np.full(5, np.nan, dtype=np.float32)
     enc2 = chunkmod.encode_chunk(allnan, "float", chunkmod.PLAIN)
     assert enc2.stats.min_val is None and enc2.stats.max_val is None
+
+
+def test_selector_known_ndv_skips_sampling_same_choice(monkeypatch):
+    """Manifest distinct_counts feedback (re-encode of a known column):
+    with known_ndv the selector must (a) never run the sampled
+    unique/Counter cardinality pass and (b) pick the same codec and
+    produce the identical blob as the sampled path on every profile."""
+    rng = np.random.default_rng(7)
+    profiles = {
+        "low_card": rng.integers(0, 128, 60000).astype(np.int32),
+        "sorted": np.sort(rng.integers(0, 1 << 20, 60000)).astype(np.int32),
+        "runs": np.repeat(rng.integers(0, 50, 1500), 40).astype(np.int32),
+        "uniform": rng.integers(0, 1 << 30, 60000).astype(np.int32),
+    }
+    for name, vals in profiles.items():
+        ndv = len(np.unique(vals))
+        baseline = selector.encode_best(vals, "int32")
+        with monkeypatch.context() as m:
+            # selector.np is the global numpy module (kernels share it), so
+            # guard the sampled-cardinality path via its dedicated helper
+            m.setattr(selector, "_estimate_cardinality",
+                      lambda *a, **k: (_ for _ in ()).throw(
+                          AssertionError("sampling pass ran")))
+            informed = selector.encode_best(vals, "int32", known_ndv=ndv)
+        assert informed.codec == baseline.codec, name
+        assert informed.blob == baseline.blob, name
+
+    strs = [f"src-{i % 23}".encode() for i in range(30000)]
+    base_b = selector.encode_best(strs, "byte_array")
+    with monkeypatch.context() as m:
+        import collections
+        m.setattr(collections, "Counter",
+                  lambda *a, **k: (_ for _ in ()).throw(
+                      AssertionError("Counter pass ran")))
+        inf_b = selector.encode_best(strs, "byte_array", known_ndv=23)
+    assert inf_b.codec == base_b.codec
+    assert inf_b.blob == base_b.blob

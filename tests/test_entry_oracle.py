@@ -55,13 +55,13 @@ def test_every_query_has_callable_signature():
     q = entry_mod.queries()
     o = entry_mod.oracle_sql()
     assert set(o) <= set(q)
-    # every oracle-less query is flagged intentionally: engine
-    # introspection (no SQL analog) and multimodal decode (SQL cannot
-    # parse PPM/WAV). Exact equality so a new query silently missing its
-    # oracle fails here. (compression_manifest gained a full oracle in
-    # round 5: raw_bytes recomputed from first principles.)
+    # every oracle-less query is flagged intentionally: codec_selection is
+    # engine introspection with no SQL analog. Exact equality so a new
+    # query silently missing its oracle fails here. (Round 5 gave
+    # compression_manifest a first-principles raw_bytes oracle and
+    # media_features a persisted-ground-truth oracle.)
     no_oracle = set(q) - set(o)
-    assert no_oracle == {"codec_selection", "media_features"}
+    assert no_oracle == {"codec_selection"}
 
 
 @pytest.mark.parametrize("name", sorted(entry_mod.oracle_sql().keys()))
