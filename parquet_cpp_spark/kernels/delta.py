@@ -123,11 +123,10 @@ def encode(values: np.ndarray) -> bytes:
             mini_bytes = wid64 * (MINI_SIZE // 8)
             byte_off = np.zeros(len(widths), dtype=np.int64)
             np.cumsum(mini_bytes[:-1], out=byte_off[1:])
-            stream = np.empty(int(mini_bytes.sum()), dtype=np.uint8)
-            for w in np.unique(widths):
-                if w == 0:
-                    continue
-                w = int(w)
+            distinct = np.unique(widths)
+            distinct = distinct[distinct != 0]
+            stream = None
+            for w in distinct.tolist():
                 ids = np.flatnonzero(widths == w)
                 # pack as 8-value rows (8w bits stay byte-aligned, so the
                 # bitstream is identical): 4x fewer shift/or passes at 4x
@@ -144,6 +143,17 @@ def encode(values: np.ndarray) -> bytes:
                     rows = bitpack.pack_rows(
                         rvals.astype(np.uint64, copy=False),
                         w).reshape(len(ids), 4 * w)
+                if len(distinct) == 1:
+                    # uniform-width super-block (the common case for each
+                    # data profile): zero-width minis contribute 0 bytes,
+                    # so the width-group rows ARE the stream — a straight
+                    # view, no per-byte index scatter at all
+                    stream = rows.reshape(-1)
+                    break
+                if stream is None:
+                    stream = np.empty(int(mini_bytes.sum()), dtype=np.uint8)
+                # intp indices: numpy upcasts narrower index arrays before
+                # the scatter (an int32 "saving" costs an extra pass)
                 dst = byte_off[ids][:, None] + \
                     np.arange(rows.shape[1], dtype=np.int64)
                 stream[dst.reshape(-1)] = rows.reshape(-1)

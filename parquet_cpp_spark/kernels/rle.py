@@ -131,7 +131,12 @@ def encode(values: np.ndarray, bit_width: int) -> bytes:
             buf[vstart + k] = ((uvals >> (8 * k)) & 0xFF).astype(np.uint8)
     # literal payloads: `packed` is already in stretch order
     lit_idx = np.flatnonzero(lit_mask)
-    if len(lit_idx):
+    if len(lit_idx) == 1:
+        # single literal stretch (typical for dict indices of shuffled
+        # data): one contiguous slice assignment, no index array
+        d0 = int(dest0[lit_idx[0]] + hlens[lit_idx[0]])
+        buf[d0: d0 + len(packed)] = packed
+    elif len(lit_idx):
         lit_nb = pay_len[lit_idx]
         shift = np.repeat(dest0[lit_idx] + hlens[lit_idx], lit_nb)
         shift -= np.repeat(np.concatenate(([0], np.cumsum(lit_nb)[:-1])),

@@ -11,11 +11,13 @@ that spec, symmetric with the reader in ``parquet_format._Compact``.
 Scope (interop parity-plus — the production sink is the chunk/manifest
 dataset, SURVEY §1.1): flat schemas, REQUIRED or OPTIONAL leaves, PLAIN or
 dictionary encoding (PLAIN dict page + PLAIN_DICTIONARY data pages, the
-format-1.0 pairing), UNCOMPRESSED, one row group. Fails loudly on anything
-out of scope. Page payloads come from the engine's own kernels (``plain``,
-``rle``, ``dictionary``) — this is the same code path the chunk blobs use,
-so a pyarrow read-back of this file cross-checks those kernels against a
-second, independent implementation.
+format-1.0 pairing), multiple row groups, multiple data pages per chunk,
+SNAPPY/GZIP/ZSTD page compression, and chunk-level min/max/null_count
+statistics (``column_writer.cc`` EncodedStatistics analog). Fails loudly
+on anything out of scope. Page payloads come from the engine's own
+kernels (``plain``, ``rle``, ``dictionary``) — the same code path the
+chunk blobs use, so a pyarrow read-back of this file cross-checks those
+kernels against a second, independent implementation.
 """
 
 from __future__ import annotations
@@ -35,6 +37,7 @@ _TYPE_IDS = {"boolean": 0, "int32": 1, "int64": 2, "float": 4, "double": 5,
              "byte_array": 6}
 ENC_PLAIN, ENC_PLAIN_DICT, ENC_RLE = 0, 2, 3
 _PAGE_DATA, _PAGE_DICT = 0, 2
+_CODEC_IDS = {None: 0, "snappy": 1, "gzip": 2, "zstd": 6}
 
 
 def _uvarint(buf: bytearray, v: int) -> None:
@@ -99,12 +102,67 @@ def _page_header(page_type: int, raw: int, comp: int,
     return bytes(buf)
 
 
+def _compress(data: bytes, codec: "str | None") -> bytes:
+    if codec is None:
+        return data
+    if codec == "gzip":
+        import zlib
+        co = zlib.compressobj(wbits=31)  # gzip container, parquet GZIP
+        return co.compress(data) + co.flush()
+    import pyarrow as pa
+    return pa.Codec(codec).compress(data, asbytes=True)
+
+
 def _plain_values(values, phys: str) -> bytes:
     if phys == "byte_array":
         return plain.encode_byte_array(values)
     if phys == "boolean":
         return plain.encode_boolean(np.asarray(values))
     return plain.encode_fixed(np.asarray(values), phys)
+
+
+def _stat_bytes(v, phys: str) -> bytes:
+    """Single value -> its PLAIN byte form (Statistics min_value/max_value)."""
+    if phys == "byte_array":
+        return bytes(v)
+    if phys == "boolean":
+        return bytes([1 if v else 0])
+    dt = {"int32": "<i4", "int64": "<i8",
+          "float": "<f4", "double": "<f8"}[phys]
+    return np.array([v]).astype(dt).tobytes()
+
+
+def _chunk_stats(dense, phys: str, null_count: int) -> "list | None":
+    """Statistics struct fields (null_count + min_value/max_value), or
+    None when min/max are undefined (empty chunk, NaN-poisoned floats —
+    the reference's NaN rule: stats with NaN extremes are not written)."""
+    fields = [(3, _I64, null_count)]
+    n = len(dense)
+    if n == 0:
+        return fields
+    if phys == "byte_array":
+        view = ba.as_view(dense) if not isinstance(dense, ba.ByteArrayView) \
+            else dense
+        mn, mx = ba.minmax(view)
+    elif phys == "boolean":
+        arr = np.asarray(dense, dtype=bool)
+        mn, mx = bool(arr.min()), bool(arr.max())
+    else:
+        arr = np.asarray(dense)
+        if phys in ("float", "double") and bool(np.isnan(arr).any()):
+            return fields  # null_count only
+        mn, mx = arr.min(), arr.max()
+    fields += [(5, _BINARY, _stat_bytes(mx, phys)),
+               (6, _BINARY, _stat_bytes(mn, phys))]
+    return fields
+
+
+def _slice_dense(dense, phys: str, lo: int, hi: int):
+    if phys == "byte_array":
+        view = dense if isinstance(dense, ba.ByteArrayView) \
+            else ba.as_view(dense)
+        return ba.slice_rows(view, lo, hi)
+    return dense[lo:hi]
 
 
 class _Column:
@@ -122,25 +180,120 @@ class _Column:
             raise ValueError("values must be slot-aligned (one per row, "
                              "nulls included) when valid is given")
         self.use_dictionary = use_dictionary
-        # dense values (nulls removed) — the page payload form
+        # dense values (nulls removed) — the page payload form — plus the
+        # slot->dense offset map for page/row-group slicing
         if self.valid is None:
             self.dense = values
-        elif phys == "byte_array":
-            view = ba.as_view(values)
-            self.dense = ba.take(view, np.flatnonzero(self.valid))
+            self.dense_ofs = None
         else:
-            self.dense = np.asarray(values)[self.valid]
+            self.dense_ofs = np.zeros(self.n_slots + 1, dtype=np.int64)
+            np.cumsum(self.valid, out=self.dense_ofs[1:])
+            if phys == "byte_array":
+                self.dense = ba.take(ba.as_view(values),
+                                     np.flatnonzero(self.valid))
+            else:
+                self.dense = np.asarray(values)[self.valid]
+
+    def dense_range(self, lo: int, hi: int) -> tuple[int, int]:
+        if self.dense_ofs is None:
+            return lo, hi
+        return int(self.dense_ofs[lo]), int(self.dense_ofs[hi])
+
+
+def _write_chunk(buf: bytearray, c: _Column, lo: int, hi: int,
+                 page_rows: "int | None", codec: "str | None",
+                 write_statistics: bool) -> list:
+    """One column chunk for slot range [lo, hi) -> ColumnMetaData fields."""
+    codec_id = _CODEC_IDS[codec]
+    dlo, dhi = c.dense_range(lo, hi)
+    dense = _slice_dense(c.dense, c.phys, dlo, dhi)
+    chunk_start = len(buf)
+    # total_uncompressed_size = sum(header + raw page size) per page, the
+    # reference's SerializedPageWriter accumulation
+    raw_total = 0
+    dict_page_offset = None
+    enc = None
+    if c.use_dictionary:
+        enc = dictionary.encode(dense, c.phys, dict_size_limit=1 << 62)
+        if enc.fallback:
+            raise ValueError("dictionary fallback out of writer scope")
+        dict_page_offset = len(buf)
+        body = _compress(enc.dict_blob, codec)
+        hdr = _page_header(_PAGE_DICT, len(enc.dict_blob), len(body), 7,
+                           [(1, _I32, enc.num_entries),
+                            (2, _I32, ENC_PLAIN_DICT)])
+        buf += hdr
+        buf += body
+        raw_total += len(hdr) + len(enc.dict_blob)
+        encoding = ENC_PLAIN_DICT
+        encodings = [ENC_PLAIN_DICT, ENC_RLE]
+        bw = enc.indices_blob[0]
+    else:
+        encoding = ENC_PLAIN
+        encodings = [ENC_PLAIN, ENC_RLE]
+
+    data_page_offset = len(buf)
+    step = (hi - lo) if page_rows is None else page_rows
+    for plo in range(lo, hi, step):
+        phi = min(plo + step, hi)
+        levels = b""
+        if c.valid is not None:
+            levels = rle.encode_length_prefixed(
+                c.valid[plo:phi].astype(np.int8), 1)
+        pdlo, pdhi = c.dense_range(plo, phi)
+        if enc is not None:
+            # per-page indices: re-RLE this page's slice of the chunk's
+            # dict codes at the chunk-wide bit width
+            codes = enc.codes[pdlo - dlo: pdhi - dlo]
+            payload = levels + bytes([bw]) + rle.encode(codes, bw)
+        else:
+            payload = levels + _plain_values(
+                _slice_dense(c.dense, c.phys, pdlo, pdhi), c.phys)
+        body = _compress(payload, codec)
+        hdr = _page_header(_PAGE_DATA, len(payload), len(body), 5,
+                           [(1, _I32, phi - plo), (2, _I32, encoding),
+                            (3, _I32, ENC_RLE), (4, _I32, ENC_RLE)])
+        buf += hdr
+        buf += body
+        raw_total += len(hdr) + len(payload)
+
+    total_comp = len(buf) - chunk_start
+    cmd = [(1, _I32, _TYPE_IDS[c.phys]),
+           (2, _LIST, (_I32, encodings)),
+           (3, _LIST, (_BINARY, [c.name])),
+           (4, _I32, codec_id),
+           (5, _I64, hi - lo),
+           (6, _I64, raw_total), (7, _I64, total_comp),
+           (9, _I64, data_page_offset)]
+    if dict_page_offset is not None:
+        cmd.append((11, _I64, dict_page_offset))
+    if write_statistics:
+        null_count = 0 if c.valid is None \
+            else int((~c.valid[lo:hi]).sum())
+        st = _chunk_stats(dense, c.phys, null_count)
+        if st is not None:
+            cmd.append((12, _STRUCT, st))
+    return [chunk_start, total_comp, cmd]
 
 
 def write_file(path: str, columns: list[tuple], num_rows: int,
-               created_by: str = "parquet_cpp_spark") -> None:
-    """Write one row group of flat columns as a readable PAR1 file.
+               created_by: str = "parquet_cpp_spark",
+               row_group_rows: "int | None" = None,
+               page_rows: "int | None" = None,
+               compression: "str | None" = None,
+               write_statistics: bool = True) -> None:
+    """Write flat columns as a readable PAR1 file.
 
     ``columns``: (name, phys, values[, valid[, use_dictionary]]) tuples.
     ``values`` are slot-aligned when ``valid`` is given (entries at null
     slots are ignored); byte_array values may be list[bytes] or a
-    ``ba.ByteArrayView``.
+    ``ba.ByteArrayView``. ``row_group_rows``/``page_rows`` split the file
+    into multiple row groups / data pages; ``compression`` is one of
+    None/'snappy'/'gzip'/'zstd' (page-body compression, V1 layout).
     """
+    if compression not in _CODEC_IDS:
+        raise ValueError(f"unsupported compression {compression!r} "
+                         f"(one of {sorted(k for k in _CODEC_IDS if k)})")
     cols = [_Column(*spec) for spec in columns]
     for c in cols:
         if c.n_slots != num_rows:
@@ -148,50 +301,20 @@ def write_file(path: str, columns: list[tuple], num_rows: int,
                              f"expected {num_rows}")
 
     buf = bytearray(MAGIC)
-    chunk_meta = []
-    for c in cols:
-        levels = b""
-        if c.valid is not None:
-            levels = rle.encode_length_prefixed(
-                c.valid.astype(np.int8), 1)
-        dict_page_offset = None
-        chunk_start = len(buf)
-        if c.use_dictionary:
-            enc = dictionary.encode(c.dense, c.phys,
-                                    dict_size_limit=1 << 62)
-            if enc.fallback:
-                raise ValueError("dictionary fallback out of writer scope")
-            dict_page_offset = len(buf)
-            hdr = _page_header(_PAGE_DICT, len(enc.dict_blob),
-                               len(enc.dict_blob), 7,
-                               [(1, _I32, enc.num_entries),
-                                (2, _I32, ENC_PLAIN_DICT)])
-            buf += hdr
-            buf += enc.dict_blob
-            payload = levels + enc.indices_blob
-            encoding = ENC_PLAIN_DICT
-            encodings = [ENC_PLAIN_DICT, ENC_RLE]
-        else:
-            payload = levels + _plain_values(c.dense, c.phys)
-            encoding = ENC_PLAIN
-            encodings = [ENC_PLAIN, ENC_RLE]
-        data_page_offset = len(buf)
-        hdr = _page_header(_PAGE_DATA, len(payload), len(payload), 5,
-                           [(1, _I32, c.n_slots), (2, _I32, encoding),
-                            (3, _I32, ENC_RLE), (4, _I32, ENC_RLE)])
-        buf += hdr
-        buf += payload
-        total = len(buf) - chunk_start
-        cmd = [(1, _I32, _TYPE_IDS[c.phys]),
-               (2, _LIST, (_I32, encodings)),
-               (3, _LIST, (_BINARY, [c.name])),
-               (4, _I32, 0),                    # UNCOMPRESSED
-               (5, _I64, c.n_slots),
-               (6, _I64, total), (7, _I64, total),
-               (9, _I64, data_page_offset)]
-        if dict_page_offset is not None:
-            cmd.append((11, _I64, dict_page_offset))
-        chunk_meta.append((c, chunk_start, total, cmd))
+    rg_step = max(1, num_rows if row_group_rows is None else row_group_rows)
+    row_groups = []
+    for lo in range(0, max(num_rows, 1), rg_step):
+        hi = min(lo + rg_step, num_rows)
+        chunks = []
+        total_bytes = 0
+        for c in cols:
+            start, total, cmd = _write_chunk(buf, c, lo, hi, page_rows,
+                                             compression, write_statistics)
+            chunks.append([(2, _I64, start), (3, _STRUCT, cmd)])
+            total_bytes += total
+        row_groups.append([(1, _LIST, (_STRUCT, chunks)),
+                           (2, _I64, total_bytes),
+                           (3, _I64, hi - lo)])
 
     schema = [[(3, _I32, 0), (4, _BINARY, "schema"),
                (5, _I32, len(cols))]]
@@ -199,17 +322,16 @@ def write_file(path: str, columns: list[tuple], num_rows: int,
         rep = 1 if c.valid is not None else 0
         schema.append([(1, _I32, _TYPE_IDS[c.phys]), (3, _I32, rep),
                        (4, _BINARY, c.name)])
-    chunks = [[(2, _I64, start), (3, _STRUCT, cmd)]
-              for _c, start, _total, cmd in chunk_meta]
-    total_bytes = sum(t for _c, _s, t, _m in chunk_meta)
     fmd = bytearray()
+    # column_orders: TYPE_DEFINED_ORDER per leaf — without it readers must
+    # ignore min_value/max_value (parquet-format Statistics contract)
+    column_orders = [[(1, _STRUCT, [])] for _ in cols]
     _struct(fmd, [(1, _I32, 1),
                   (2, _LIST, (_STRUCT, schema)),
                   (3, _I64, num_rows),
-                  (4, _LIST, (_STRUCT, [[(1, _LIST, (_STRUCT, chunks)),
-                                         (2, _I64, total_bytes),
-                                         (3, _I64, num_rows)]])),
-                  (6, _BINARY, created_by)])
+                  (4, _LIST, (_STRUCT, row_groups)),
+                  (6, _BINARY, created_by),
+                  (7, _LIST, (_STRUCT, column_orders))])
     buf += fmd
     buf += len(fmd).to_bytes(4, "little")
     buf += MAGIC

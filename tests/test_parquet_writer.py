@@ -101,3 +101,71 @@ def test_writer_rejects_out_of_scope(tmp_path):
     with pytest.raises(ValueError, match="slots, expected"):
         pw.write_file(str(tmp_path / "y.parquet"),
                       [("a", "int32", np.arange(3, dtype=np.int32))], 4)
+
+
+@pytest.mark.parametrize("codec", [None, "snappy", "gzip", "zstd"])
+def test_row_groups_pages_compression(tmp_path, codec):
+    """Multi-row-group, multi-page, compressed files read back identically
+    through pyarrow AND respect the requested structure."""
+    import pyarrow.parquet as pq
+    n = 5000
+    rng = np.random.default_rng(3)
+    ints = rng.integers(0, 10**6, n).astype(np.int32)
+    strs = [f"w{i % 97}".encode() for i in range(n)]
+    valid = rng.random(n) > 0.3
+    opt = rng.integers(0, 30, n).astype(np.int32)
+    path = str(tmp_path / f"multi_{codec}.parquet")
+    pw.write_file(path, [
+        ("i", "int32", ints),
+        ("s", "byte_array", strs, None, True),
+        ("o", "int32", opt, valid),
+    ], n, row_group_rows=1500, page_rows=400, compression=codec)
+    pf = pq.ParquetFile(path)
+    assert pf.metadata.num_row_groups == 4  # ceil(5000/1500)
+    got_codec = pf.metadata.row_group(0).column(0).compression
+    assert got_codec.lower() == (codec or "uncompressed")
+    t = pf.read()
+    assert t.column("i").to_numpy().tolist() == ints.tolist()
+    assert t.column("s").to_pylist() == strs
+    assert t.column("o").to_pylist() == \
+        [int(v) if ok else None for v, ok in zip(opt, valid)]
+
+
+def test_footer_statistics_match_pyarrow_view(tmp_path):
+    """Chunk statistics (min/max/null_count) land in the footer and agree
+    with what pyarrow recomputes from the values."""
+    import pyarrow.parquet as pq
+    n = 3000
+    rng = np.random.default_rng(5)
+    ints = rng.integers(-500, 500, n).astype(np.int32)
+    valid = rng.random(n) > 0.4
+    strs = [f"k{i % 19:03d}".encode() for i in range(n)]
+    path = str(tmp_path / "stats.parquet")
+    pw.write_file(path, [
+        ("i", "int32", ints, valid),
+        ("s", "byte_array", strs),
+    ], n, row_group_rows=1000)
+    pf = pq.ParquetFile(path)
+    for rg in range(pf.metadata.num_row_groups):
+        lo, hi = rg * 1000, min((rg + 1) * 1000, n)
+        st_i = pf.metadata.row_group(rg).column(0).statistics
+        seg_valid = valid[lo:hi]
+        seg = ints[lo:hi][seg_valid]
+        assert st_i.null_count == int((~seg_valid).sum())
+        assert st_i.min == int(seg.min())
+        assert st_i.max == int(seg.max())
+        st_s = pf.metadata.row_group(rg).column(1).statistics
+        seg_s = strs[lo:hi]
+        assert st_s.min == min(seg_s)
+        assert st_s.max == max(seg_s)
+
+
+def test_nan_poisoned_float_stats_omitted(tmp_path):
+    """The reference's NaN rule: float chunks containing NaN write
+    null_count but no min/max (a NaN extreme would poison pruning)."""
+    import pyarrow.parquet as pq
+    vals = np.array([1.0, float("nan"), 3.0], dtype=np.float64)
+    path = str(tmp_path / "nan.parquet")
+    pw.write_file(path, [("d", "double", vals)], 3)
+    st = pq.ParquetFile(path).metadata.row_group(0).column(0).statistics
+    assert st is None or not st.has_min_max

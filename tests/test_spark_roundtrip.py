@@ -233,3 +233,57 @@ def test_chunk_sink_direct(spark, tmp_path):
     a = csum(spark.read.parquet(src_path))
     b = csum(decode_parquet_direct(spark, out).drop("part_id"))
     assert a.s == b.s and a.n == b.n
+
+
+def test_chunk_sink_colliding_part_ids_get_distinct_files(spark, tmp_path):
+    """Two DISTINCT row groups that share a first doc_id and row count
+    derive the same content part_id; the (file, row-group) tag in the
+    filename must keep their chunk files separate (a shared name would let
+    os.replace silently discard one row group's chunks while both manifest
+    rows still reference the surviving file)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_cpp_spark.operators.decode_arrow import decode_parquet_direct
+    from parquet_cpp_spark.sources.chunk_sink import encode_parquet_direct_sink
+
+    def rg(doc_ids, tok):
+        return pa.table({
+            "doc_id": pa.array([str(d) for d in doc_ids]),
+            "tokens": pa.array([[tok + i] * 4 for i in range(len(doc_ids))],
+                               type=pa.list_(pa.int32())),
+            "n_tok": pa.array([4] * len(doc_ids), type=pa.int32()),
+            "source": pa.array(["web"] * len(doc_ids)),
+        })
+    # both row groups: first doc_id "0", 10 rows -> identical part_id
+    src = str(tmp_path / "dup.parquet")
+    with pq.ParquetWriter(src, rg([0], 0).schema) as w:
+        w.write_table(rg(["0", *range(1, 10)], 100))
+        w.write_table(rg(["0", *range(10, 19)], 200))
+    out = str(tmp_path / "chunks")
+    man = encode_parquet_direct_sink(spark, src, out).collect()
+    files = {r.file for r in man}
+    pids = {r.part_id for r in man}
+    assert len(pids) == 1          # the collision actually happened
+    assert len(files) == 2         # ...and produced two distinct files
+    # both row groups' rows survive the round trip
+    dec = decode_parquet_direct(spark, out)
+    assert dec.count() == 20
+    assert dec.filter(F.col("doc_id") == "0").count() == 2
+
+
+def test_written_part_ids_reraises_non_absence_errors(spark, tmp_path):
+    """The resume orphan guard must ABORT on a real read failure instead of
+    treating it as dataset-absent (which would re-append crash-window
+    partitions and duplicate chunk rows). Only path-not-found disengages."""
+    from parquet_cpp_spark.plans.encode_job import _written_part_ids
+
+    chunks = tmp_path / "chunks"
+    # non-numeric partition dir forces the Spark-read fallback; a garbage
+    # file inside makes that read fail with a non-PATH_NOT_FOUND error
+    bad = chunks / "part_id=__HIVE_DEFAULT_PARTITION__"
+    bad.mkdir(parents=True)
+    (bad / "junk.parquet").write_bytes(b"this is not a parquet file")
+    with pytest.raises(Exception) as exc_info:
+        _written_part_ids(spark, str(chunks))
+    assert "PATH_NOT_FOUND" not in str(exc_info.value)
