@@ -943,6 +943,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("doc_id", "source")
     q["training_mixture"] = training_mixture
 
+    def pq_writer_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+        """The engine's PAR1 file WRITER under the driver oracle:
+        documents-derived columns are written driver-side with
+        sources.parquet_writer (dictionary + nullable def levels + ZSTD
+        pages + multiple row groups/pages + UTF8 annotation) and read back
+        by Spark's OWN JVM parquet reader — an independent third decoder
+        beside pyarrow and DuckDB. The oracle recomputes the same
+        projection from documents, so any writer byte-layout bug either
+        breaks the JVM read or flips the value hash."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from parquet_cpp_spark.sources import parquet_writer as pw
+        docs = pq.read_table(os.path.join(sf, "documents.parquet"),
+                             columns=["doc_id", "source", "text"])
+        ids = docs.column("doc_id").to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        srcs = [s.encode() for s in
+                np.asarray(docs.column("source").to_pylist())[order]]
+        n_chars = np.fromiter(
+            (len(t) for t in
+             np.asarray(docs.column("text").to_pylist(),
+                        dtype=object)[order]),
+            dtype=np.int32, count=len(ids))
+        valid = ids % 7 != 0
+        out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "data", f"writer_rt_{len(ids)}.parquet")
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        pw.write_file(out, [
+            ("doc_id", "int64", ids),
+            ("source", "byte_array", srcs, None, True),
+            ("n_chars", "int32", n_chars, valid),
+        ], len(ids), row_group_rows=200, page_rows=64,
+            compression="zstd", utf8_columns={"source"})
+        return spark.read.parquet(out) \
+            .select("doc_id", "source", "n_chars").orderBy("doc_id")
+    q["pq_writer_roundtrip"] = pq_writer_roundtrip
+
     # --- multimodal: real pure-numpy decode (PPM/WAV/concat-PPM video) ---
     def media_features(spark: SparkSession, sf: str) -> DataFrame:
         """Feature extraction over persisted real media payloads (binary
@@ -1038,7 +1077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rotated_past_cap = [
         "rt_gzip", "rt_zstd", "rt_salted", "rt_paged", "rt_v2",
         "rt_delta_byte_array", "rt_delta_length_byte_array",
-        "rt_nullable_flat", "rt_logical",
+        "rt_nullable_flat", "rt_logical", "rt_annotations",
     ]
     ordered = {k: v for k, v in q.items() if k not in rotated_past_cap}
     for k in rotated_past_cap:
@@ -1342,6 +1381,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         # LSH scale path oracle (the exact cross-join baseline lives in
         # tests/test_similarity.py, not in the driver set)
+        # the writer round trip: SQL recomputes the written projection from
+        # the source table; the parquet file itself is exercised by the
+        # Spark JVM read on the query side
+        "pq_writer_roundtrip": """
+            SELECT doc_id, source,
+                   CASE WHEN doc_id % 7 <> 0
+                        THEN CAST(length(text) AS INTEGER) END AS n_chars
+            FROM documents ORDER BY doc_id
+        """,
         "media_features": _media_features_oracle_sql(),
         "neardup_cosine": _neardup_cosine_lsh_oracle_sql(),
         "neardup_cosine_dropped": _neardup_cosine_dropped_oracle_sql(

@@ -164,6 +164,12 @@ def encode(values: np.ndarray) -> bytes:
     return bytes(out)
 
 
+# benchmark A/B toggle for the uniform-layout emit path (always-on in
+# production; the flag lets the kernel bench time both paths in ONE
+# process, the only honest comparison on a contention-noisy host)
+_EMIT_UNIFORM_FAST = True
+
+
 def _emit_blocks(mins: np.ndarray, widths: np.ndarray, stream: np.ndarray,
                  n_blocks: int) -> bytes:
     """Vectorized interleave of [zigzag-varint min_delta][width bytes]
@@ -195,6 +201,23 @@ def _emit_blocks(mins: np.ndarray, widths: np.ndarray, stream: np.ndarray,
     mb = len(widths) // n_blocks  # miniblocks per block
     pay_per_block = widths.astype(np.int64).reshape(n_blocks, mb) \
         .sum(axis=1) * (MINI_SIZE // 8)
+    # Uniform-layout fast path: when every block has the same varint
+    # length AND the same payload size (steady delta streams — the common
+    # case inside one data profile), the output is a dense (n_blocks,
+    # row_len) matrix: three strided column writes replace the per-byte
+    # index scatter below (whose int64 index arrays are 8x the payload
+    # traffic). Byte output identical.
+    if (_EMIT_UNIFORM_FAST and n_blocks > 1 and len(stream)
+            and int(vlen.min()) == int(vlen.max())
+            and int(pay_per_block.min()) == int(pay_per_block.max())
+            and len(stream) == n_blocks * int(pay_per_block[0])):
+        vl = int(vlen[0])
+        pp = int(pay_per_block[0])
+        outm = np.empty((n_blocks, vl + mb + pp), dtype=np.uint8)
+        outm[:, :vl] = vbytes[:, :vl]
+        outm[:, vl: vl + mb] = widths.reshape(n_blocks, mb)
+        outm[:, vl + mb:] = stream.reshape(n_blocks, pp)
+        return outm.tobytes()
     block_len = vlen + mb + pay_per_block
     dest0 = np.zeros(n_blocks, dtype=np.int64)
     np.cumsum(block_len[:-1], out=dest0[1:])

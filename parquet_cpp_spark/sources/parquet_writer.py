@@ -281,7 +281,9 @@ def write_file(path: str, columns: list[tuple], num_rows: int,
                row_group_rows: "int | None" = None,
                page_rows: "int | None" = None,
                compression: "str | None" = None,
-               write_statistics: bool = True) -> None:
+               write_statistics: bool = True,
+               utf8_columns: "frozenset[str] | set[str]" = frozenset()
+               ) -> None:
     """Write flat columns as a readable PAR1 file.
 
     ``columns``: (name, phys, values[, valid[, use_dictionary]]) tuples.
@@ -290,6 +292,9 @@ def write_file(path: str, columns: list[tuple], num_rows: int,
     ``ba.ByteArrayView``. ``row_group_rows``/``page_rows`` split the file
     into multiple row groups / data pages; ``compression`` is one of
     None/'snappy'/'gzip'/'zstd' (page-body compression, V1 layout).
+    byte_array columns named in ``utf8_columns`` carry the UTF8 converted
+    type, so schema-strict readers (Spark's JVM reader) surface them as
+    strings instead of raw binary.
     """
     if compression not in _CODEC_IDS:
         raise ValueError(f"unsupported compression {compression!r} "
@@ -320,8 +325,14 @@ def write_file(path: str, columns: list[tuple], num_rows: int,
                (5, _I32, len(cols))]]
     for c in cols:
         rep = 1 if c.valid is not None else 0
-        schema.append([(1, _I32, _TYPE_IDS[c.phys]), (3, _I32, rep),
-                       (4, _BINARY, c.name)])
+        el = [(1, _I32, _TYPE_IDS[c.phys]), (3, _I32, rep),
+              (4, _BINARY, c.name)]
+        if c.name in utf8_columns:
+            if c.phys != "byte_array":
+                raise ValueError(f"utf8 annotation on non-byte_array "
+                                 f"column {c.name!r}")
+            el.append((6, _I32, 0))  # ConvertedType UTF8
+        schema.append(el)
     fmd = bytearray()
     # column_orders: TYPE_DEFINED_ORDER per leaf — without it readers must
     # ignore min_value/max_value (parquet-format Statistics contract)
