@@ -37,6 +37,7 @@ _PHYS = {0: "boolean", 1: "int32", 2: "int64", 3: "flba:12",  # INT96
          4: "float", 5: "double", 6: "byte_array", 7: "flba"}
 _PAGE_DATA, _PAGE_INDEX, _PAGE_DICT, _PAGE_DATA_V2 = 0, 1, 2, 3
 ENC_PLAIN, ENC_PLAIN_DICT, ENC_RLE, ENC_RLE_DICT = 0, 2, 3, 8
+ENC_DELTA_BP = 5
 _CODECS = {0: None, 1: "snappy", 2: "gzip", 4: "brotli", 5: "lz4", 6: "zstd"}
 
 
@@ -291,6 +292,14 @@ def read_column(mv: memoryview, leaf: LeafColumn,
             n_present = n_slots
         if encoding == ENC_PLAIN:
             vals = _decode_plain(body, n_present, leaf.phys, p)
+        elif encoding == ENC_DELTA_BP:
+            if leaf.phys not in ("int32", "int64"):
+                raise ValueError("DELTA_BINARY_PACKED on non-int column")
+            from ..kernels import delta as delta_k
+            dt = np.int32 if leaf.phys == "int32" else np.int64
+            vals, _pos = delta_k.decode(body, p, out_dtype=dt)
+            if len(vals) != n_present:
+                raise ValueError("delta page value count mismatch")
         elif encoding in (ENC_PLAIN_DICT, ENC_RLE_DICT):
             if dictionary is None:
                 raise ValueError("dictionary-encoded page with no dict page")

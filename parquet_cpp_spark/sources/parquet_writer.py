@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..kernels import ba, dictionary, plain, rle
+from ..kernels import ba, delta, dictionary, plain, rle
 
 MAGIC = b"PAR1"
 
@@ -35,8 +35,8 @@ _STRUCT = 12
 # parquet-format enums
 _TYPE_IDS = {"boolean": 0, "int32": 1, "int64": 2, "float": 4, "double": 5,
              "byte_array": 6}
-ENC_PLAIN, ENC_PLAIN_DICT, ENC_RLE = 0, 2, 3
-_PAGE_DATA, _PAGE_DICT = 0, 2
+ENC_PLAIN, ENC_PLAIN_DICT, ENC_RLE, ENC_DELTA_BP = 0, 2, 3, 5
+_PAGE_DATA, _PAGE_DICT, _PAGE_DATA_V2 = 0, 2, 3
 _CODEC_IDS = {None: 0, "snappy": 1, "gzip": 2, "zstd": 6}
 
 
@@ -202,7 +202,8 @@ class _Column:
 
 def _write_chunk(buf: bytearray, c: _Column, lo: int, hi: int,
                  page_rows: "int | None", codec: "str | None",
-                 write_statistics: bool) -> list:
+                 write_statistics: bool, delta_encoded: bool = False,
+                 data_page_version: int = 1) -> list:
     """One column chunk for slot range [lo, hi) -> ColumnMetaData fields."""
     codec_id = _CODEC_IDS[codec]
     dlo, dhi = c.dense_range(lo, hi)
@@ -213,6 +214,8 @@ def _write_chunk(buf: bytearray, c: _Column, lo: int, hi: int,
     raw_total = 0
     dict_page_offset = None
     enc = None
+    if c.use_dictionary and delta_encoded:
+        raise ValueError("a column cannot be both dict and delta encoded")
     if c.use_dictionary:
         enc = dictionary.encode(dense, c.phys, dict_size_limit=1 << 62)
         if enc.fallback:
@@ -228,6 +231,15 @@ def _write_chunk(buf: bytearray, c: _Column, lo: int, hi: int,
         encoding = ENC_PLAIN_DICT
         encodings = [ENC_PLAIN_DICT, ENC_RLE]
         bw = enc.indices_blob[0]
+    elif delta_encoded:
+        # DELTA_BINARY_PACKED data pages — the page payload is exactly the
+        # kernel's stream (the kernel implements the parquet-format spec),
+        # so pyarrow/DuckDB decoding these pages cross-checks kernels/delta
+        # against two independent implementations
+        if c.phys not in ("int32", "int64"):
+            raise ValueError("DELTA_BINARY_PACKED applies to int32/int64")
+        encoding = ENC_DELTA_BP
+        encodings = [ENC_DELTA_BP, ENC_RLE]
     else:
         encoding = ENC_PLAIN
         encodings = [ENC_PLAIN, ENC_RLE]
@@ -236,26 +248,47 @@ def _write_chunk(buf: bytearray, c: _Column, lo: int, hi: int,
     step = (hi - lo) if page_rows is None else page_rows
     for plo in range(lo, hi, step):
         phi = min(plo + step, hi)
-        levels = b""
-        if c.valid is not None:
-            levels = rle.encode_length_prefixed(
-                c.valid[plo:phi].astype(np.int8), 1)
         pdlo, pdhi = c.dense_range(plo, phi)
         if enc is not None:
             # per-page indices: re-RLE this page's slice of the chunk's
             # dict codes at the chunk-wide bit width
             codes = enc.codes[pdlo - dlo: pdhi - dlo]
-            payload = levels + bytes([bw]) + rle.encode(codes, bw)
+            values_b = bytes([bw]) + rle.encode(codes, bw)
+        elif delta_encoded:
+            values_b = delta.encode(
+                np.asarray(_slice_dense(c.dense, c.phys, pdlo, pdhi)))
         else:
-            payload = levels + _plain_values(
+            values_b = _plain_values(
                 _slice_dense(c.dense, c.phys, pdlo, pdhi), c.phys)
-        body = _compress(payload, codec)
-        hdr = _page_header(_PAGE_DATA, len(payload), len(body), 5,
-                           [(1, _I32, phi - plo), (2, _I32, encoding),
-                            (3, _I32, ENC_RLE), (4, _I32, ENC_RLE)])
-        buf += hdr
-        buf += body
-        raw_total += len(hdr) + len(payload)
+        if data_page_version == 2:
+            # V2: def levels UNPREFIXED and outside the compressed region
+            # (reference properties.h:363-377 / format v2 pages)
+            levels = b"" if c.valid is None else \
+                rle.encode(c.valid[plo:phi].astype(np.int8), 1)
+            vbody = _compress(values_b, codec)
+            hdr = _page_header(
+                _PAGE_DATA_V2, len(levels) + len(values_b),
+                len(levels) + len(vbody), 8,
+                [(1, _I32, phi - plo),
+                 (2, _I32, (phi - plo) - (pdhi - pdlo)),
+                 (3, _I32, phi - plo), (4, _I32, encoding),
+                 (5, _I32, len(levels)), (6, _I32, 0),
+                 (7, _TRUE if codec is not None else _FALSE, None)])
+            buf += hdr
+            buf += levels
+            buf += vbody
+            raw_total += len(hdr) + len(levels) + len(values_b)
+        else:
+            levels = b"" if c.valid is None else rle.encode_length_prefixed(
+                c.valid[plo:phi].astype(np.int8), 1)
+            payload = levels + values_b
+            body = _compress(payload, codec)
+            hdr = _page_header(_PAGE_DATA, len(payload), len(body), 5,
+                               [(1, _I32, phi - plo), (2, _I32, encoding),
+                                (3, _I32, ENC_RLE), (4, _I32, ENC_RLE)])
+            buf += hdr
+            buf += body
+            raw_total += len(hdr) + len(payload)
 
     total_comp = len(buf) - chunk_start
     cmd = [(1, _I32, _TYPE_IDS[c.phys]),
@@ -282,8 +315,9 @@ def write_file(path: str, columns: list[tuple], num_rows: int,
                page_rows: "int | None" = None,
                compression: "str | None" = None,
                write_statistics: bool = True,
-               utf8_columns: "frozenset[str] | set[str]" = frozenset()
-               ) -> None:
+               utf8_columns: "frozenset[str] | set[str]" = frozenset(),
+               delta_columns: "frozenset[str] | set[str]" = frozenset(),
+               data_page_version: int = 1) -> None:
     """Write flat columns as a readable PAR1 file.
 
     ``columns``: (name, phys, values[, valid[, use_dictionary]]) tuples.
@@ -294,8 +328,13 @@ def write_file(path: str, columns: list[tuple], num_rows: int,
     None/'snappy'/'gzip'/'zstd' (page-body compression, V1 layout).
     byte_array columns named in ``utf8_columns`` carry the UTF8 converted
     type, so schema-strict readers (Spark's JVM reader) surface them as
-    strings instead of raw binary.
+    strings instead of raw binary. int32/int64 columns named in
+    ``delta_columns`` write DELTA_BINARY_PACKED data pages straight from
+    ``kernels.delta``. ``data_page_version=2`` writes DataPageV2 (def
+    levels unprefixed and outside the compressed region).
     """
+    if data_page_version not in (1, 2):
+        raise ValueError("data_page_version must be 1 or 2")
     if compression not in _CODEC_IDS:
         raise ValueError(f"unsupported compression {compression!r} "
                          f"(one of {sorted(k for k in _CODEC_IDS if k)})")
@@ -314,7 +353,9 @@ def write_file(path: str, columns: list[tuple], num_rows: int,
         total_bytes = 0
         for c in cols:
             start, total, cmd = _write_chunk(buf, c, lo, hi, page_rows,
-                                             compression, write_statistics)
+                                             compression, write_statistics,
+                                             c.name in delta_columns,
+                                             data_page_version)
             chunks.append([(2, _I64, start), (3, _STRUCT, cmd)])
             total_bytes += total
         row_groups.append([(1, _LIST, (_STRUCT, chunks)),
