@@ -81,12 +81,16 @@ def _bench_input_path() -> str:
 def _warmup(spark):
     """Warm python workers, kernel imports, AND the exact timed plan shape
     (parallelize -> mapInArrow -> agg over the parquet-direct source) so a
-    timed leg pays no first-run plan compile."""
+    timed leg pays no first-run plan compile. Warm-task count scales with
+    the session's cores (8 tiny tasks per worker warms every worker; a
+    fixed 256 ran ~30 s of pure task overhead on the 1-core leg — per-leg
+    dead time that biased nothing but wasted the window)."""
     from pyspark.sql import functions as F
     from parquet_cpp_spark.operators.encode_arrow import encode_scan_local
     from parquet_cpp_spark.sources.parquet_direct import encode_parquet_direct
     from parquet_cpp_spark.sources.tokens import synthesize_tokens_parquet
-    warm = (spark.range(256).repartition(256)
+    n_warm = max(8, spark.sparkContext.defaultParallelism * 8)
+    warm = (spark.range(n_warm).repartition(n_warm)
             .selectExpr("cast(id as string) as doc_id",
                         "array(1, 2, 3) as tokens", "3 as n_tok",
                         "'web' as source"))

@@ -274,22 +274,43 @@ def read_column(mv: memoryview, leaf: LeafColumn,
             body = _decompress_page(body, chunk.codec, raw_size)
             dictionary = _decode_plain(body, dph[1], leaf.phys)
             continue
-        if page_type != _PAGE_DATA:
+        if page_type == _PAGE_DATA_V2:
+            # V2: levels sit UNPREFIXED before the (separately) compressed
+            # value region — mirror of parquet_writer's V2 emission
+            dp = ph[8]
+            n_slots = dp[1]
+            encoding = dp[4]
+            def_len = dp.get(5, 0)
+            deflev = None
+            if leaf.max_def:
+                bw = max(1, int(leaf.max_def).bit_length())
+                deflev, _ = rle.decode(body, n_slots, bw, 0,
+                                       out_dtype=np.int8)
+                def_parts.append(deflev)
+                n_present = int((deflev == leaf.max_def).sum())
+            else:
+                n_present = n_slots
+            vcodec = chunk.codec if dp.get(7, True) else 0
+            body = _decompress_page(body[def_len:], vcodec,
+                                    raw_size - def_len)
+            p = 0
+        elif page_type != _PAGE_DATA:
             raise ValueError(f"unsupported page type {page_type}")
-        dp = ph[5]
-        n_slots = dp[1]
-        encoding = dp[2]
-        body = _decompress_page(body, chunk.codec, raw_size)
-        p = 0
-        deflev = None
-        if leaf.max_def:
-            bw = max(1, int(leaf.max_def).bit_length())
-            deflev, p = rle.decode_length_prefixed(body, n_slots, bw, p,
-                                                   out_dtype=np.int8)
-            def_parts.append(deflev)
-            n_present = int((deflev == leaf.max_def).sum())
         else:
-            n_present = n_slots
+            dp = ph[5]
+            n_slots = dp[1]
+            encoding = dp[2]
+            body = _decompress_page(body, chunk.codec, raw_size)
+            p = 0
+            deflev = None
+            if leaf.max_def:
+                bw = max(1, int(leaf.max_def).bit_length())
+                deflev, p = rle.decode_length_prefixed(body, n_slots, bw, p,
+                                                       out_dtype=np.int8)
+                def_parts.append(deflev)
+                n_present = int((deflev == leaf.max_def).sum())
+            else:
+                n_present = n_slots
         if encoding == ENC_PLAIN:
             vals = _decode_plain(body, n_present, leaf.phys, p)
         elif encoding == ENC_DELTA_BP:

@@ -247,3 +247,21 @@ def test_data_page_v2(tmp_path, codec):
     got = duckdb.sql(f"SELECT count(*), sum(i), count(o) "
                      f"FROM read_parquet('{path}')").fetchone()
     assert got == (n, int(ints.astype(np.int64).sum()), int(valid.sum()))
+
+
+def test_own_reader_reads_v2_pages(tmp_path):
+    """Reader/writer symmetry for V2: the engine's file reader decodes the
+    V2 pages its writer emits (levels unprefixed, values compressed
+    separately), nullable + delta + compression."""
+    n = 1500
+    rng = np.random.default_rng(23)
+    ints = np.sort(rng.integers(0, 10**7, n)).astype(np.int64)
+    valid = rng.random(n) > 0.4
+    path = str(tmp_path / "v2own.parquet")
+    pw.write_file(path, [("o", "int64", ints, valid)], n,
+                  row_group_rows=600, page_rows=250, compression="snappy",
+                  delta_columns={"o"}, data_page_version=2)
+    got = parquet_format.read_file(path)
+    vals, deflev = got["o"]
+    assert deflev.tolist() == valid.astype(int).tolist()
+    assert vals.tolist() == ints[valid].tolist()
