@@ -46,7 +46,13 @@ _SUPER = 1 << 18
 _POW2 = np.uint64(1) << np.arange(64, dtype=np.uint64)
 
 
-def encode(values: np.ndarray) -> bytes:
+def encode(values: np.ndarray, wrap32: bool = False) -> bytes:
+    """``wrap32``: force mod-2^32 delta arithmetic for 4-byte inputs even
+    when the value span exceeds 2^31 — the parquet-format convention for
+    INT32 columns (miniblock widths must stay <= 32; readers reconstruct
+    with wrapping accumulation). Off by default: the engine's own chunk
+    blobs use the full int64 delta space for wide spans (golden-pinned),
+    and the two byte streams differ only in that case."""
     v = np.ascontiguousarray(values)
     n = len(v)
     out = bytearray()
@@ -77,7 +83,7 @@ def encode(values: np.ndarray) -> bytes:
     narrow = False
     if v.dtype in (np.dtype(np.int32), np.dtype(np.uint32),
                    np.dtype(np.int16), np.dtype(np.uint16)):
-        narrow = int(v.max()) - int(v.min()) < (1 << 31)
+        narrow = wrap32 or int(v.max()) - int(v.min()) < (1 << 31)
     ddt = np.int32 if narrow else np.int64
 
     for s in range(0, nd, _SUPER):

@@ -255,8 +255,11 @@ def _write_chunk(buf: bytearray, c: _Column, lo: int, hi: int,
             codes = enc.codes[pdlo - dlo: pdhi - dlo]
             values_b = bytes([bw]) + rle.encode(codes, bw)
         elif delta_encoded:
+            # INT32 pages must keep miniblock widths <= 32 (parquet-format
+            # convention: deltas wrap mod 2^32, readers accumulate wrapping)
             values_b = delta.encode(
-                np.asarray(_slice_dense(c.dense, c.phys, pdlo, pdhi)))
+                np.asarray(_slice_dense(c.dense, c.phys, pdlo, pdhi)),
+                wrap32=c.phys == "int32")
         else:
             values_b = _plain_values(
                 _slice_dense(c.dense, c.phys, pdlo, pdhi), c.phys)

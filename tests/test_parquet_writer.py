@@ -265,3 +265,69 @@ def test_own_reader_reads_v2_pages(tmp_path):
     vals, deflev = got["o"]
     assert deflev.tolist() == valid.astype(int).tolist()
     assert vals.tolist() == ints[valid].tolist()
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@st.composite
+def _file_spec(draw):
+    n = draw(st.integers(min_value=1, max_value=400))
+    rng = np.random.default_rng(draw(st.integers(0, 2**31)))
+    cols = []
+    for ci in range(draw(st.integers(1, 4))):
+        phys = draw(st.sampled_from(
+            ["int32", "int64", "double", "byte_array", "boolean"]))
+        nullable = draw(st.booleans())
+        dict_ok = phys in ("int32", "int64", "double", "byte_array")
+        use_dict = dict_ok and draw(st.booleans())
+        delta = (phys in ("int32", "int64") and not use_dict
+                 and draw(st.booleans()))
+        if phys == "int32":
+            vals = rng.integers(-(2**31), 2**31, n).astype(np.int32)
+        elif phys == "int64":
+            vals = rng.integers(-(2**62), 2**62, n)
+        elif phys == "double":
+            vals = rng.standard_normal(n)
+        elif phys == "boolean":
+            vals = rng.random(n) > 0.5
+        else:
+            vals = [bytes(rng.integers(0, 256, rng.integers(0, 12),
+                                       dtype=np.uint8)) for _ in range(n)]
+        valid = (rng.random(n) > 0.3) if nullable else None
+        cols.append((f"c{ci}", phys, vals, valid, use_dict, delta))
+    rg = draw(st.sampled_from([None, 64, 150]))
+    pg = draw(st.sampled_from([None, 33, 100]))
+    codec = draw(st.sampled_from([None, "snappy", "zstd"]))
+    v2 = draw(st.booleans())
+    return n, cols, rg, pg, codec, v2
+
+
+@settings(max_examples=40, deadline=None)
+@given(_file_spec())
+def test_fuzz_writer_pyarrow_roundtrip(tmp_path_factory, spec):
+    """Random flat schemas / encodings / page-structure / compression:
+    pyarrow must read back every value the writer emits."""
+    import pyarrow.parquet as pq
+    n, cols, rg, pg, codec, v2 = spec
+    path = str(tmp_path_factory.mktemp("fz") / "f.parquet")
+    pw.write_file(
+        path, [(nm, ph, v, va, ud) for nm, ph, v, va, ud, _d in cols], n,
+        row_group_rows=rg, page_rows=pg, compression=codec,
+        delta_columns={nm for nm, _p, _v, _va, _ud, d in cols if d},
+        data_page_version=2 if v2 else 1)
+    t = pq.read_table(path)
+    assert t.num_rows == n
+    for nm, phys, vals, valid, _ud, _d in cols:
+        got = t.column(nm).to_pylist()
+        if phys == "byte_array":
+            ref = list(vals)
+        elif phys == "boolean":
+            ref = [bool(x) for x in vals]
+        elif phys == "double":
+            ref = [float(x) for x in vals]
+        else:
+            ref = [int(x) for x in vals]
+        if valid is not None:
+            ref = [r if ok else None for r, ok in zip(ref, valid)]
+        assert got == ref, nm
