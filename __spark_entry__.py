@@ -1044,6 +1044,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _emb(spark, sf))
     q["neardup_jaccard"] = lambda spark, sf: dedup.neardup_jaccard(
         _docs(spark, sf))
+    # benchmark decontamination: docs with doc_id % 97 == 0 stand in for
+    # the eval corpus; every other doc sharing any 3-word shingle with it
+    # is flagged with its collision count (broadcast bench-shingle set)
+    q["decontamination"] = lambda spark, sf: dedup.decontaminate(
+        _docs(spark, sf).filter(F.col("doc_id") % 97 != 0),
+        _docs(spark, sf).filter(F.col("doc_id") % 97 == 0))
     # audit companion: the hot band buckets the cap rule skipped — the
     # no-silent-truncation contract for the capped LSH gate
     q["neardup_jaccard_dropped"] = \
@@ -1077,7 +1083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rotated_past_cap = [
         "rt_gzip", "rt_zstd", "rt_salted", "rt_paged", "rt_v2",
         "rt_delta_byte_array", "rt_delta_length_byte_array",
-        "rt_nullable_flat", "rt_logical", "rt_annotations",
+        "rt_nullable_flat", "rt_logical", "rt_annotations", "rt_struct",
     ]
     ordered = {k: v for k, v in q.items() if k not in rotated_past_cap}
     for k in rotated_past_cap:
@@ -1409,6 +1415,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT 1 AS band, s2 AS bi, s3 AS bj,
                    CAST(count(*) AS BIGINT) AS n_docs
             FROM sig GROUP BY s2, s3 HAVING count(*) > 32
+        """,
+        "decontamination": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+                       FROM documents),
+            sh AS (SELECT doc_id,
+                          unnest(list_transform(range(1, len(w) - 1),
+                              i -> md5(w[i] || '|' || w[i+1] || '|'
+                                       || w[i+2]))) AS s
+                   FROM w),
+            bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0)
+            SELECT sh.doc_id, count(*) AS n_hits
+            FROM sh JOIN bench USING (s)
+            WHERE sh.doc_id % 97 <> 0
+            GROUP BY sh.doc_id
         """,
         "neardup_jaccard": """
             WITH sig AS (

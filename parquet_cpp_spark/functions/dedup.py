@@ -201,3 +201,30 @@ def simhash(docs: DataFrame, text_col: str = "text",
                    lambda v, m: F.when(v > 0, m).otherwise(F.lit(0))),
         F.lit(0).cast("long"), lambda acc, x: acc + x)
     return docs.select(id_col, sig.alias("simhash"))
+
+
+def decontaminate(docs: DataFrame, bench: DataFrame,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Benchmark decontamination: flag training documents that share ANY
+    word shingle with a benchmark/eval corpus — the n-gram-collision
+    decontamination standard for LLM training sets. Shingles are the
+    shared 3-word md5 grammar (functions.text.shingle_hashes), so the
+    check is exactly SQL-reproducible.
+
+    Returns (doc_id, n_hits): every contaminated doc with its count of
+    colliding shingle positions (the triage signal: 1 hit = likely
+    coincidence on a common phrase, hundreds = verbatim inclusion).
+
+    Scale design (100 TB corpus vs a benchmark of ~1e4-1e6 items): the
+    benchmark's DISTINCT shingle set is small and BROADCAST; the corpus
+    side streams through one explode + broadcast hash semi-join; the only
+    corpus-wide shuffle is the final per-doc count aggregation (partial
+    map-side combine applies). No benchmark-side scaling concern — if the
+    eval set ever outgrew broadcast, bucket both sides on the shingle."""
+    from .text import shingle_hashes
+    sh = shingle_hashes(text_col)
+    doc_sh = docs.select(F.col(id_col), F.explode(sh).alias("sh"))
+    bench_sh = bench.select(F.explode(sh).alias("sh")).distinct()
+    return (doc_sh.join(F.broadcast(bench_sh), "sh")
+            .groupBy(id_col).agg(F.count(F.lit(1)).alias("n_hits")))

@@ -72,13 +72,10 @@ def lang_id(docs: DataFrame, text_col: str = "text",
     return docs.select(id_col, pred.alias("lang_pred"))
 
 
-def shingle_fingerprints(docs: DataFrame, text_col: str = "text",
-                         id_col: str = "doc_id", k: int = 4) -> DataFrame:
-    """Rolling-hash (winnowing-style) document fingerprints: hash every
-    3-word shingle, keep the minimum (classic winnowing selects window
-    minima; the global minimum plus the k smallest form a robust
-    fingerprint set stable under local edits). Shingles are built with
-    shifted-slice zips — pure JVM expressions, no UDF."""
+def shingle_hashes(text_col: str = "text"):
+    """md5 per 3-word shingle ('|'-joined window), as a column expression —
+    the shared shingle grammar for fingerprints and decontamination.
+    Built with shifted-slice zips: pure JVM expressions, no UDF."""
     words = _words(text_col)
     # clamp: docs of <3 words have no 3-shingles (slice len must be >= 0)
     n = F.greatest(F.size(words) - 2, F.lit(0))
@@ -86,8 +83,17 @@ def shingle_fingerprints(docs: DataFrame, text_col: str = "text",
     s2 = F.slice(words, 2, n)
     s3 = F.slice(words, 3, n)
     pairs = F.zip_with(s1, s2, lambda a, b: F.concat(a, F.lit("|"), b))
-    shingles = F.zip_with(pairs, s3,
-                          lambda p, c: F.md5(F.concat(p, F.lit("|"), c)))
+    return F.zip_with(pairs, s3,
+                      lambda p, c: F.md5(F.concat(p, F.lit("|"), c)))
+
+
+def shingle_fingerprints(docs: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", k: int = 4) -> DataFrame:
+    """Rolling-hash (winnowing-style) document fingerprints: hash every
+    3-word shingle, keep the minimum (classic winnowing selects window
+    minima; the global minimum plus the k smallest form a robust
+    fingerprint set stable under local edits)."""
+    shingles = shingle_hashes(text_col)
     # fp_set is joined to a scalar so the result is canonicalizable by the
     # sort-based correctness harness (arrays are unsortable in pandas)
     return docs.select(

@@ -157,3 +157,26 @@ def test_neardup_jaccard_bucket_cap(spark):
     # was the bound
     pairs_hi = dedup.neardup_jaccard(docs, bucket_cap=64).collect()
     assert sum(1 for r in pairs_hi if r.a_id < 100) == 50 * 49 // 2
+
+
+def test_decontaminate_broadcasts_bench_and_flags_verbatim(spark):
+    """Decontamination: the benchmark shingle set is broadcast (corpus side
+    streams), a verbatim inclusion is flagged with a hit per shingle
+    position, and clean docs are absent."""
+    from parquet_cpp_spark.functions import dedup
+    bench = spark.createDataFrame(
+        [(1000, "the quick brown fox jumps over the lazy dog", "eval")],
+        "doc_id bigint, text string, source string")
+    docs = spark.createDataFrame(
+        [(1, "intro text then the quick brown fox jumps over it", "web"),
+         (2, "totally unrelated words without any overlap here", "web"),
+         (3, "the quick brown fox jumps over the lazy dog", "web")],
+        "doc_id bigint, text string, source string")
+    out = dedup.decontaminate(docs, bench)
+    assert "Broadcast" in _plan(out)
+    got = {r.doc_id: r.n_hits for r in out.collect()}
+    # doc 3 is verbatim: 9 words -> 7 shingles, all colliding
+    assert got[3] == 7
+    # doc 1 shares "the quick brown fox jumps over" (6 words) -> 4 shingles
+    assert got[1] == 4
+    assert 2 not in got
