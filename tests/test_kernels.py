@@ -46,14 +46,27 @@ def test_varint_roundtrip():
 
 
 # ---------- bitpack ----------
-@pytest.mark.parametrize("width", [1, 2, 3, 5, 7, 8, 13, 16, 20, 31, 32])
+@pytest.mark.parametrize("width", [1, 2, 3, 5, 7, 8, 13, 16, 20, 24, 25,
+                                   26, 31, 32])
 def test_bitpack_roundtrip(width):
+    # 24/25/26 bracket the u32-lane boundary (pack_rows32 covers <= 25)
     n = 1000
     vals = RNG.integers(0, 2**width, n, dtype=np.uint64)
     buf = bitpack.pack(vals, width)
     assert len(buf) == bitpack.bytes_for(n, width)
     out = bitpack.unpack(buf, n, width, np.uint64)
     np.testing.assert_array_equal(out, vals)
+
+
+@pytest.mark.parametrize("width", list(range(2, 26)))
+def test_pack_rows32_bitstream_equals_u64_lane(width):
+    """The u32 pack lane must produce the IDENTICAL bitstream as the u64
+    lane for every width it covers (little-endian words of either size
+    concatenate to the same LSB-first stream)."""
+    vals = RNG.integers(0, 2**width, (64, 8), dtype=np.uint64)
+    a = bitpack.pack_rows(vals, width)
+    b = bitpack.pack_rows32(vals.astype(np.uint32), width)
+    np.testing.assert_array_equal(a, b)
 
 
 def test_bitpack_non_byte_boundary():
