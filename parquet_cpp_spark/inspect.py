@@ -101,6 +101,45 @@ def cmd_blob(path: str) -> None:
                   f"min={p['min']!r} max={p['max']!r}")
 
 
+def cmd_parquet(path: str, scan: bool) -> None:
+    """PAR1 file dump through the ENGINE'S OWN format layer
+    (sources.parquet_format) — the parquet-dump-schema / parquet_reader
+    parity path; works on the reference's golden files and on files this
+    engine's writer emits."""
+    from .sources import parquet_format as pf
+    with open(path, "rb") as f:
+        mv = memoryview(f.read())
+    meta = pf.read_footer(mv)
+    print(f"{path}: {meta.num_rows} rows, "
+          f"{len(meta.row_groups)} row group(s), {len(meta.leaves)} leaves")
+    print("schema:")
+    for lf in meta.leaves:
+        opt = "OPTIONAL" if lf.max_def else "REQUIRED"
+        conv = f" converted={lf.converted_type}" \
+            if lf.converted_type is not None else ""
+        print(f"  {lf.name}: {lf.phys} {opt}"
+              f" max_def={lf.max_def} max_rep={lf.max_rep}{conv}")
+    for gi, rg in enumerate(meta.row_groups):
+        print(f"row group {gi}:")
+        for ch in rg:
+            dict_s = f" dict@{ch.dictionary_page_offset}" \
+                if ch.dictionary_page_offset else ""
+            print(f"  {ch.path}: {ch.phys} codec={ch.codec} "
+                  f"n={ch.num_values} data@{ch.data_page_offset}"
+                  f"{dict_s} bytes={ch.total_compressed_size}")
+    if scan:
+        by_path = {lf.name: lf for lf in meta.leaves}
+        t0 = time.perf_counter()
+        total = 0
+        for rg in meta.row_groups:
+            for ch in rg:
+                vals, _dl = pf.read_column(mv, by_path[ch.path], ch)
+                total += len(vals)
+        w = time.perf_counter() - t0
+        print(f"scan: {total} values in {w:.3f}s "
+              f"({total / max(w, 1e-9) / 1e6:.1f} M values/s)")
+
+
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser(prog="parquet_cpp_spark.inspect")
     ap.add_argument("path")
@@ -108,9 +147,15 @@ def main(argv=None) -> None:
                     help="decode everything and report M values/s")
     ap.add_argument("--blob", action="store_true",
                     help="path is a single raw chunk blob")
+    ap.add_argument("--parquet", action="store_true",
+                    help="path is a PAR1 file: dump schema/chunks through "
+                         "the engine's own format layer (parquet-dump-"
+                         "schema/parquet_reader analog)")
     args = ap.parse_args(argv)
     if args.blob:
         cmd_blob(args.path)
+    elif args.parquet:
+        cmd_parquet(args.path, args.scan)
     elif args.scan:
         cmd_scan(args.path)
     else:
