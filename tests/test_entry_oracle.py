@@ -80,3 +80,21 @@ def test_rows_only_queries_run(spark):
                  "ann_cosine_topk", "ann_cosine_lsh", "neardup_cosine_lsh",
                  "ann_cosine_ivf"):
         assert q[name](spark, SF_DIR).count() > 0
+
+
+def test_codec_selection_pinned_choices(spark):
+    """codec_selection is the one rows-only driver query (no SQL analog
+    for an engine-internal decision), so pin the selector's per-column
+    choices on the driver data here: a selector regression that flips a
+    column to a worse codec fails this test instead of passing silently.
+    Changing the selector deliberately means updating this pin."""
+    import __spark_entry__ as em
+    ch = em._chunks(spark, SF_DIR)
+    got = {(r.col, r.codec)
+           for r in ch.select("col", "codec").distinct().collect()}
+    assert got == {
+        ("doc_id", "DELTA_BYTE_ARRAY"),   # sequential-ish id strings
+        ("n_tok", "RLE"),                 # small-range ints
+        ("source", "RLE_DICTIONARY"),     # low-cardinality strings
+        ("tokens", "RLE_DICTIONARY"),     # mixed-profile token ids
+    }, got
