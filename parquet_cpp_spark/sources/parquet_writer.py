@@ -245,8 +245,11 @@ def _write_chunk(buf: bytearray, c: _Column, lo: int, hi: int,
         encodings = [ENC_PLAIN, ENC_RLE]
 
     data_page_offset = len(buf)
-    step = (hi - lo) if page_rows is None else page_rows
-    for plo in range(lo, hi, step):
+    step = max(1, (hi - lo) if page_rows is None else page_rows)
+    # a zero-row chunk still emits one empty data page so the footer's
+    # data_page_offset points at a real page header
+    page_starts = list(range(lo, hi, step)) or [lo]
+    for plo in page_starts:
         phi = min(plo + step, hi)
         pdlo, pdhi = c.dense_range(plo, phi)
         if enc is not None:

@@ -331,3 +331,27 @@ def test_fuzz_writer_pyarrow_roundtrip(tmp_path_factory, spec):
         if valid is not None:
             ref = [r if ok else None for r, ok in zip(ref, valid)]
         assert got == ref, nm
+
+
+def test_writer_edge_cases_zero_rows_and_all_null(tmp_path):
+    """Zero-row files (one empty data page keeps data_page_offset valid)
+    and all-null columns (empty dense payloads, dict/delta included) must
+    read back through pyarrow, DuckDB, and the engine's own reader."""
+    import duckdb
+    import pyarrow.parquet as pq
+    z = str(tmp_path / "zero.parquet")
+    pw.write_file(z, [("a", "int32", np.zeros(0, np.int32))], 0)
+    assert pq.read_table(z).num_rows == 0
+    assert duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{z}')").fetchone()[0] == 0
+    assert len(parquet_format.read_file(z)["a"][0]) == 0
+
+    an = str(tmp_path / "allnull.parquet")
+    none5 = [None] * 5
+    pw.write_file(an, [
+        ("d", "int32", np.zeros(5, np.int32), np.zeros(5, bool), True),
+        ("e", "int64", np.zeros(5, np.int64), np.zeros(5, bool)),
+    ], 5, delta_columns={"e"})
+    t = pq.read_table(an)
+    assert t.column("d").to_pylist() == none5
+    assert t.column("e").to_pylist() == none5
