@@ -969,9 +969,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         dtype=object)[order]),
             dtype=np.int32, count=len(ids))
         valid = ids % 7 != 0
-        out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "data", f"writer_rt_{len(ids)}.parquet")
-        os.makedirs(os.path.dirname(out), exist_ok=True)
+        # system temp dir, NOT the repo data/ dir: the artifact is a
+        # scratch file for this read-back, and writing it under the repo
+        # left litter in git status at every sf (r5 verdict nit). The name
+        # is row-count-keyed so repeated runs overwrite idempotently.
+        import tempfile
+        out = os.path.join(tempfile.gettempdir(),
+                           f"pcs_writer_rt_{len(ids)}.parquet")
         pw.write_file(out, [
             ("doc_id", "int64", ids),
             ("source", "byte_array", srcs, None, True),

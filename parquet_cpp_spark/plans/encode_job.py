@@ -73,7 +73,43 @@ def _written_part_ids(spark, chunks_path: str) -> "DataFrame | None":
             pass
         if "PATH_NOT_FOUND" in cls or "Path does not exist" in str(exc):
             return None  # dataset absent
+        if "UNABLE_TO_INFER_SCHEMA" in cls or \
+                "Unable to infer schema" in str(exc):
+            # The dir exists but Spark found no readable data files. That
+            # is "absent" ONLY if a listing confirms zero committed files
+            # (crash between makedirs and the first rename — e.g. on a
+            # non-local URI, or a local dir whose partition names didn't
+            # parse, which is how we got to the Spark read). A dir that
+            # DOES hold files but still fails inference is corrupt state:
+            # abort, same as any other read failure.
+            if _listing_has_no_data_files(spark, chunks_path):
+                return None
         raise
+
+
+def _listing_has_no_data_files(spark, path: str) -> bool:
+    """True when a recursive listing of ``path`` shows no data files
+    (committed chunk files are parquet; ``*.inprogress`` temp files from a
+    crashed writer don't count — they were never renamed in)."""
+    is_local = "://" not in path or path.startswith("file://")
+    if is_local:
+        local = path.removeprefix("file://")
+        for root, _dirs, files in os.walk(local):
+            if any(f.endswith(".parquet") for f in files):
+                return False
+        return True
+    # remote URI: ask the JVM Hadoop filesystem for a recursive listing
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    if not fs.exists(p):
+        return True
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
+            return False
+    return True
 
 
 def plan_num_parts(total_rows: int, avg_tokens_per_row: float = 256.0,

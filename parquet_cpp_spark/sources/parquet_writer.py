@@ -165,6 +165,32 @@ def _slice_dense(dense, phys: str, lo: int, hi: int):
     return dense[lo:hi]
 
 
+_NP_DTYPES = {"int32": "<i4", "int64": "<i8",
+              "float": "<f4", "double": "<f8"}
+
+
+def _coerce_dense(dense, phys: str, name: str):
+    """Coerce numeric dense values to the DECLARED physical dtype.
+
+    The writer's fail-loudly contract: an int32 column fed int64 values
+    (or a Python list) must either become real int32 or raise — silently
+    keeping the wide dtype makes downstream kernels (delta wrap32, PLAIN
+    width) emit pages other readers reject or misread."""
+    if phys not in _NP_DTYPES:
+        return dense
+    arr = np.asarray(dense)
+    dt = np.dtype(_NP_DTYPES[phys])
+    if arr.dtype == dt:
+        return arr
+    out = arr.astype(dt)
+    if phys in ("int32", "int64") and \
+            not np.array_equal(out.astype(arr.dtype, copy=False), arr):
+        raise ValueError(
+            f"column {name!r}: values do not fit declared physical "
+            f"type {phys} (max abs {np.abs(arr).max()})")
+    return out
+
+
 class _Column:
     def __init__(self, name: str, phys: str, values, valid=None,
                  use_dictionary: bool = False):
@@ -183,7 +209,7 @@ class _Column:
         # dense values (nulls removed) — the page payload form — plus the
         # slot->dense offset map for page/row-group slicing
         if self.valid is None:
-            self.dense = values
+            self.dense = _coerce_dense(values, phys, name)
             self.dense_ofs = None
         else:
             self.dense_ofs = np.zeros(self.n_slots + 1, dtype=np.int64)
@@ -192,7 +218,8 @@ class _Column:
                 self.dense = ba.take(ba.as_view(values),
                                      np.flatnonzero(self.valid))
             else:
-                self.dense = np.asarray(values)[self.valid]
+                self.dense = _coerce_dense(
+                    np.asarray(values)[self.valid], phys, name)
 
     def dense_range(self, lo: int, hi: int) -> tuple[int, int]:
         if self.dense_ofs is None:

@@ -64,6 +64,18 @@ def test_every_query_has_callable_signature():
     assert no_oracle == {"codec_selection"}
 
 
+def test_rotated_queries_keep_oracle_coverage():
+    """The 11 codec round-trips rotated past the driver's 50-entry
+    correctness window must each keep an oracle_sql() entry, so
+    test_query_matches_oracle (parametrized over oracle_sql keys) still
+    runs them end-to-end against DuckDB here even though the driver no
+    longer does. A rotation that drops a query's oracle fails this pin."""
+    rotated = set(list(entry_mod.queries())[50:])
+    assert rotated, "rotation list is empty — did the cap change?"
+    missing = rotated - set(entry_mod.oracle_sql())
+    assert not missing, f"rotated past driver cap AND oracle-less: {missing}"
+
+
 @pytest.mark.parametrize("name", sorted(entry_mod.oracle_sql().keys()))
 def test_query_matches_oracle(spark, duck, name):
     qdf = entry_mod.queries()[name](spark, SF_DIR).toPandas()

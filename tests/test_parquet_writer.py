@@ -355,3 +355,26 @@ def test_writer_edge_cases_zero_rows_and_all_null(tmp_path):
     t = pq.read_table(an)
     assert t.column("d").to_pylist() == none5
     assert t.column("e").to_pylist() == none5
+
+
+def test_delta_int32_coerces_wide_inputs(tmp_path):
+    """Declared-int32 delta columns fed int64 arrays or Python lists must
+    become real int32 before kernels/delta (wrap32 + miniblock widths
+    <= 32) — previously the wide dtype slipped through and the file's
+    delta pages carried widths > 32, which pyarrow rejects ('delta bit
+    width larger than integer bit width'). In-range wide inputs now write
+    readably; out-of-range values raise instead of writing a broken file."""
+    import pyarrow.parquet as pq
+
+    vals64 = np.array([-(2**31) + 5, 2**31 - 7, 0, 123], dtype=np.int64)
+    path = str(tmp_path / "wide32.parquet")
+    pw.write_file(path, [("a", "int32", vals64),
+                         ("b", "int32", [3, 1, 2, 10])],
+                  4, delta_columns={"a", "b"})
+    t = pq.read_table(path)
+    assert t.column("a").to_pylist() == vals64.tolist()
+    assert t.column("b").to_pylist() == [3, 1, 2, 10]
+
+    with pytest.raises(ValueError, match="do not fit"):
+        pw.write_file(str(tmp_path / "bad.parquet"),
+                      [("a", "int32", np.array([2**31], dtype=np.int64))], 1)

@@ -287,3 +287,24 @@ def test_written_part_ids_reraises_non_absence_errors(spark, tmp_path):
     with pytest.raises(Exception) as exc_info:
         _written_part_ids(spark, str(chunks))
     assert "PATH_NOT_FOUND" not in str(exc_info.value)
+
+
+def test_written_part_ids_empty_dir_counts_as_absent(spark, tmp_path):
+    """A chunks dir that EXISTS but holds no committed data files (crash
+    between makedirs and the first atomic rename) must read as
+    dataset-absent so resume re-encodes from scratch — previously the
+    Spark-read fallback surfaced UNABLE_TO_INFER_SCHEMA and aborted.
+    A dir that holds ANY file (even an unreadable one) still aborts:
+    Spark fails reading it before schema inference, and conservative
+    abort is exactly right for maybe-partial state."""
+    from parquet_cpp_spark.plans.encode_job import _written_part_ids
+
+    chunks = tmp_path / "chunks"
+    # non-numeric partition dir so the local fast path defers to Spark
+    bad = chunks / "part_id=__HIVE_DEFAULT_PARTITION__"
+    bad.mkdir(parents=True)
+    assert _written_part_ids(spark, str(chunks)) is None
+
+    (bad / "c.parquet").write_bytes(b"not parquet at all")
+    with pytest.raises(Exception):
+        _written_part_ids(spark, str(chunks))
