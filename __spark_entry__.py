@@ -986,6 +986,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("doc_id", "source", "n_chars").orderBy("doc_id")
     q["pq_writer_roundtrip"] = pq_writer_roundtrip
 
+    def pq_writer_tokens(spark: SparkSession, sf: str) -> DataFrame:
+        """The engine's PAR1 writer emitting its own HEADLINE column —
+        ``tokens array<int32>`` — as a REPEATED leaf (rep/def levels,
+        3-level list encoding; reference column_writer.cc:616-629 /
+        arrow/writer.cc:71-262), then read back by Spark's JVM parquet
+        reader. All four input-hint columns are written by the engine:
+        doc_id (PLAIN utf8), tokens (dict-encoded list leaf), n_tok
+        (DELTA_BINARY_PACKED), source (dict utf8); ZSTD pages, multiple
+        row groups and pages (page splits land mid-list). The oracle is
+        the token-table identity: any rep-level, dict, delta, or footer
+        byte bug breaks the JVM read or flips tok_hash."""
+        import tempfile
+
+        import numpy as np
+
+        from parquet_cpp_spark.sources import parquet_writer as pw
+        src = tokens_src.tokens_from_documents(spark, sf, _parts(sf))
+        # bounded driver collect BY DESIGN: like pq_writer_roundtrip, this
+        # query is an oracle harness for the file writer, not the scale
+        # path (that is plans.encode_job.write_parquet_dataset)
+        pdf = (src.select("doc_id", "tokens", "n_tok", "source")
+               .orderBy(F.col("doc_id").cast("long")).toPandas())
+        n = len(pdf)
+        lengths = np.fromiter((len(t) for t in pdf["tokens"]),
+                              dtype=np.int64, count=n)
+        assert (lengths == pdf["n_tok"].to_numpy(np.int64)).all()
+        vals = (np.concatenate([np.asarray(t, dtype=np.int32)
+                                for t in pdf["tokens"]])
+                if n else np.zeros(0, np.int32))
+        out = os.path.join(tempfile.gettempdir(),
+                           f"pcs_writer_tokens_{n}.parquet")
+        pw.write_file(out, [
+            ("doc_id", "byte_array", [s.encode() for s in pdf["doc_id"]]),
+            pw.ListColumn("tokens", "int32", vals, lengths,
+                          use_dictionary=True),
+            ("n_tok", "int32", pdf["n_tok"].to_numpy(np.int32)),
+            ("source", "byte_array",
+             [s.encode() for s in pdf["source"]], None, True),
+        ], n, row_group_rows=200, page_rows=64, compression="zstd",
+            utf8_columns={"doc_id", "source"}, delta_columns={"n_tok"})
+        return _digest(spark.read.parquet(out))
+    q["pq_writer_tokens"] = pq_writer_tokens
+
     # --- multimodal: real pure-numpy decode (PPM/WAV/concat-PPM video) ---
     def media_features(spark: SparkSession, sf: str) -> DataFrame:
         """Feature extraction over persisted real media payloads (binary
@@ -1088,6 +1131,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_gzip", "rt_zstd", "rt_salted", "rt_paged", "rt_v2",
         "rt_delta_byte_array", "rt_delta_length_byte_array",
         "rt_nullable_flat", "rt_logical", "rt_annotations", "rt_struct",
+        # r6: rt_nested_list joins the rotation to make window room for
+        # pq_writer_tokens — its list-of-list level machinery stays pinned
+        # by tests/test_nested.py AND the driver now exercises rep levels
+        # end-to-end through a THIRD decoder (Spark's JVM reader) via
+        # pq_writer_tokens; like every rotated query it keeps its oracle
+        # and runs in test_query_matches_oracle.
+        "rt_nested_list",
     ]
     ordered = {k: v for k, v in q.items() if k not in rotated_past_cap}
     for k in rotated_past_cap:
@@ -1099,6 +1149,7 @@ def oracle_sql() -> dict[str, str]:
     identity = tokens_src.tokens_oracle_sql(NUM_PARTS)
     o = {
         "rt_auto": identity,
+        "pq_writer_tokens": identity,
         "rt_plain": identity,
         "rt_rle": identity,
         "rt_delta": identity,

@@ -133,7 +133,7 @@ def cmd_parquet(path: str, scan: bool) -> None:
         total = 0
         for rg in meta.row_groups:
             for ch in rg:
-                vals, _dl = pf.read_column(mv, by_path[ch.path], ch)
+                vals, _dl, _rl = pf.read_column(mv, by_path[ch.path], ch)
                 total += len(vals)
         w = time.perf_counter() - t0
         print(f"scan: {total} values in {w:.3f}s "

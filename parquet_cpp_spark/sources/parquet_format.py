@@ -12,10 +12,13 @@ same files (``/root/reference/data/alltypes_plain.parquet`` etc.).
 
 This is deliberately NOT a general parquet reader (the engine's production
 input path is pyarrow's C++ scanner; its storage format is the chunk blob).
-Scope: format 1.0 V1 data pages, flat schemas (max_rep = 0),
-PLAIN / PLAIN_DICTIONARY / RLE_DICTIONARY encodings, UNCOMPRESSED or any
-block codec pyarrow bundles. That covers every golden file the reference
-ships and fails loudly on anything else.
+Scope: format 1.0 V1 data pages (plus the engine writer's V2 pages),
+flat and REPEATED leaves (rep levels are decoded and returned; row
+re-assembly is the caller's job via ``levels.lengths_from_levels``),
+PLAIN / PLAIN_DICTIONARY / RLE_DICTIONARY / DELTA_BINARY_PACKED
+encodings, UNCOMPRESSED or any block codec pyarrow bundles. That covers
+every golden file the reference ships plus everything the engine's own
+writer emits, and fails loudly on anything else.
 """
 
 from __future__ import annotations
@@ -247,11 +250,11 @@ def _concat(parts: list):
 
 def read_column(mv: memoryview, leaf: LeafColumn,
                 chunk: ColumnChunkMeta) -> tuple:
-    """One column chunk -> (values, def_levels | None). Values are dense
-    (nulls removed); the caller re-spaces through the def levels —
-    the reference's DecodeSpaced contract."""
-    if leaf.max_rep:
-        raise ValueError("nested (repeated) golden columns not supported")
+    """One column chunk -> (values, def_levels | None, rep_levels | None).
+    Values are dense (nulls removed); the caller re-spaces through the def
+    levels (the reference's DecodeSpaced contract) and re-assembles rows
+    through the rep levels (``levels.lengths_from_levels`` — rep 0 starts
+    a record, the reference's RecordReader delimiting)."""
     pos = chunk.dictionary_page_offset
     if pos is None or pos <= 0 or pos > chunk.data_page_offset:
         pos = chunk.data_page_offset
@@ -259,6 +262,7 @@ def read_column(mv: memoryview, leaf: LeafColumn,
     dictionary = None
     parts: list = []
     def_parts: list[np.ndarray] = []
+    rep_parts: list[np.ndarray] = []
     values_seen = 0
     while pos < end and values_seen < chunk.num_values:
         rd = _Compact(mv, pos)
@@ -275,24 +279,32 @@ def read_column(mv: memoryview, leaf: LeafColumn,
             dictionary = _decode_plain(body, dph[1], leaf.phys)
             continue
         if page_type == _PAGE_DATA_V2:
-            # V2: levels sit UNPREFIXED before the (separately) compressed
-            # value region — mirror of parquet_writer's V2 emission
+            # V2: levels sit UNPREFIXED (rep first, then def) before the
+            # (separately) compressed value region — mirror of
+            # parquet_writer's V2 emission
             dp = ph[8]
             n_slots = dp[1]
             encoding = dp[4]
             def_len = dp.get(5, 0)
+            rep_len = dp.get(6, 0)
             deflev = None
+            if leaf.max_rep:
+                bwr = max(1, int(leaf.max_rep).bit_length())
+                replev, _ = rle.decode(body, n_slots, bwr, 0,
+                                       out_dtype=np.int8)
+                rep_parts.append(replev)
             if leaf.max_def:
                 bw = max(1, int(leaf.max_def).bit_length())
-                deflev, _ = rle.decode(body, n_slots, bw, 0,
+                deflev, _ = rle.decode(body, n_slots, bw, rep_len,
                                        out_dtype=np.int8)
                 def_parts.append(deflev)
                 n_present = int((deflev == leaf.max_def).sum())
             else:
                 n_present = n_slots
             vcodec = chunk.codec if dp.get(7, True) else 0
-            body = _decompress_page(body[def_len:], vcodec,
-                                    raw_size - def_len)
+            lvl_len = rep_len + def_len
+            body = _decompress_page(body[lvl_len:], vcodec,
+                                    raw_size - lvl_len)
             p = 0
         elif page_type != _PAGE_DATA:
             raise ValueError(f"unsupported page type {page_type}")
@@ -303,6 +315,11 @@ def read_column(mv: memoryview, leaf: LeafColumn,
             body = _decompress_page(body, chunk.codec, raw_size)
             p = 0
             deflev = None
+            if leaf.max_rep:
+                bwr = max(1, int(leaf.max_rep).bit_length())
+                replev, p = rle.decode_length_prefixed(body, n_slots, bwr, p,
+                                                       out_dtype=np.int8)
+                rep_parts.append(replev)
             if leaf.max_def:
                 bw = max(1, int(leaf.max_def).bit_length())
                 deflev, p = rle.decode_length_prefixed(body, n_slots, bw, p,
@@ -337,11 +354,13 @@ def read_column(mv: memoryview, leaf: LeafColumn,
         values_seen += n_slots
     values = _concat(parts) if parts else np.zeros(0)
     deflev = np.concatenate(def_parts) if def_parts else None
-    return values, deflev
+    replev = np.concatenate(rep_parts) if rep_parts else None
+    return values, deflev, replev
 
 
 def read_file(path: str) -> dict[str, tuple]:
-    """Whole flat parquet file -> {leaf path: (dense values, def levels)}."""
+    """Whole parquet file ->
+    {leaf path: (dense values, def levels, rep levels)}."""
     with open(path, "rb") as f:
         mv = memoryview(f.read())
     meta = read_footer(mv)
@@ -350,11 +369,14 @@ def read_file(path: str) -> dict[str, tuple]:
     for rg in meta.row_groups:
         for chunk in rg:
             leaf = by_path[chunk.path]
-            vals, deflev = read_column(mv, leaf, chunk)
-            out.setdefault(chunk.path, []).append((vals, deflev))
+            out.setdefault(chunk.path, []).append(
+                read_column(mv, leaf, chunk))
     merged = {}
     for path_, pieces in out.items():
-        vals = _concat([v for v, _ in pieces])
-        defs = ([d for _, d in pieces if d is not None] or None)
-        merged[path_] = (vals, np.concatenate(defs) if defs else None)
+        vals = _concat([v for v, _, _ in pieces])
+        defs = ([d for _, d, _ in pieces if d is not None] or None)
+        reps = ([r for _, _, r in pieces if r is not None] or None)
+        merged[path_] = (vals,
+                         np.concatenate(defs) if defs else None,
+                         np.concatenate(reps) if reps else None)
     return merged

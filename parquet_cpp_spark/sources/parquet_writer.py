@@ -9,9 +9,13 @@ parquet-format spec; the thrift compact protocol is implemented here from
 that spec, symmetric with the reader in ``parquet_format._Compact``.
 
 Scope (interop parity-plus — the production sink is the chunk/manifest
-dataset, SURVEY §1.1): flat schemas, REQUIRED or OPTIONAL leaves, PLAIN or
-dictionary encoding (PLAIN dict page + PLAIN_DICTIONARY data pages, the
-format-1.0 pairing), multiple row groups, multiple data pages per chunk,
+dataset, SURVEY §1.1): flat REQUIRED/OPTIONAL leaves plus REQUIRED
+``list<element>`` columns via rep/def levels (3-level encoding,
+``ListColumn``; rep levels delimit rows as in ``column_writer.cc:616-629``
+— this is how the engine emits its own headline ``tokens array<int32>``
+column as real parquet), PLAIN or dictionary encoding (PLAIN dict page +
+PLAIN_DICTIONARY data pages, the format-1.0 pairing) or
+DELTA_BINARY_PACKED, multiple row groups, multiple data pages per chunk,
 SNAPPY/GZIP/ZSTD page compression, and chunk-level min/max/null_count
 statistics (``column_writer.cc`` EncodedStatistics analog). Fails loudly
 on anything out of scope. Page payloads come from the engine's own
@@ -25,6 +29,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..kernels import ba, delta, dictionary, plain, rle
+from ..levels import levels_from_lengths
 
 MAGIC = b"PAR1"
 
@@ -191,9 +196,26 @@ def _coerce_dense(dense, phys: str, name: str):
     return out
 
 
+class ListColumn:
+    """Spec for a REQUIRED ``list<element>`` column (3-level encoding,
+    ``schema.h:43-77``): ``values`` are the flattened elements, ``lengths``
+    the per-row element counts. max_rep = max_def = 1; an empty list is one
+    level slot with def = 0 (the reference writes REPEATED leaves the same
+    way — rep 0 delimits a record, ``column_writer.cc:616-629``; levels
+    from offsets mirror ``arrow/writer.cc:71-262``)."""
+
+    def __init__(self, name: str, phys: str, values, lengths,
+                 use_dictionary: bool = False):
+        self.name = name
+        self.phys = phys
+        self.values = values
+        self.lengths = lengths
+        self.use_dictionary = use_dictionary
+
+
 class _Column:
     def __init__(self, name: str, phys: str, values, valid=None,
-                 use_dictionary: bool = False):
+                 use_dictionary: bool = False, lengths=None):
         if phys not in _TYPE_IDS:
             raise ValueError(f"writer supports {sorted(_TYPE_IDS)}, "
                              f"not {phys!r}")
@@ -201,11 +223,39 @@ class _Column:
         self.phys = phys
         self.valid = None if valid is None \
             else np.asarray(valid, dtype=bool)
+        self.lengths = None if lengths is None \
+            else np.ascontiguousarray(lengths, dtype=np.int64)
+        self.use_dictionary = use_dictionary
+        if self.lengths is not None:
+            # list column: one slot per ROW; dense holds every element.
+            if self.valid is not None:
+                raise ValueError("list columns take lengths, not valid")
+            if (self.lengths < 0).any():
+                raise ValueError(f"column {name}: negative list length")
+            self.n_slots = len(self.lengths)
+            n_elems = len(values) if phys == "byte_array" \
+                else len(np.asarray(values))
+            if n_elems != int(self.lengths.sum()):
+                raise ValueError(
+                    f"column {name}: {n_elems} elements but lengths sum "
+                    f"to {int(self.lengths.sum())}")
+            if phys == "byte_array":
+                self.dense = values if isinstance(values, ba.ByteArrayView) \
+                    else ba.as_view(values)
+            else:
+                self.dense = _coerce_dense(values, phys, name)
+            # row -> first dense element (same role the null map plays for
+            # flat OPTIONAL columns: page slicing via dense_range)
+            self.dense_ofs = np.zeros(self.n_slots + 1, dtype=np.int64)
+            np.cumsum(self.lengths, out=self.dense_ofs[1:])
+            # row -> first LEVEL slot (empty rows still own one def=0 slot)
+            self.lvl_ofs = np.zeros(self.n_slots + 1, dtype=np.int64)
+            np.cumsum(np.maximum(self.lengths, 1), out=self.lvl_ofs[1:])
+            return
         self.n_slots = len(values) if self.valid is None else len(self.valid)
         if self.valid is not None and len(values) != self.n_slots:
             raise ValueError("values must be slot-aligned (one per row, "
                              "nulls included) when valid is given")
-        self.use_dictionary = use_dictionary
         # dense values (nulls removed) — the page payload form — plus the
         # slot->dense offset map for page/row-group slicing
         if self.valid is None:
@@ -221,10 +271,35 @@ class _Column:
                 self.dense = _coerce_dense(
                     np.asarray(values)[self.valid], phys, name)
 
+    @property
+    def is_list(self) -> bool:
+        return self.lengths is not None
+
+    @property
+    def path(self) -> list[str]:
+        return [self.name, "list", "element"] if self.is_list \
+            else [self.name]
+
     def dense_range(self, lo: int, hi: int) -> tuple[int, int]:
         if self.dense_ofs is None:
             return lo, hi
         return int(self.dense_ofs[lo]), int(self.dense_ofs[hi])
+
+    def num_values(self, lo: int, hi: int) -> int:
+        """ColumnMetaData.num_values / page-header num_values: LEVEL slots
+        in the row range (= rows for flat columns, level positions for
+        list columns — empty lists still carry one marker slot)."""
+        if self.is_list:
+            return int(self.lvl_ofs[hi] - self.lvl_ofs[lo])
+        return hi - lo
+
+    def page_levels(self, lo: int, hi: int):
+        """(rep, def) int8 arrays for a list page, None/def for flat."""
+        if self.is_list:
+            return levels_from_lengths(self.lengths[lo:hi])
+        if self.valid is not None:
+            return None, self.valid[lo:hi].astype(np.int8)
+        return None, None
 
 
 def _write_chunk(buf: bytearray, c: _Column, lo: int, hi: int,
@@ -293,31 +368,37 @@ def _write_chunk(buf: bytearray, c: _Column, lo: int, hi: int,
         else:
             values_b = _plain_values(
                 _slice_dense(c.dense, c.phys, pdlo, pdhi), c.phys)
+        rep_arr, def_arr = c.page_levels(plo, phi)
+        n_slots_pg = c.num_values(plo, phi)
         if data_page_version == 2:
-            # V2: def levels UNPREFIXED and outside the compressed region
-            # (reference properties.h:363-377 / format v2 pages)
-            levels = b"" if c.valid is None else \
-                rle.encode(c.valid[plo:phi].astype(np.int8), 1)
+            # V2: rep+def levels UNPREFIXED and outside the compressed
+            # region, rep first (reference properties.h:363-377 / format
+            # v2 pages; level byte lengths in header fields 6/5)
+            rep_b = b"" if rep_arr is None else rle.encode(rep_arr, 1)
+            def_b = b"" if def_arr is None else rle.encode(def_arr, 1)
+            levels = rep_b + def_b
             vbody = _compress(values_b, codec)
             hdr = _page_header(
                 _PAGE_DATA_V2, len(levels) + len(values_b),
                 len(levels) + len(vbody), 8,
-                [(1, _I32, phi - plo),
-                 (2, _I32, (phi - plo) - (pdhi - pdlo)),
+                [(1, _I32, n_slots_pg),
+                 (2, _I32, n_slots_pg - (pdhi - pdlo)),
                  (3, _I32, phi - plo), (4, _I32, encoding),
-                 (5, _I32, len(levels)), (6, _I32, 0),
+                 (5, _I32, len(def_b)), (6, _I32, len(rep_b)),
                  (7, _TRUE if codec is not None else _FALSE, None)])
             buf += hdr
             buf += levels
             buf += vbody
             raw_total += len(hdr) + len(levels) + len(values_b)
         else:
-            levels = b"" if c.valid is None else rle.encode_length_prefixed(
-                c.valid[plo:phi].astype(np.int8), 1)
-            payload = levels + values_b
+            rep_b = b"" if rep_arr is None \
+                else rle.encode_length_prefixed(rep_arr, 1)
+            def_b = b"" if def_arr is None \
+                else rle.encode_length_prefixed(def_arr, 1)
+            payload = rep_b + def_b + values_b
             body = _compress(payload, codec)
             hdr = _page_header(_PAGE_DATA, len(payload), len(body), 5,
-                               [(1, _I32, phi - plo), (2, _I32, encoding),
+                               [(1, _I32, n_slots_pg), (2, _I32, encoding),
                                 (3, _I32, ENC_RLE), (4, _I32, ENC_RLE)])
             buf += hdr
             buf += body
@@ -326,16 +407,20 @@ def _write_chunk(buf: bytearray, c: _Column, lo: int, hi: int,
     total_comp = len(buf) - chunk_start
     cmd = [(1, _I32, _TYPE_IDS[c.phys]),
            (2, _LIST, (_I32, encodings)),
-           (3, _LIST, (_BINARY, [c.name])),
+           (3, _LIST, (_BINARY, c.path)),
            (4, _I32, codec_id),
-           (5, _I64, hi - lo),
+           (5, _I64, c.num_values(lo, hi)),
            (6, _I64, raw_total), (7, _I64, total_comp),
            (9, _I64, data_page_offset)]
     if dict_page_offset is not None:
         cmd.append((11, _I64, dict_page_offset))
     if write_statistics:
-        null_count = 0 if c.valid is None \
-            else int((~c.valid[lo:hi]).sum())
+        if c.is_list:
+            # def < max_def slots: one marker per empty list
+            null_count = int((c.lengths[lo:hi] == 0).sum())
+        else:
+            null_count = 0 if c.valid is None \
+                else int((~c.valid[lo:hi]).sum())
         st = _chunk_stats(dense, c.phys, null_count)
         if st is not None:
             cmd.append((12, _STRUCT, st))
@@ -371,7 +456,9 @@ def write_file(path: str, columns: list[tuple], num_rows: int,
     if compression not in _CODEC_IDS:
         raise ValueError(f"unsupported compression {compression!r} "
                          f"(one of {sorted(k for k in _CODEC_IDS if k)})")
-    cols = [_Column(*spec) for spec in columns]
+    cols = [_Column(s.name, s.phys, s.values, None, s.use_dictionary,
+                    s.lengths) if isinstance(s, ListColumn)
+            else _Column(*s) for s in columns]
     for c in cols:
         if c.n_slots != num_rows:
             raise ValueError(f"column {c.name}: {c.n_slots} slots, "
@@ -398,13 +485,24 @@ def write_file(path: str, columns: list[tuple], num_rows: int,
     schema = [[(3, _I32, 0), (4, _BINARY, "schema"),
                (5, _I32, len(cols))]]
     for c in cols:
-        rep = 1 if c.valid is not None else 0
-        el = [(1, _I32, _TYPE_IDS[c.phys]), (3, _I32, rep),
-              (4, _BINARY, c.name)]
+        if c.name in utf8_columns and c.phys != "byte_array":
+            raise ValueError(f"utf8 annotation on non-byte_array "
+                             f"column {c.name!r}")
+        if c.is_list:
+            # standard 3-level list shape (schema.h:43-77): a REQUIRED
+            # group annotated LIST, one REPEATED middle group, the leaf.
+            # Spark/pyarrow/DuckDB all read this as array<element>.
+            schema.append([(3, _I32, 0), (4, _BINARY, c.name),
+                           (5, _I32, 1), (6, _I32, 3)])   # ConvertedType LIST
+            schema.append([(3, _I32, 2), (4, _BINARY, "list"),
+                           (5, _I32, 1)])                 # REPEATED group
+            el = [(1, _I32, _TYPE_IDS[c.phys]), (3, _I32, 0),
+                  (4, _BINARY, "element")]
+        else:
+            rep = 1 if c.valid is not None else 0
+            el = [(1, _I32, _TYPE_IDS[c.phys]), (3, _I32, rep),
+                  (4, _BINARY, c.name)]
         if c.name in utf8_columns:
-            if c.phys != "byte_array":
-                raise ValueError(f"utf8 annotation on non-byte_array "
-                                 f"column {c.name!r}")
             el.append((6, _I32, 0))  # ConvertedType UTF8
         schema.append(el)
     fmd = bytearray()

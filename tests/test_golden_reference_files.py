@@ -56,7 +56,7 @@ def _compare_with_pyarrow(path):
     theirs = pq.read_table(path)
     assert set(ours) == set(theirs.column_names)
     for name in theirs.column_names:
-        vals, deflev = ours[name]
+        vals, deflev, _rep = ours[name]
         got = _respaced(vals, deflev)
         ref_col = theirs.column(name)
         if str(ref_col.type).startswith("timestamp"):
@@ -113,7 +113,7 @@ def test_decimal_files(name):
     ours = pfmt.read_file(path)
     theirs = pq.read_table(path)
     for col in theirs.column_names:
-        vals, deflev = ours[col]
+        vals, deflev, _rep = ours[col]
         got = _raw_to_unscaled(_respaced(vals, deflev), None)
         scale = theirs.column(col).type.scale
         ref = [None if v is None else int(v * (10 ** scale))
