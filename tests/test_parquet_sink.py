@@ -1,0 +1,143 @@
+"""Distributed PAR1 emission: executors write engine-format parquet files;
+spark.read.parquet / DuckDB / pyarrow scan the result with zero engine
+code; manifest rows carry file/rows/values/bytes/checksum.
+
+Reference parity: RowGroupSerializer/FileSerializer split
+(/root/reference/src/parquet/file_writer.cc:60-236) — per-row-group column
+serialization, per-task file finalization."""
+
+import hashlib
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from parquet_cpp_spark.session import get_spark
+    return get_spark(master="local[4]", app_name="pcs-parquet-sink",
+                     shuffle_partitions=4)
+
+
+def _csum(df):
+    from pyspark.sql import functions as F
+    h = F.xxhash64("doc_id", "tokens", "n_tok", "source") \
+        .cast("decimal(38,0)")
+    return df.agg(F.sum(h).alias("s"), F.count("*").alias("n")).collect()[0]
+
+
+def test_distributed_parquet_emission_roundtrip(spark, tmp_path):
+    """sf-style token table -> worker-written PAR1 dataset. Spark's JVM
+    reader scans the directory as plain parquet and every row round-trips
+    (xxhash64 content sum over all four columns); DuckDB agrees on the
+    token sum; every manifest checksum matches the file on disk."""
+    import duckdb
+
+    from parquet_cpp_spark.sources.parquet_sink import write_parquet_dataset
+    from parquet_cpp_spark.sources.tokens import synthesize_tokens_parquet
+
+    src_path = synthesize_tokens_parquet(
+        str(tmp_path / "tok.parquet"), 3000, 11, row_group_size=500)
+    out = str(tmp_path / "pqout")
+    man = write_parquet_dataset(spark, src_path, out,
+                                delta_columns={"n_tok"}).collect()
+    assert len(man) == 6                      # one file per source row group
+    files = sorted(r.file for r in man)
+    assert files == sorted(os.path.join(out, f) for f in os.listdir(out))
+    assert all(f.endswith(".parquet") for f in files)
+    for r in man:
+        with open(r.file, "rb") as fh:
+            data = fh.read()
+        assert hashlib.sha256(data).hexdigest() == r.checksum
+        assert len(data) == r.bytes and r.n_rows == 500
+
+    a = _csum(spark.read.parquet(src_path))
+    b = _csum(spark.read.parquet(out))
+    assert (a.s, a.n) == (b.s, b.n)
+
+    con = duckdb.connect()
+    sa = con.execute(f"SELECT sum(t)::BIGINT FROM (SELECT unnest(tokens) t "
+                     f"FROM read_parquet('{src_path}'))").fetchone()[0]
+    sb = con.execute(f"SELECT sum(t)::BIGINT FROM (SELECT unnest(tokens) t "
+                     f"FROM read_parquet('{out}/*.parquet'))").fetchone()[0]
+    assert sa == sb
+
+
+def test_sink_task_retry_is_idempotent(spark, tmp_path):
+    """Re-running the job over the same source overwrites each file with
+    identical bytes (content+source-tagged names), so task retries can
+    never duplicate data."""
+    from parquet_cpp_spark.sources.parquet_sink import write_parquet_dataset
+    from parquet_cpp_spark.sources.tokens import synthesize_tokens_parquet
+
+    src_path = synthesize_tokens_parquet(
+        str(tmp_path / "tok.parquet"), 800, 3, row_group_size=400)
+    out = str(tmp_path / "pqout")
+    m1 = {r.file: r.checksum
+          for r in write_parquet_dataset(spark, src_path, out).collect()}
+    m2 = {r.file: r.checksum
+          for r in write_parquet_dataset(spark, src_path, out).collect()}
+    assert m1 == m2
+    assert sorted(os.listdir(out)) == sorted(
+        os.path.basename(f) for f in m1)
+
+
+def test_specs_from_arrow_nullables_and_rejects():
+    """Arrow-schema bridge: nullable flat columns keep their masks; lists
+    of non-int elements, null list slots, and exotic types fail loudly."""
+    import pyarrow as pa
+
+    from parquet_cpp_spark.sources import parquet_writer as pw
+    from parquet_cpp_spark.sources.parquet_sink import specs_from_arrow
+
+    tbl = pa.table({
+        "i": pa.array([1, None, 3], pa.int64()),
+        "s": pa.array(["a", None, "c"]),
+        "l": pa.array([[1, 2], [], [3]], pa.list_(pa.int32())),
+    })
+    specs, utf8 = specs_from_arrow(tbl)
+    assert utf8 == {"s"}
+    by_name = {getattr(s, "name", None) or s[0]: s for s in specs}
+    assert by_name["i"][3].tolist() == [True, False, True]
+    assert isinstance(by_name["l"], pw.ListColumn)
+    assert by_name["l"].lengths.tolist() == [2, 0, 1]
+
+    with pytest.raises(ValueError, match="out of"):
+        specs_from_arrow(pa.table(
+            {"x": pa.array([["a"]], pa.list_(pa.string()))}))
+    with pytest.raises(ValueError, match="NULL list"):
+        specs_from_arrow(pa.table(
+            {"x": pa.array([[1], None], pa.list_(pa.int32()))}))
+    with pytest.raises(ValueError, match="out of"):
+        specs_from_arrow(pa.table(
+            {"x": pa.array([{"a": 1}], pa.struct([("a", pa.int32())]))}))
+
+
+def test_sink_on_sf001_documents_tokens(spark, tmp_path):
+    """The VERDICT done-criterion shape: encode the sf0.01 documents-derived
+    token table into a directory of engine-written parquet files; Spark's
+    JVM reader and DuckDB both scan it correctly, one manifest row per
+    file."""
+    import duckdb
+
+    from parquet_cpp_spark.sources.parquet_sink import write_parquet_dataset
+    from parquet_cpp_spark.sources.tokens import tokens_from_documents
+
+    src = tokens_from_documents(spark, "/root/testdata/sf0.01", 8) \
+        .drop("part_id")
+    srcp = str(tmp_path / "src")
+    src.repartition(4).write.parquet(srcp)
+    out = str(tmp_path / "pqout")
+    man = write_parquet_dataset(spark, srcp, out,
+                                delta_columns={"n_tok"}).collect()
+    assert len(man) == len(os.listdir(out)) and len(man) >= 4
+    a = _csum(spark.read.parquet(srcp))
+    b = _csum(spark.read.parquet(out))
+    assert (a.s, a.n) == (b.s, b.n) and a.n == 500
+    n = duckdb.connect().execute(
+        f"SELECT count(*) FROM read_parquet('{out}/*.parquet')").fetchone()[0]
+    assert n == 500
