@@ -756,8 +756,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("part_id")
     q["chunk_stats_tokens"] = chunk_stats_tokens
 
-    # --- no-oracle (rows-only) engine introspection ---
     def codec_selection(spark: SparkSession, sf: str) -> DataFrame:
+        """Per-column codec histogram of the auto-selector — as of r6 the
+        LAST formerly-rows-only query is fully oracle-checked: selection
+        and encoded sizes are deterministic (pinned across parallelism
+        levels by tests/test_entry_oracle.py), so the oracle is the
+        reviewed golden histogram at the driver's sf0.01, embedded as a
+        SQL VALUES list. A selector regression that flips a codec OR a
+        kernel change that alters encoded bytes flips the value hash."""
         ch = _chunks(spark, sf)
         return (ch.groupBy("col", "codec")
                 .agg(F.count("*").alias("n_chunks"),
@@ -1149,6 +1155,23 @@ def oracle_sql() -> dict[str, str]:
     identity = tokens_src.tokens_oracle_sql(NUM_PARTS)
     o = {
         "rt_auto": identity,
+        # codec_selection: the selector's choices and encoded sizes are
+        # deterministic functions of the data (pinned across parallelism
+        # in pytest), so the oracle is the reviewed golden histogram at
+        # sf0.01 — the driver's correctness scale — expressed as VALUES.
+        # Changing the selector or a kernel's byte layout deliberately
+        # means updating this pin (same contract as the pytest golden).
+        "codec_selection": """
+            SELECT * FROM (VALUES
+                ('doc_id', 'DELTA_BYTE_ARRAY', CAST(8 AS BIGINT),
+                 CAST(1563 AS BIGINT)),
+                ('n_tok', 'RLE', CAST(8 AS BIGINT), CAST(672 AS BIGINT)),
+                ('source', 'RLE_DICTIONARY', CAST(8 AS BIGINT),
+                 CAST(820 AS BIGINT)),
+                ('tokens', 'RLE_DICTIONARY', CAST(8 AS BIGINT),
+                 CAST(20448 AS BIGINT))
+            ) AS t(col, codec, n_chunks, enc_bytes)
+        """,
         "pq_writer_tokens": identity,
         "rt_plain": identity,
         "rt_rle": identity,

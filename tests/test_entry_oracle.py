@@ -55,13 +55,13 @@ def test_every_query_has_callable_signature():
     q = entry_mod.queries()
     o = entry_mod.oracle_sql()
     assert set(o) <= set(q)
-    # every oracle-less query is flagged intentionally: codec_selection is
-    # engine introspection with no SQL analog. Exact equality so a new
-    # query silently missing its oracle fails here. (Round 5 gave
-    # compression_manifest a first-principles raw_bytes oracle and
-    # media_features a persisted-ground-truth oracle.)
+    # Exact equality so a new query silently missing its oracle fails
+    # here. As of r6 EVERY query is oracle-checked: codec_selection (the
+    # last rows-only entry) now pins its deterministic histogram as a
+    # VALUES oracle; r5 gave compression_manifest a first-principles
+    # raw_bytes oracle and media_features a persisted-ground-truth oracle.
     no_oracle = set(q) - set(o)
-    assert no_oracle == {"codec_selection"}
+    assert no_oracle == set()
 
 
 def test_rotated_queries_keep_oracle_coverage():
