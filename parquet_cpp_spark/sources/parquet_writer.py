@@ -33,6 +33,10 @@ from ..levels import levels_from_lengths
 
 MAGIC = b"PAR1"
 
+# the reference's dictionary_pagesize_limit (properties.h:83): dict growth
+# past this triggers the PLAIN fallback mid-chunk
+DEFAULT_DICT_SIZE_LIMIT = dictionary.DEFAULT_DICT_SIZE_LIMIT
+
 # thrift compact element type ids (same table as parquet_format's reader)
 _TRUE, _FALSE, _BYTE, _I16, _I32, _I64, _DOUBLE, _BINARY, _LIST = range(1, 10)
 _STRUCT = 12
@@ -285,6 +289,17 @@ class _Column:
             return lo, hi
         return int(self.dense_ofs[lo]), int(self.dense_ofs[hi])
 
+    def row_floor(self, lo: int, hi: int, dense_target: int) -> int:
+        """Largest row r in [lo, hi] whose dense start offset <=
+        ``dense_target`` — aligns the dict->PLAIN fallback point to a ROW
+        boundary so pages stay homogeneous and records never straddle an
+        encoding switch."""
+        if self.dense_ofs is None:
+            return min(hi, dense_target)   # flat REQUIRED: row == dense idx
+        r = int(np.searchsorted(self.dense_ofs[lo:hi + 1], dense_target,
+                                side="right")) - 1
+        return lo + max(r, 0)
+
     def num_values(self, lo: int, hi: int) -> int:
         """ColumnMetaData.num_values / page-header num_values: LEVEL slots
         in the row range (= rows for flat columns, level positions for
@@ -305,7 +320,8 @@ class _Column:
 def _write_chunk(buf: bytearray, c: _Column, lo: int, hi: int,
                  page_rows: "int | None", codec: "str | None",
                  write_statistics: bool, delta_encoded: bool = False,
-                 data_page_version: int = 1) -> list:
+                 data_page_version: int = 1,
+                 dict_size_limit: int = DEFAULT_DICT_SIZE_LIMIT) -> list:
     """One column chunk for slot range [lo, hi) -> ColumnMetaData fields."""
     codec_id = _CODEC_IDS[codec]
     dlo, dhi = c.dense_range(lo, hi)
@@ -316,23 +332,37 @@ def _write_chunk(buf: bytearray, c: _Column, lo: int, hi: int,
     raw_total = 0
     dict_page_offset = None
     enc = None
+    split_row = hi
     if c.use_dictionary and delta_encoded:
         raise ValueError("a column cannot be both dict and delta encoded")
     if c.use_dictionary:
-        enc = dictionary.encode(dense, c.phys, dict_size_limit=1 << 62)
+        enc = dictionary.encode(dense, c.phys,
+                                dict_size_limit=dict_size_limit)
         if enc.fallback:
-            raise ValueError("dictionary fallback out of writer scope")
-        dict_page_offset = len(buf)
-        body = _compress(enc.dict_blob, codec)
-        hdr = _page_header(_PAGE_DICT, len(enc.dict_blob), len(body), 7,
-                           [(1, _I32, enc.num_entries),
-                            (2, _I32, ENC_PLAIN_DICT)])
-        buf += hdr
-        buf += body
-        raw_total += len(hdr) + len(enc.dict_blob)
-        encoding = ENC_PLAIN_DICT
-        encodings = [ENC_PLAIN_DICT, ENC_RLE]
-        bw = enc.indices_blob[0]
+            # reference column_writer.cc:498-510: dict grows past the
+            # limit -> pages already indexed stay dict-coded, later pages
+            # are PLAIN, encodings list carries both. We align the switch
+            # to a row boundary (records never straddle encodings).
+            split_row = c.row_floor(lo, hi, dlo + enc.n_dict_values)
+        if enc.fallback and split_row <= lo:
+            # degenerate: the very first row overflows the dict — pure
+            # PLAIN chunk, no dict page at all
+            enc = None
+            encoding = ENC_PLAIN
+            encodings = [ENC_PLAIN, ENC_RLE]
+        else:
+            dict_page_offset = len(buf)
+            body = _compress(enc.dict_blob, codec)
+            hdr = _page_header(_PAGE_DICT, len(enc.dict_blob), len(body), 7,
+                               [(1, _I32, enc.num_entries),
+                                (2, _I32, ENC_PLAIN_DICT)])
+            buf += hdr
+            buf += body
+            raw_total += len(hdr) + len(enc.dict_blob)
+            encoding = ENC_PLAIN_DICT
+            encodings = [ENC_PLAIN_DICT, ENC_PLAIN, ENC_RLE] \
+                if enc.fallback else [ENC_PLAIN_DICT, ENC_RLE]
+            bw = enc.indices_blob[0]
     elif delta_encoded:
         # DELTA_BINARY_PACKED data pages — the page payload is exactly the
         # kernel's stream (the kernel implements the parquet-format spec),
@@ -349,16 +379,30 @@ def _write_chunk(buf: bytearray, c: _Column, lo: int, hi: int,
     data_page_offset = len(buf)
     step = max(1, (hi - lo) if page_rows is None else page_rows)
     # a zero-row chunk still emits one empty data page so the footer's
-    # data_page_offset points at a real page header
-    page_starts = list(range(lo, hi, step)) or [lo]
-    for plo in page_starts:
+    # data_page_offset points at a real page header; a fallback chunk
+    # splits the straddling page at the encoding-switch row
+    page_ranges = []
+    for plo in range(lo, hi, step) or [lo]:
         phi = min(plo + step, hi)
+        if enc is not None and plo < split_row < phi:
+            page_ranges += [(plo, split_row), (split_row, phi)]
+        else:
+            page_ranges.append((plo, phi))
+    if not page_ranges:
+        page_ranges = [(lo, lo)]
+    for plo, phi in page_ranges:
         pdlo, pdhi = c.dense_range(plo, phi)
-        if enc is not None:
+        if enc is not None and phi <= split_row:
             # per-page indices: re-RLE this page's slice of the chunk's
             # dict codes at the chunk-wide bit width
             codes = enc.codes[pdlo - dlo: pdhi - dlo]
             values_b = bytes([bw]) + rle.encode(codes, bw)
+            encoding = ENC_PLAIN_DICT
+        elif enc is not None:
+            # post-fallback page: PLAIN from the (always dense) values
+            values_b = _plain_values(
+                _slice_dense(c.dense, c.phys, pdlo, pdhi), c.phys)
+            encoding = ENC_PLAIN
         elif delta_encoded:
             # INT32 pages must keep miniblock widths <= 32 (parquet-format
             # convention: deltas wrap mod 2^32, readers accumulate wrapping)
@@ -435,7 +479,8 @@ def write_file(path: str, columns: list[tuple], num_rows: int,
                write_statistics: bool = True,
                utf8_columns: "frozenset[str] | set[str]" = frozenset(),
                delta_columns: "frozenset[str] | set[str]" = frozenset(),
-               data_page_version: int = 1) -> None:
+               data_page_version: int = 1,
+               dict_size_limit: int = DEFAULT_DICT_SIZE_LIMIT) -> None:
     """Write flat columns as a readable PAR1 file.
 
     ``columns``: (name, phys, values[, valid[, use_dictionary]]) tuples.
@@ -475,7 +520,8 @@ def write_file(path: str, columns: list[tuple], num_rows: int,
             start, total, cmd = _write_chunk(buf, c, lo, hi, page_rows,
                                              compression, write_statistics,
                                              c.name in delta_columns,
-                                             data_page_version)
+                                             data_page_version,
+                                             dict_size_limit)
             chunks.append([(2, _I64, start), (3, _STRUCT, cmd)])
             total_bytes += total
         row_groups.append([(1, _LIST, (_STRUCT, chunks)),

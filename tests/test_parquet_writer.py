@@ -501,3 +501,81 @@ def test_list_column_rejects_out_of_scope(tmp_path):
         pw.write_file(str(tmp_path / "z.parquet"),
                       [pw.ListColumn("t", "int32", np.zeros(3, np.int32),
                                      np.array([1, 1]))], 2)
+
+
+# ---------------------------------------------------------------------------
+# Dictionary -> PLAIN fallback (reference column_writer.cc:498-510, pinned
+# by column_writer-test.cc:478-506 at 400K values)
+# ---------------------------------------------------------------------------
+
+def test_dict_fallback_400k_values(tmp_path):
+    """The reference's fallback pin: 400K high-cardinality values overflow
+    the 1 MiB dictionary limit mid-chunk; early pages stay dict-coded,
+    later pages are PLAIN, the encodings list carries both, and pyarrow
+    reads every value back."""
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(17)
+    vals = rng.integers(0, 2**30, 400_000).astype(np.int64)
+    path = str(tmp_path / "fb.parquet")
+    pw.write_file(path, [("v", "int64", vals, None, True)], 400_000,
+                  page_rows=50_000)
+    md = pq.ParquetFile(path).metadata.row_group(0).column(0)
+    assert set(md.encodings) == {"PLAIN_DICTIONARY", "PLAIN", "RLE"}
+    assert pq.read_table(path).column("v").to_pylist() == vals.tolist()
+
+
+def test_dict_fallback_shapes(tmp_path):
+    """Fallback across column shapes: byte_array, nullable flat (zstd,
+    multi row group — each chunk re-decides), and a dict-coded list leaf
+    where the encoding switch must land on a ROW boundary (records never
+    straddle encodings). The engine's own reader decodes the mixed
+    dict+PLAIN page sequence too."""
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(2)
+    n = 20_000
+    svals = [f"s{int(v):07d}".encode()
+             for v in rng.integers(0, 8000, n)]
+    p1 = str(tmp_path / "s.parquet")
+    pw.write_file(p1, [("s", "byte_array", svals, None, True)], n,
+                  page_rows=2500, dict_size_limit=40_000,
+                  utf8_columns={"s"})
+    assert pq.read_table(p1).column("s").to_pylist() == \
+        [v.decode() for v in svals]
+
+    iv = rng.integers(0, 10**9, n).astype(np.int32)
+    valid = rng.random(n) > 0.3
+    p2 = str(tmp_path / "i.parquet")
+    pw.write_file(p2, [("i", "int32", iv, valid, True)], n,
+                  page_rows=3000, dict_size_limit=30_000,
+                  compression="zstd", row_group_rows=9000)
+    exp = [int(v) if ok else None for v, ok in zip(iv, valid)]
+    assert pq.read_table(p2).column("i").to_pylist() == exp
+
+    lengths = rng.integers(0, 30, 3000).astype(np.int64)
+    lv = rng.integers(0, 10**8, int(lengths.sum())).astype(np.int32)
+    p3 = str(tmp_path / "l.parquet")
+    pw.write_file(p3, [pw.ListColumn("t", "int32", lv, lengths,
+                                     use_dictionary=True)],
+                  3000, page_rows=500, dict_size_limit=25_000)
+    ofs = np.zeros(3001, np.int64)
+    np.cumsum(lengths, out=ofs[1:])
+    assert pq.read_table(p3).column("t").to_pylist() == \
+        [lv[ofs[i]:ofs[i + 1]].tolist() for i in range(3000)]
+    v, d, r = parquet_format.read_file(p3)["t.list.element"]
+    assert np.asarray(v).tolist() == lv.tolist()
+
+
+def test_dict_fallback_degenerate_first_row(tmp_path):
+    """If the very first values already overflow the dict limit the chunk
+    degrades to pure PLAIN — no zero-entry dictionary page."""
+    import pyarrow.parquet as pq
+
+    vals = [b"x" * 4000, b"y" * 4000, b"z" * 4000]
+    path = str(tmp_path / "d.parquet")
+    pw.write_file(path, [("b", "byte_array", vals, None, True)], 3,
+                  dict_size_limit=100)
+    md = pq.ParquetFile(path).metadata.row_group(0).column(0)
+    assert "PLAIN_DICTIONARY" not in set(md.encodings)
+    assert pq.read_table(path).column("b").to_pylist() == vals
