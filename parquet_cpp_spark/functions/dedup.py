@@ -205,7 +205,9 @@ def simhash(docs: DataFrame, text_col: str = "text",
 
 def decontaminate(docs: DataFrame, bench: DataFrame,
                   text_col: str = "text",
-                  id_col: str = "doc_id") -> DataFrame:
+                  id_col: str = "doc_id",
+                  strategy: str = "auto",
+                  broadcast_limit: int = 2_000_000) -> DataFrame:
     """Benchmark decontamination: flag training documents that share ANY
     word shingle with a benchmark/eval corpus — the n-gram-collision
     decontamination standard for LLM training sets. Shingles are the
@@ -217,14 +219,31 @@ def decontaminate(docs: DataFrame, bench: DataFrame,
     coincidence on a common phrase, hundreds = verbatim inclusion).
 
     Scale design (100 TB corpus vs a benchmark of ~1e4-1e6 items): the
-    benchmark's DISTINCT shingle set is small and BROADCAST; the corpus
-    side streams through one explode + broadcast hash semi-join; the only
-    corpus-wide shuffle is the final per-doc count aggregation (partial
-    map-side combine applies). No benchmark-side scaling concern — if the
-    eval set ever outgrew broadcast, bucket both sides on the shingle."""
+    benchmark's DISTINCT shingle set is normally small and BROADCAST; the
+    corpus side streams through one explode + broadcast hash semi-join;
+    the only corpus-wide shuffle is the final per-doc count aggregation
+    (partial map-side combine applies). When the eval shingle set
+    outgrows broadcast (``strategy='auto'`` counts it — one scan of the
+    SMALL side, negligible next to the corpus — and switches past
+    ``broadcast_limit``; or force ``strategy='shuffle'``), both sides
+    hash-partition on the shingle instead: the corpus explode streams
+    into a shuffled hash join with no executor-memory ceiling, identical
+    results (pinned by pytest on both paths)."""
     from .text import shingle_hashes
     sh = shingle_hashes(text_col)
     doc_sh = docs.select(F.col(id_col), F.explode(sh).alias("sh"))
     bench_sh = bench.select(F.explode(sh).alias("sh")).distinct()
-    return (doc_sh.join(F.broadcast(bench_sh), "sh")
-            .groupBy(id_col).agg(F.count(F.lit(1)).alias("n_hits")))
+    if strategy == "auto":
+        strategy = "broadcast" if bench_sh.count() <= broadcast_limit \
+            else "shuffle"
+    if strategy == "broadcast":
+        joined = doc_sh.join(F.broadcast(bench_sh), "sh")
+    elif strategy == "shuffle":
+        # bucket both sides on the shingle: shuffled hash join, eval side
+        # build, corpus side stream — the big-eval-corpus path
+        joined = doc_sh.join(bench_sh.hint("shuffle_hash"), "sh")
+    else:
+        raise ValueError(f"unknown strategy {strategy!r} "
+                         "(auto | broadcast | shuffle)")
+    return (joined.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_hits")))

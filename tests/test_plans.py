@@ -180,3 +180,32 @@ def test_decontaminate_broadcasts_bench_and_flags_verbatim(spark):
     # doc 1 shares "the quick brown fox jumps over" (6 words) -> 4 shingles
     assert got[1] == 4
     assert 2 not in got
+
+
+def test_decontaminate_shuffle_path_identical_and_no_broadcast(spark):
+    """Big-eval-corpus path: when the bench shingle set exceeds
+    broadcast_limit (auto) or strategy='shuffle' is forced, both sides
+    hash-partition on the shingle — no broadcast of the bench side — and
+    results are IDENTICAL to the broadcast path on the same inputs."""
+    from parquet_cpp_spark.functions import dedup
+    rows = [(1000 + i,
+             f"sequence alpha {i} beta gamma delta common tail phrase",
+             "eval") for i in range(40)]
+    bench = spark.createDataFrame(
+        rows, "doc_id bigint, text string, source string")
+    docs = spark.createDataFrame(
+        [(1, "sequence alpha 7 beta gamma delta common tail phrase", "web"),
+         (2, "no overlap with anything at all in this one", "web"),
+         (3, "ends with delta common tail phrase", "web")],
+        "doc_id bigint, text string, source string")
+    base = {(r.doc_id, r.n_hits)
+            for r in dedup.decontaminate(docs, bench).collect()}
+    forced = dedup.decontaminate(docs, bench, strategy="shuffle")
+    assert "Broadcast" not in _plan(forced)
+    assert {(r.doc_id, r.n_hits) for r in forced.collect()} == base
+    # auto flips to shuffle once the shingle count passes the limit
+    auto = dedup.decontaminate(docs, bench, broadcast_limit=10)
+    assert "Broadcast" not in _plan(auto)
+    assert {(r.doc_id, r.n_hits) for r in auto.collect()} == base
+    with pytest.raises(ValueError, match="unknown strategy"):
+        dedup.decontaminate(docs, bench, strategy="bogus")
