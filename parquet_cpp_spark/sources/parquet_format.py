@@ -135,6 +135,8 @@ class ColumnChunkMeta:
     data_page_offset: int
     dictionary_page_offset: int | None
     total_compressed_size: int
+    offset_index: "tuple[int, int] | None" = None   # (offset, length)
+    column_index: "tuple[int, int] | None" = None
 
 
 @dataclass
@@ -198,7 +200,9 @@ def read_footer(mv: memoryview) -> FileMeta:
                 num_values=cm[5],
                 data_page_offset=cm[9],
                 dictionary_page_offset=cm.get(11),
-                total_compressed_size=cm[7]))
+                total_compressed_size=cm[7],
+                offset_index=(cc[4], cc[5]) if 4 in cc else None,
+                column_index=(cc[6], cc[7]) if 6 in cc else None))
         out.row_groups.append(chunks)
     return out
 
@@ -248,6 +252,108 @@ def _concat(parts: list):
     return np.concatenate(parts)
 
 
+def _decode_data_page_at(mv: memoryview, pos: int, leaf: LeafColumn,
+                         chunk: ColumnChunkMeta, dictionary) -> tuple:
+    """Decode ONE data page whose header starts at ``pos`` ->
+    (dense values, def levels | None, rep levels | None, n_slots,
+    next_pos). The unit the OffsetIndex points at — page-skipping readers
+    call this per surviving PageLocation."""
+    rd = _Compact(mv, pos)
+    ph = rd.struct()
+    body_start = rd.pos
+    comp_size = ph[3]
+    raw_size = ph[2]
+    body = mv[body_start: body_start + comp_size]
+    next_pos = body_start + comp_size
+    page_type = ph[1]
+    deflev = replev = None
+    if page_type == _PAGE_DATA_V2:
+            # V2: levels sit UNPREFIXED (rep first, then def) before the
+            # (separately) compressed value region — mirror of
+            # parquet_writer's V2 emission
+        # V2: levels sit UNPREFIXED (rep first, then def) before the
+        # (separately) compressed value region — mirror of
+        # parquet_writer's V2 emission
+        dp = ph[8]
+        n_slots = dp[1]
+        encoding = dp[4]
+        def_len = dp.get(5, 0)
+        rep_len = dp.get(6, 0)
+        if leaf.max_rep:
+            bwr = max(1, int(leaf.max_rep).bit_length())
+            replev, _ = rle.decode(body, n_slots, bwr, 0,
+                                   out_dtype=np.int8)
+        if leaf.max_def:
+            bw = max(1, int(leaf.max_def).bit_length())
+            deflev, _ = rle.decode(body, n_slots, bw, rep_len,
+                                   out_dtype=np.int8)
+            n_present = int((deflev == leaf.max_def).sum())
+        else:
+            n_present = n_slots
+        vcodec = chunk.codec if dp.get(7, True) else 0
+        lvl_len = rep_len + def_len
+        body = _decompress_page(body[lvl_len:], vcodec,
+                                raw_size - lvl_len)
+        p = 0
+    elif page_type != _PAGE_DATA:
+        raise ValueError(f"unsupported page type {page_type}")
+    else:
+        dp = ph[5]
+        n_slots = dp[1]
+        encoding = dp[2]
+        body = _decompress_page(body, chunk.codec, raw_size)
+        p = 0
+        if leaf.max_rep:
+            bwr = max(1, int(leaf.max_rep).bit_length())
+            replev, p = rle.decode_length_prefixed(body, n_slots, bwr, p,
+                                                   out_dtype=np.int8)
+        if leaf.max_def:
+            bw = max(1, int(leaf.max_def).bit_length())
+            deflev, p = rle.decode_length_prefixed(body, n_slots, bw, p,
+                                                   out_dtype=np.int8)
+            n_present = int((deflev == leaf.max_def).sum())
+        else:
+            n_present = n_slots
+    if encoding == ENC_PLAIN:
+        vals = _decode_plain(body, n_present, leaf.phys, p)
+    elif encoding == ENC_DELTA_BP:
+        if leaf.phys not in ("int32", "int64"):
+            raise ValueError("DELTA_BINARY_PACKED on non-int column")
+        from ..kernels import delta as delta_k
+        dt = np.int32 if leaf.phys == "int32" else np.int64
+        vals, _pos = delta_k.decode(body, p, out_dtype=dt)
+        if len(vals) != n_present:
+            raise ValueError("delta page value count mismatch")
+    elif encoding in (ENC_PLAIN_DICT, ENC_RLE_DICT):
+        if dictionary is None:
+            raise ValueError("dictionary-encoded page with no dict page")
+        idx_bw = body[p]
+        codes, _ = rle.decode(body, n_present, idx_bw, p + 1)
+        codes = np.asarray(codes, dtype=np.int64)
+        if len(dictionary) and int(codes.max(initial=0)) >= len(dictionary):
+            raise ValueError("dictionary index out of range "
+                             "(corrupt dictionary page?)")
+        vals = _take(dictionary, codes)
+    else:
+        raise ValueError(f"unsupported data encoding {encoding}")
+    return vals, deflev, replev, n_slots, next_pos
+
+
+def _read_dictionary_page(mv: memoryview, leaf: LeafColumn,
+                          chunk: ColumnChunkMeta):
+    """Decode the chunk's dictionary page, or None if it has none."""
+    pos = chunk.dictionary_page_offset
+    if pos is None or pos <= 0 or pos > chunk.data_page_offset:
+        return None
+    rd = _Compact(mv, pos)
+    ph = rd.struct()
+    if ph[1] != _PAGE_DICT:
+        return None
+    body = mv[rd.pos: rd.pos + ph[3]]
+    body = _decompress_page(body, chunk.codec, ph[2])
+    return _decode_plain(body, ph[7][1], leaf.phys)
+
+
 def read_column(mv: memoryview, leaf: LeafColumn,
                 chunk: ColumnChunkMeta) -> tuple:
     """One column chunk -> (values, def_levels | None, rep_levels | None).
@@ -267,90 +373,22 @@ def read_column(mv: memoryview, leaf: LeafColumn,
     while pos < end and values_seen < chunk.num_values:
         rd = _Compact(mv, pos)
         ph = rd.struct()
-        body_start = rd.pos
-        comp_size = ph[3]
-        raw_size = ph[2]
-        body = mv[body_start: body_start + comp_size]
-        pos = body_start + comp_size
-        page_type = ph[1]
-        if page_type == _PAGE_DICT:
-            dph = ph[7]
-            body = _decompress_page(body, chunk.codec, raw_size)
-            dictionary = _decode_plain(body, dph[1], leaf.phys)
+        if ph[1] == _PAGE_DICT:
+            # dict pages can sit at data_page_offset in some writers'
+            # files — skip/ingest them wherever they appear
+            body = mv[rd.pos: rd.pos + ph[3]]
+            dictionary = _decode_plain(
+                _decompress_page(body, chunk.codec, ph[2]),
+                ph[7][1], leaf.phys)
+            pos = rd.pos + ph[3]
             continue
-        if page_type == _PAGE_DATA_V2:
-            # V2: levels sit UNPREFIXED (rep first, then def) before the
-            # (separately) compressed value region — mirror of
-            # parquet_writer's V2 emission
-            dp = ph[8]
-            n_slots = dp[1]
-            encoding = dp[4]
-            def_len = dp.get(5, 0)
-            rep_len = dp.get(6, 0)
-            deflev = None
-            if leaf.max_rep:
-                bwr = max(1, int(leaf.max_rep).bit_length())
-                replev, _ = rle.decode(body, n_slots, bwr, 0,
-                                       out_dtype=np.int8)
-                rep_parts.append(replev)
-            if leaf.max_def:
-                bw = max(1, int(leaf.max_def).bit_length())
-                deflev, _ = rle.decode(body, n_slots, bw, rep_len,
-                                       out_dtype=np.int8)
-                def_parts.append(deflev)
-                n_present = int((deflev == leaf.max_def).sum())
-            else:
-                n_present = n_slots
-            vcodec = chunk.codec if dp.get(7, True) else 0
-            lvl_len = rep_len + def_len
-            body = _decompress_page(body[lvl_len:], vcodec,
-                                    raw_size - lvl_len)
-            p = 0
-        elif page_type != _PAGE_DATA:
-            raise ValueError(f"unsupported page type {page_type}")
-        else:
-            dp = ph[5]
-            n_slots = dp[1]
-            encoding = dp[2]
-            body = _decompress_page(body, chunk.codec, raw_size)
-            p = 0
-            deflev = None
-            if leaf.max_rep:
-                bwr = max(1, int(leaf.max_rep).bit_length())
-                replev, p = rle.decode_length_prefixed(body, n_slots, bwr, p,
-                                                       out_dtype=np.int8)
-                rep_parts.append(replev)
-            if leaf.max_def:
-                bw = max(1, int(leaf.max_def).bit_length())
-                deflev, p = rle.decode_length_prefixed(body, n_slots, bw, p,
-                                                       out_dtype=np.int8)
-                def_parts.append(deflev)
-                n_present = int((deflev == leaf.max_def).sum())
-            else:
-                n_present = n_slots
-        if encoding == ENC_PLAIN:
-            vals = _decode_plain(body, n_present, leaf.phys, p)
-        elif encoding == ENC_DELTA_BP:
-            if leaf.phys not in ("int32", "int64"):
-                raise ValueError("DELTA_BINARY_PACKED on non-int column")
-            from ..kernels import delta as delta_k
-            dt = np.int32 if leaf.phys == "int32" else np.int64
-            vals, _pos = delta_k.decode(body, p, out_dtype=dt)
-            if len(vals) != n_present:
-                raise ValueError("delta page value count mismatch")
-        elif encoding in (ENC_PLAIN_DICT, ENC_RLE_DICT):
-            if dictionary is None:
-                raise ValueError("dictionary-encoded page with no dict page")
-            idx_bw = body[p]
-            codes, _ = rle.decode(body, n_present, idx_bw, p + 1)
-            codes = np.asarray(codes, dtype=np.int64)
-            if len(dictionary) and int(codes.max(initial=0)) >= len(dictionary):
-                raise ValueError("dictionary index out of range "
-                                 "(corrupt dictionary page?)")
-            vals = _take(dictionary, codes)
-        else:
-            raise ValueError(f"unsupported data encoding {encoding}")
+        vals, deflev, replev, n_slots, pos = _decode_data_page_at(
+            mv, pos, leaf, chunk, dictionary)
         parts.append(vals)
+        if deflev is not None:
+            def_parts.append(deflev)
+        if replev is not None:
+            rep_parts.append(replev)
         values_seen += n_slots
     values = _concat(parts) if parts else np.zeros(0)
     deflev = np.concatenate(def_parts) if def_parts else None
@@ -380,3 +418,107 @@ def read_file(path: str) -> dict[str, tuple]:
                          np.concatenate(defs) if defs else None,
                          np.concatenate(reps) if reps else None)
     return merged
+
+
+# ---------------------------------------------------------------------------
+# PageIndex (ColumnIndex + OffsetIndex) — page-skipping reads
+# ---------------------------------------------------------------------------
+
+@dataclass
+class PageIndex:
+    """Parsed parquet PageIndex for one column chunk: per-page locations
+    always (OffsetIndex), per-page stats when the writer emitted a
+    ColumnIndex (absent e.g. for NaN-poisoned float chunks)."""
+    locations: list          # (offset, compressed_size, first_row_index)
+    null_pages: "list[bool] | None"
+    mins: "list[bytes] | None"
+    maxs: "list[bytes] | None"
+    boundary_order: int = 0
+    null_counts: "list[int] | None" = None
+
+
+def read_page_index(mv: memoryview,
+                    chunk: ColumnChunkMeta) -> "PageIndex | None":
+    """Parse the chunk's OffsetIndex (+ ColumnIndex when present), or None
+    when the file carries no page index for this chunk."""
+    if chunk.offset_index is None:
+        return None
+    oi = _Compact(mv, chunk.offset_index[0]).struct()
+    locations = [(pl[1], pl[2], pl[3]) for pl in oi[1]]
+    if chunk.column_index is None:
+        return PageIndex(locations, None, None, None)
+    ci = _Compact(mv, chunk.column_index[0]).struct()
+    return PageIndex(locations, ci[1], ci[2], ci[3], ci.get(4, 0),
+                     ci.get(5))
+
+
+def _stat_to_typed(b: bytes, phys: str):
+    if phys == "byte_array":
+        return b
+    if phys == "boolean":
+        return bool(b[0])
+    dt = {"int32": "<i4", "int64": "<i8",
+          "float": "<f4", "double": "<f8"}[phys]
+    return np.frombuffer(b, dt, count=1)[0]
+
+
+def lookup_rows(path: str, column: str, key) -> tuple:
+    """Point lookup over an engine-written (or any PageIndex-carrying)
+    parquet file: file-global row indices where ``column == key``,
+    decoding ONLY pages whose ColumnIndex [min, max] may contain the key.
+
+    Returns (row_indices, pages_decoded, pages_total) — the page-skip
+    counters are the test surface: a lookup that decodes every page is a
+    scan, not a lookup. Flat (max_rep = 0) columns only; this is the
+    parquet analog of plans.lookup's chunk-format per-page pruning
+    (TypedColumnReader::Skip, reference column_reader.h:268-281)."""
+    with open(path, "rb") as f:
+        mv = memoryview(f.read())
+    meta = read_footer(mv)
+    leaf = next(lf for lf in meta.leaves if lf.name == column)
+    if leaf.max_rep:
+        raise ValueError("lookup_rows supports flat columns only")
+    if leaf.phys == "byte_array" and isinstance(key, str):
+        key = key.encode()
+    key_b = key if isinstance(key, bytes) else None
+    hits: list[int] = []
+    pages_decoded = pages_total = 0
+    row_base = 0
+    for gi, rg in enumerate(meta.row_groups):
+        chunk = next(c for c in rg if c.path == column)
+        idx = read_page_index(mv, chunk)
+        if idx is None:
+            raise ValueError("file carries no PageIndex for this column")
+        pages_total += len(idx.locations)
+        dictionary = _read_dictionary_page(mv, leaf, chunk)
+        n_slots_rg = 0
+        for pi, (off, _sz, first_row) in enumerate(idx.locations):
+            survives = True
+            if idx.mins is not None:
+                if idx.null_pages[pi]:
+                    survives = False
+                else:
+                    mn = _stat_to_typed(idx.mins[pi], leaf.phys)
+                    mx = _stat_to_typed(idx.maxs[pi], leaf.phys)
+                    k = key_b if key_b is not None else key
+                    survives = bool(mn <= k <= mx)
+            if not survives:
+                continue
+            vals, deflev, _rep, n_slots, _next = _decode_data_page_at(
+                mv, off, leaf, chunk, dictionary)
+            pages_decoded += 1
+            if leaf.phys == "byte_array":
+                matches = [i for i, v in enumerate(ba.to_list(vals)
+                           if isinstance(vals, ba.ByteArrayView) else vals)
+                           if v == key]
+            else:
+                matches = np.flatnonzero(
+                    np.asarray(vals) == key).tolist()
+            if deflev is not None and matches:
+                # dense index -> slot index (nulls occupy slots)
+                slot_of = np.flatnonzero(np.asarray(deflev) == leaf.max_def)
+                matches = [int(slot_of[m]) for m in matches]
+            hits.extend(row_base + first_row + int(m) for m in matches)
+        n_slots_rg = chunk.num_values
+        row_base += n_slots_rg
+    return hits, pages_decoded, pages_total

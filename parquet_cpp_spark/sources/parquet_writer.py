@@ -80,6 +80,11 @@ def _value(buf: bytearray, ctype: int, val) -> None:
         else:
             buf.append(0xF0 | etype)
             _uvarint(buf, len(items))
+        if etype == _TRUE:
+            # thrift compact bool LIST elements: one byte each,
+            # 1 = true, 2 = false (CT_BOOLEAN_TRUE/FALSE)
+            buf += bytes(1 if item else 2 for item in items)
+            return
         for item in items:
             _value(buf, etype, item)
     elif ctype == _STRUCT:
@@ -164,6 +169,46 @@ def _chunk_stats(dense, phys: str, null_count: int) -> "list | None":
     fields += [(5, _BINARY, _stat_bytes(mx, phys)),
                (6, _BINARY, _stat_bytes(mn, phys))]
     return fields
+
+
+NAN_POISONED = object()  # sentinel: page min/max undefined (NaN stats rule)
+
+
+def _column_index_fields(pages, phys: str) -> "list | None":
+    """ColumnIndex struct fields (parquet-format PageIndex), or None when
+    any page's extremes are NaN-poisoned — the reference's NaN stats rule
+    applied to the whole index (readers must not prune on NaN bounds)."""
+    if any(p["min"] is NAN_POISONED for p in pages):
+        return None
+    null_pages = [p["min"] is None for p in pages]
+    mins = [b"" if p["min"] is None else _stat_bytes(p["min"], phys)
+            for p in pages]
+    maxs = [b"" if p["max"] is None else _stat_bytes(p["max"], phys)
+            for p in pages]
+    nn = [(p["min"], p["max"]) for p in pages if p["min"] is not None]
+
+    def _mono(op):
+        return all(op(nn[i][0], nn[i + 1][0]) and op(nn[i][1], nn[i + 1][1])
+                   for i in range(len(nn) - 1))
+    if len(nn) <= 1 or _mono(lambda a, b: a <= b):
+        order = 1          # ASCENDING (enables binary-searched pruning)
+    elif _mono(lambda a, b: a >= b):
+        order = 2          # DESCENDING
+    else:
+        order = 0          # UNORDERED
+    return [(1, _LIST, (_TRUE, null_pages)),
+            (2, _LIST, (_BINARY, mins)),
+            (3, _LIST, (_BINARY, maxs)),
+            (4, _I32, order),
+            (5, _LIST, (_I64, [p["null_count"] for p in pages]))]
+
+
+def _offset_index_fields(pages) -> list:
+    """OffsetIndex struct fields: one PageLocation (offset, size incl.
+    header, first_row_index) per data page."""
+    locs = [[(1, _I64, p["offset"]), (2, _I32, p["size"]),
+             (3, _I64, p["first_row"])] for p in pages]
+    return [(1, _LIST, (_STRUCT, locs))]
 
 
 def _slice_dense(dense, phys: str, lo: int, hi: int):
@@ -390,7 +435,9 @@ def _write_chunk(buf: bytearray, c: _Column, lo: int, hi: int,
             page_ranges.append((plo, phi))
     if not page_ranges:
         page_ranges = [(lo, lo)]
+    pages = []  # ColumnIndex/OffsetIndex records, one per DATA page
     for plo, phi in page_ranges:
+        page_off = len(buf)
         pdlo, pdhi = c.dense_range(plo, phi)
         if enc is not None and phi <= split_row:
             # per-page indices: re-RLE this page's slice of the chunk's
@@ -447,6 +494,28 @@ def _write_chunk(buf: bytearray, c: _Column, lo: int, hi: int,
             buf += hdr
             buf += body
             raw_total += len(hdr) + len(payload)
+        # page-index record (parquet ColumnIndex/OffsetIndex analog of the
+        # chunk format's per-page min/max, chunk.py page_index)
+        pg_dense = _slice_dense(c.dense, c.phys, pdlo, pdhi)
+        if pdhi == pdlo:
+            pmin = pmax = None
+        elif c.phys == "byte_array":
+            view = pg_dense if isinstance(pg_dense, ba.ByteArrayView) \
+                else ba.as_view(pg_dense)
+            pmin, pmax = ba.minmax(view)
+        else:
+            arr = np.asarray(pg_dense)
+            if c.phys in ("float", "double") and bool(np.isnan(arr).any()):
+                pmin = pmax = NAN_POISONED
+            else:
+                pmin, pmax = arr.min(), arr.max()
+        pages.append({
+            "offset": page_off,
+            "size": len(buf) - page_off,
+            "first_row": plo - lo,
+            "null_count": n_slots_pg - (pdhi - pdlo),
+            "min": pmin, "max": pmax,
+        })
 
     total_comp = len(buf) - chunk_start
     cmd = [(1, _I32, _TYPE_IDS[c.phys]),
@@ -468,7 +537,7 @@ def _write_chunk(buf: bytearray, c: _Column, lo: int, hi: int,
         st = _chunk_stats(dense, c.phys, null_count)
         if st is not None:
             cmd.append((12, _STRUCT, st))
-    return [chunk_start, total_comp, cmd]
+    return [chunk_start, total_comp, cmd, pages]
 
 
 def write_file(path: str, columns: list[tuple], num_rows: int,
@@ -480,7 +549,8 @@ def write_file(path: str, columns: list[tuple], num_rows: int,
                utf8_columns: "frozenset[str] | set[str]" = frozenset(),
                delta_columns: "frozenset[str] | set[str]" = frozenset(),
                data_page_version: int = 1,
-               dict_size_limit: int = DEFAULT_DICT_SIZE_LIMIT) -> None:
+               dict_size_limit: int = DEFAULT_DICT_SIZE_LIMIT,
+               write_page_index: bool = True) -> None:
     """Write flat columns as a readable PAR1 file.
 
     ``columns``: (name, phys, values[, valid[, use_dictionary]]) tuples.
@@ -495,6 +565,12 @@ def write_file(path: str, columns: list[tuple], num_rows: int,
     ``delta_columns`` write DELTA_BINARY_PACKED data pages straight from
     ``kernels.delta``. ``data_page_version=2`` writes DataPageV2 (def
     levels unprefixed and outside the compressed region).
+    ``write_page_index`` (default on) emits the parquet PageIndex —
+    per-page ColumnIndex (null_pages/min/max/boundary_order/null_counts)
+    and OffsetIndex (page offset/size/first_row) structures between the
+    data and the footer, linked from each ColumnChunk — so readers can
+    skip pages without touching page headers (the parquet analog of the
+    chunk format's per-page min/max, ``chunk.py`` page_index).
     """
     if data_page_version not in (1, 2):
         raise ValueError("data_page_version must be 1 or 2")
@@ -511,22 +587,57 @@ def write_file(path: str, columns: list[tuple], num_rows: int,
 
     buf = bytearray(MAGIC)
     rg_step = max(1, num_rows if row_group_rows is None else row_group_rows)
-    row_groups = []
+    rg_infos = []                 # per rg: [(start, total, cmd, pages)]
     for lo in range(0, max(num_rows, 1), rg_step):
         hi = min(lo + rg_step, num_rows)
+        per_rg = []
+        for c in cols:
+            per_rg.append(_write_chunk(buf, c, lo, hi, page_rows,
+                                       compression, write_statistics,
+                                       c.name in delta_columns,
+                                       data_page_version,
+                                       dict_size_limit))
+        rg_infos.append((per_rg, hi - lo))
+
+    # PageIndex region: all ColumnIndex structs, then all OffsetIndex
+    # structs, between the last data page and the footer (parquet-mr
+    # layout). ColumnChunk fields 4-7 link to them.
+    ci_pos: dict = {}
+    oi_pos: dict = {}
+    if write_page_index:
+        for ri, (per_rg, _n) in enumerate(rg_infos):
+            for cj, (_s, _t, _cmd, pages) in enumerate(per_rg):
+                fields = _column_index_fields(pages, cols[cj].phys)
+                if fields is None:
+                    continue
+                b = bytearray()
+                _struct(b, fields)
+                ci_pos[(ri, cj)] = (len(buf), len(b))
+                buf += b
+        for ri, (per_rg, _n) in enumerate(rg_infos):
+            for cj, (_s, _t, _cmd, pages) in enumerate(per_rg):
+                b = bytearray()
+                _struct(b, _offset_index_fields(pages))
+                oi_pos[(ri, cj)] = (len(buf), len(b))
+                buf += b
+
+    row_groups = []
+    for ri, (per_rg, n_rows_rg) in enumerate(rg_infos):
         chunks = []
         total_bytes = 0
-        for c in cols:
-            start, total, cmd = _write_chunk(buf, c, lo, hi, page_rows,
-                                             compression, write_statistics,
-                                             c.name in delta_columns,
-                                             data_page_version,
-                                             dict_size_limit)
-            chunks.append([(2, _I64, start), (3, _STRUCT, cmd)])
+        for cj, (start, total, cmd, _pages) in enumerate(per_rg):
+            fields = [(2, _I64, start), (3, _STRUCT, cmd)]
+            if (ri, cj) in oi_pos:
+                o, ln = oi_pos[(ri, cj)]
+                fields += [(4, _I64, o), (5, _I32, ln)]
+            if (ri, cj) in ci_pos:
+                o, ln = ci_pos[(ri, cj)]
+                fields += [(6, _I64, o), (7, _I32, ln)]
+            chunks.append(fields)
             total_bytes += total
         row_groups.append([(1, _LIST, (_STRUCT, chunks)),
                            (2, _I64, total_bytes),
-                           (3, _I64, hi - lo)])
+                           (3, _I64, n_rows_rg)])
 
     schema = [[(3, _I32, 0), (4, _BINARY, "schema"),
                (5, _I32, len(cols))]]

@@ -1,0 +1,137 @@
+"""Parquet PageIndex (ColumnIndex + OffsetIndex): written by the engine's
+PAR1 writer between data and footer, parsed back by the engine's reader,
+and driving page-skipping point lookups — the parquet analog of the chunk
+format's per-page min/max pruning (plans.lookup / chunk.page_index;
+reference TypedColumnReader::Skip, column_reader.h:268-281).
+
+Cross-validation triangle: the engine's index PARSER also reads indexes
+written by PYARROW (an independent C++ implementation), and pyarrow reads
+every engine file that carries an index."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from parquet_cpp_spark.sources import parquet_format as pf, parquet_writer as pw
+
+
+def _write_sorted(path, n=10_000, **kw):
+    ids = np.arange(n, dtype=np.int64) * 3
+    strs = [f"k{i:06d}".encode() for i in range(n)]
+    pw.write_file(path, [("id", "int64", ids),
+                         ("s", "byte_array", strs, None, True)],
+                  n, row_group_rows=4000, page_rows=500,
+                  utf8_columns={"s"}, **kw)
+    return ids
+
+
+def test_lookup_skips_pages(tmp_path):
+    """A point lookup on a 20-page column decodes exactly ONE page when the
+    key exists, ZERO when it falls outside every page's [min, max]."""
+    path = str(tmp_path / "f.parquet")
+    _write_sorted(path, compression="zstd", delta_columns={"id"})
+    hits, dec, tot = pf.lookup_rows(path, "id", 3 * 7777)
+    assert (hits, dec, tot) == ([7777], 1, 20)
+    hits, dec, tot = pf.lookup_rows(path, "s", "k000123")
+    assert (hits, dec) == ([123], 1)
+    # in-range miss: at most the one straddling page
+    hits, dec, _ = pf.lookup_rows(path, "id", 4)
+    assert hits == [] and dec <= 1
+    # out-of-range miss: pure index pruning, no page touched
+    hits, dec, _ = pf.lookup_rows(path, "id", 10**9)
+    assert (hits, dec) == ([], 0)
+
+
+def test_index_structure_and_boundary_order(tmp_path):
+    """OffsetIndex first_row_index/offset agree with the page layout;
+    sorted columns get ASCENDING boundary_order (binary-searchable),
+    shuffled ones UNORDERED; null pages and null_counts are recorded."""
+    path = str(tmp_path / "f.parquet")
+    _write_sorted(path)
+    with open(path, "rb") as f:
+        mv = memoryview(f.read())
+    meta = pf.read_footer(mv)
+    idx = pf.read_page_index(mv, meta.row_groups[0][0])
+    assert [loc[2] for loc in idx.locations] == \
+        [i * 500 for i in range(8)]           # 4000 rows / 500-row pages
+    assert idx.boundary_order == 1            # ASCENDING
+    assert pf._stat_to_typed(idx.mins[0], "int64") == 0
+    assert pf._stat_to_typed(idx.maxs[-1], "int64") == 3 * 3999
+
+    rng = np.random.default_rng(7)
+    vals = rng.permutation(2000).astype(np.int32)
+    valid = np.ones(2000, bool)
+    valid[::5] = False
+    p2 = str(tmp_path / "g.parquet")
+    pw.write_file(p2, [("v", "int32", vals, valid)], 2000, page_rows=250)
+    with open(p2, "rb") as f:
+        mv2 = memoryview(f.read())
+    m2 = pf.read_footer(mv2)
+    i2 = pf.read_page_index(mv2, m2.row_groups[0][0])
+    assert i2.boundary_order == 0             # UNORDERED
+    assert i2.null_counts == [50] * 8         # every 5th slot null
+    assert not any(i2.null_pages)
+
+
+def test_nan_poisoned_float_chunk_skips_column_index(tmp_path):
+    """The NaN stats rule extends to the PageIndex: a float chunk holding
+    NaN gets an OffsetIndex (locations are always safe) but NO
+    ColumnIndex — readers must not prune on NaN bounds."""
+    vals = np.array([1.0, float("nan"), 3.0, 4.0], dtype=np.float64)
+    path = str(tmp_path / "nan.parquet")
+    pw.write_file(path, [("d", "double", vals)], 4, page_rows=2)
+    with open(path, "rb") as f:
+        mv = memoryview(f.read())
+    meta = pf.read_footer(mv)
+    ch = meta.row_groups[0][0]
+    assert ch.offset_index is not None and ch.column_index is None
+    idx = pf.read_page_index(mv, ch)
+    assert idx.mins is None and len(idx.locations) == 2
+
+
+def test_parser_reads_pyarrow_written_index(tmp_path):
+    """Cross-implementation check: pyarrow's own page-index writer
+    (write_page_index=True) produces structures the engine's parser reads,
+    and the pruned lookup skips pages over pyarrow's file too."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ids = np.arange(10_000, dtype=np.int64) * 3
+    path = str(tmp_path / "pa.parquet")
+    pq.write_table(pa.table({"id": ids}), path, write_page_index=True,
+                   row_group_size=4000, data_page_size=4000,
+                   use_dictionary=False, compression="snappy")
+    hits, dec, tot = pf.lookup_rows(path, "id", 3 * 2222)
+    assert hits == [2222] and dec == 1 and tot >= 6
+
+
+def test_pyarrow_reads_engine_index_files(tmp_path):
+    """Files carrying the engine's PageIndex stay readable by pyarrow and
+    DuckDB (the index region sits between data and footer; ColumnChunk
+    fields 4-7 link it)."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "f.parquet")
+    ids = _write_sorted(path, compression="snappy")
+    assert pq.read_table(path).column("id").to_numpy().tolist() == \
+        ids.tolist()
+    assert duckdb.sql(f"SELECT sum(id)::BIGINT FROM "
+                      f"read_parquet('{path}')").fetchone()[0] == ids.sum()
+
+
+def test_write_page_index_off(tmp_path):
+    """write_page_index=False files have no index links; lookup_rows fails
+    loudly instead of silently scanning."""
+    path = str(tmp_path / "f.parquet")
+    _write_sorted(path, write_page_index=False)
+    with open(path, "rb") as f:
+        mv = memoryview(f.read())
+    ch = pf.read_footer(mv).row_groups[0][0]
+    assert ch.offset_index is None and ch.column_index is None
+    with pytest.raises(ValueError, match="no PageIndex"):
+        pf.lookup_rows(path, "id", 3)
