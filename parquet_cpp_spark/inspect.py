@@ -114,7 +114,8 @@ def cmd_parquet(path: str, scan: bool) -> None:
           f"{len(meta.row_groups)} row group(s), {len(meta.leaves)} leaves")
     print("schema:")
     for lf in meta.leaves:
-        opt = "OPTIONAL" if lf.max_def else "REQUIRED"
+        opt = "REPEATED" if lf.max_rep else \
+            ("OPTIONAL" if lf.max_def else "REQUIRED")
         conv = f" converted={lf.converted_type}" \
             if lf.converted_type is not None else ""
         print(f"  {lf.name}: {lf.phys} {opt}"
@@ -127,6 +128,26 @@ def cmd_parquet(path: str, scan: bool) -> None:
             print(f"  {ch.path}: {ch.phys} codec={ch.codec} "
                   f"n={ch.num_values} data@{ch.data_page_offset}"
                   f"{dict_s} bytes={ch.total_compressed_size}")
+            idx = pf.read_page_index(mv, ch)
+            if idx is None:
+                continue
+            # parquet-tools column-index dump analog
+            order = {0: "UNORDERED", 1: "ASC", 2: "DESC"}.get(
+                idx.boundary_order, "?")
+            stats = "" if idx.mins is None else f" boundary={order}"
+            print(f"    page-index: {len(idx.locations)} page(s){stats}")
+            for pi, (off, sz, first_row) in enumerate(idx.locations):
+                if idx.mins is None:
+                    print(f"      page {pi}: @{off} {sz}B row{first_row}+")
+                elif idx.null_pages[pi]:
+                    print(f"      page {pi}: @{off} {sz}B row{first_row}+ "
+                          f"NULL-PAGE")
+                else:
+                    mn = pf._stat_to_typed(idx.mins[pi], ch.phys)
+                    mx = pf._stat_to_typed(idx.maxs[pi], ch.phys)
+                    nc = idx.null_counts[pi] if idx.null_counts else 0
+                    print(f"      page {pi}: @{off} {sz}B row{first_row}+ "
+                          f"min={mn!r} max={mx!r} nulls={nc}")
     if scan:
         by_path = {lf.name: lf for lf in meta.leaves}
         t0 = time.perf_counter()
