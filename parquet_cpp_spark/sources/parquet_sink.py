@@ -30,7 +30,7 @@ from __future__ import annotations
 import os
 
 MANIFEST_SCHEMA = ("file string, n_rows bigint, n_values bigint, "
-                   "bytes bigint, checksum string")
+                   "bytes bigint, checksum string, encodings string")
 
 _FLAT_PHYS = {"int32": "int32", "int64": "int64", "float": "float",
               "double": "double", "bool": "boolean"}
@@ -97,11 +97,75 @@ def specs_from_arrow(tbl):
     return specs, utf8
 
 
+def auto_encodings(specs) -> tuple:
+    """Run the engine's codec auto-selector over extracted specs and map
+    its per-chunk choice onto the parquet writer's encoding surface:
+    RLE / RLE_DICTIONARY -> dictionary pages, DELTA_BINARY_PACKED ->
+    delta pages, choices parquet 1.0 can't express (FSST,
+    DELTA_*_BYTE_ARRAY) -> PLAIN (the dict fallback still guards
+    accidental dictionary blowups). Returns (new_specs, delta_columns)
+    — the same decision the chunk format makes, one per column per file,
+    so each output file is independently optimal like each chunk is."""
+    import numpy as np
+
+    from .. import chunk as chunkmod, selector
+    from . import parquet_writer as pw
+
+    out, delta_cols = [], set()
+    for s in specs:
+        if isinstance(s, pw.ListColumn):
+            codec = selector.select_int_codec(
+                np.asarray(s.values), s.phys)
+            if codec == chunkmod.DELTA_BINARY_PACKED:
+                delta_cols.add(s.name)
+            out.append(pw.ListColumn(
+                s.name, s.phys, s.values, s.lengths,
+                use_dictionary=codec in (chunkmod.RLE,
+                                         chunkmod.RLE_DICTIONARY)))
+            continue
+        name, phys, vals = s[0], s[1], s[2]
+        valid = s[3] if len(s) > 3 else None
+        if phys in ("int32", "int64"):
+            dense = np.asarray(vals) if valid is None \
+                else np.asarray(vals)[np.asarray(valid)]
+            codec = selector.select_int_codec(dense, phys)
+            if codec == chunkmod.DELTA_BINARY_PACKED:
+                delta_cols.add(name)
+            use_dict = codec in (chunkmod.RLE, chunkmod.RLE_DICTIONARY)
+        elif phys == "byte_array":
+            dense = vals if valid is None \
+                else [v for v, ok in zip(vals, valid) if ok]
+            codec = selector.select_bytes_codec(dense)
+            use_dict = codec == chunkmod.RLE_DICTIONARY
+        else:
+            out.append((name, phys, vals, valid))
+            continue
+        out.append((name, phys, vals, valid, use_dict))
+    return out, frozenset(delta_cols)
+
+
+def _encodings_tag(specs, delta_cols) -> str:
+    """Human/manifest-readable per-column encoding summary."""
+    from . import parquet_writer as pw
+    parts = []
+    for s in specs:
+        if isinstance(s, pw.ListColumn):
+            name, use_dict = s.name, s.use_dictionary
+        else:
+            name = s[0]
+            use_dict = bool(s[4]) if len(s) > 4 else False
+        enc = ("delta" if name in delta_cols
+               else "dict" if use_dict else "plain")
+        parts.append(f"{name}={enc}")
+    return ",".join(parts)
+
+
 def write_parquet_dataset(spark, src_path: str, out_dir: str,
                           row_group_rows: "int | None" = None,
                           page_rows: "int | None" = 2048,
                           compression: "str | None" = "zstd",
                           delta_columns: "frozenset | set" = frozenset(),
+                          encodings: str = "default",
                           slices_per_core: int = 4):
     """Encode ``src_path`` (parquet file/dir) into a directory of
     ENGINE-written PAR1 files, one per source row group, written by the
@@ -111,7 +175,13 @@ def write_parquet_dataset(spark, src_path: str, out_dir: str,
     Atomicity/idempotency: tasks write ``.name.inprogress`` (dot-prefixed,
     so a concurrent ``spark.read.parquet(out_dir)`` ignores partial
     files) then ``os.replace`` — a retried task overwrites with identical
-    bytes. The manifest checksum is the sha256 of the final file."""
+    bytes. The manifest checksum is the sha256 of the final file.
+
+    ``encodings='auto'`` runs the engine's codec auto-selector per column
+    per file (mapped onto parquet's encoding surface via
+    ``auto_encodings``) instead of the defaults (dict for strings/lists,
+    plus explicit ``delta_columns``); the manifest's ``encodings`` column
+    records each file's choices."""
     from ..shipping import ensure_shipped
     from .parquet_direct import list_row_groups
     ensure_shipped(spark)
@@ -137,13 +207,16 @@ def write_parquet_dataset(spark, src_path: str, out_dir: str,
                              batch.column("rg").to_pylist()):
                 tbl = pq.ParquetFile(f).read_row_group(rg, use_threads=False)
                 specs, utf8 = specs_from_arrow(tbl)
+                d_cols = delta_cols
+                if encodings == "auto":
+                    specs, d_cols = auto_encodings(specs)
                 tag = hashlib.sha256(f"{f}#{rg}".encode()).hexdigest()[:16]
                 dest = os.path.join(out_dir, f"part-{tag}.parquet")
                 tmp = os.path.join(out_dir, f".part-{tag}.inprogress")
                 pw.write_file(tmp, specs, tbl.num_rows,
                               row_group_rows=row_group_rows,
                               page_rows=page_rows, compression=compression,
-                              utf8_columns=utf8, delta_columns=delta_cols)
+                              utf8_columns=utf8, delta_columns=d_cols)
                 with open(tmp, "rb") as fh:
                     data = fh.read()
                 os.replace(tmp, dest)  # atomic; retries overwrite
@@ -159,7 +232,8 @@ def write_parquet_dataset(spark, src_path: str, out_dir: str,
                     pa.array([len(data)], pa.int64()),
                     pa.array([hashlib.sha256(data).hexdigest()],
                              pa.string()),
+                    pa.array([_encodings_tag(specs, d_cols)], pa.string()),
                 ], names=["file", "n_rows", "n_values", "bytes",
-                          "checksum"])
+                          "checksum", "encodings"])
 
     return splits_df.mapInArrow(task, schema=MANIFEST_SCHEMA)

@@ -141,3 +141,31 @@ def test_sink_on_sf001_documents_tokens(spark, tmp_path):
     n = duckdb.connect().execute(
         f"SELECT count(*) FROM read_parquet('{out}/*.parquet')").fetchone()[0]
     assert n == 500
+
+
+def test_sink_auto_encodings(spark, tmp_path):
+    """encodings='auto' runs the engine's codec selector per column per
+    file and maps it onto parquet's surface: the synthetic token table
+    gets dict for tokens/source (selector: RLE_DICTIONARY) and delta or
+    dict for n_tok — recorded in the manifest's encodings column — and
+    the data still round-trips through Spark's JVM reader."""
+    from parquet_cpp_spark.sources.parquet_sink import write_parquet_dataset
+    from parquet_cpp_spark.sources.tokens import synthesize_tokens_parquet
+
+    src_path = synthesize_tokens_parquet(
+        str(tmp_path / "tok.parquet"), 1000, 19, row_group_size=500)
+    out = str(tmp_path / "pqout")
+    man = write_parquet_dataset(spark, src_path, out,
+                                encodings="auto").collect()
+    assert len(man) == 2
+    for r in man:
+        enc = dict(kv.split("=") for kv in r.encodings.split(","))
+        # selector decisions are data-dependent; the invariants are that
+        # tokens (ints) get a real int encoding and source (12 distinct
+        # strings) always dictionary-encodes
+        assert enc["tokens"] in ("dict", "delta")
+        assert enc["source"] == "dict"
+        assert enc["n_tok"] in ("dict", "delta", "plain")
+    a = _csum(spark.read.parquet(src_path))
+    b = _csum(spark.read.parquet(out))
+    assert (a.s, a.n) == (b.s, b.n)
