@@ -125,3 +125,50 @@ def point_lookup(chunks_df: DataFrame, doc_id: str) -> DataFrame:
             ], names=["part_id", "doc_id", "tokens", "n_tok", "source"])
 
     return pruned.mapInArrow(task, DECODED_SCHEMA)
+
+
+def point_lookup_parquet(spark, dataset_dir: str, column: str, key):
+    """Distributed point lookup over an ENGINE-WRITTEN parquet dataset
+    (sources.parquet_sink output): tasks receive file paths, prune data
+    pages through each file's PageIndex (ColumnIndex min/max — zero page
+    headers touched for non-matching ranges), and decode only surviving
+    pages. Returns (file, row_index, pages_decoded, pages_total) — the
+    audit columns make the pruning observable, the same no-silent-work
+    contract as the chunk-format point_lookup above.
+
+    At 100 TB: file-level pruning comes free from the manifest/footer
+    min-max (Catalyst does it for real predicates); this adds the
+    page-level skip WITHIN each surviving file — reference
+    TypedColumnReader::Skip (column_reader.h:268-281) on the interchange
+    format."""
+    import os
+
+    from ..shipping import ensure_shipped
+    ensure_shipped(spark)
+
+    files = sorted(
+        os.path.join(dataset_dir, f) for f in os.listdir(dataset_dir)
+        if f.endswith(".parquet"))
+    files_df = spark.createDataFrame([(f,) for f in files],
+                                     "file string") \
+        .repartition(min(len(files), spark.sparkContext.defaultParallelism))
+
+    def task(batches):
+        import pyarrow as pa
+
+        from ..sources import parquet_format as pf
+        for batch in batches:
+            for fpath in batch.column("file").to_pylist():
+                rows, dec, tot = pf.lookup_rows(fpath, column, key)
+                yield pa.RecordBatch.from_arrays([
+                    pa.array([fpath] * max(len(rows), 1), pa.string()),
+                    pa.array(rows or [-1], pa.int64()),
+                    pa.array([dec] * max(len(rows), 1), pa.int32()),
+                    pa.array([tot] * max(len(rows), 1), pa.int32()),
+                ], names=["file", "row_index", "pages_decoded",
+                          "pages_total"])
+
+    out = files_df.mapInArrow(
+        task, "file string, row_index bigint, pages_decoded int, "
+              "pages_total int")
+    return out

@@ -169,3 +169,41 @@ def test_sink_auto_encodings(spark, tmp_path):
     a = _csum(spark.read.parquet(src_path))
     b = _csum(spark.read.parquet(out))
     assert (a.s, a.n) == (b.s, b.n)
+
+
+def test_point_lookup_parquet_dataset_skips_pages(spark, tmp_path):
+    """Distributed page-skip lookup over a sink-written dataset: every
+    task prunes through its file's PageIndex; the summed pages_decoded
+    across all files is a tiny fraction of pages_total, and the hit row
+    is exact."""
+    from pyspark.sql import functions as F
+
+    from parquet_cpp_spark.plans.lookup import point_lookup_parquet
+    from parquet_cpp_spark.sources.parquet_sink import write_parquet_dataset
+    from parquet_cpp_spark.sources.tokens import synthesize_tokens_parquet
+
+    src_path = synthesize_tokens_parquet(
+        str(tmp_path / "tok.parquet"), 4000, 23, row_group_size=1000)
+    out = str(tmp_path / "pqout")
+    write_parquet_dataset(spark, src_path, out, page_rows=100).collect()
+
+    # pick a real doc_id and find its file-global position
+    sample = spark.read.parquet(out).select("doc_id").limit(1).collect()
+    key = sample[0].doc_id
+    res = point_lookup_parquet(spark, out, "doc_id", key).collect()
+    hits = [r for r in res if r.row_index >= 0]
+    assert len(hits) == 1
+    tot = sum({r.file: r.pages_total for r in res}.values())
+    dec = sum({r.file: r.pages_decoded for r in res}.values())
+    assert tot == 40                     # 4 files x 1000 rows / 100-row pages
+    # doc_ids interleave shard prefixes, so page ranges overlap some — but
+    # the index must still skip the large majority of pages
+    assert dec <= tot // 4
+    # the hit row really holds the key (verify through pyarrow)
+    import pyarrow.parquet as pq
+    t = pq.read_table(hits[0].file, columns=["doc_id"])
+    assert t.column("doc_id")[hits[0].row_index].as_py() == key
+    # a key outside every page range decodes nothing anywhere
+    res2 = point_lookup_parquet(spark, out, "doc_id", "zzzz-absent") \
+        .agg(F.sum("pages_decoded")).collect()[0][0]
+    assert res2 == 0
