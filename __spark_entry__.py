@@ -759,11 +759,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def codec_selection(spark: SparkSession, sf: str) -> DataFrame:
         """Per-column codec histogram of the auto-selector — as of r6 the
         LAST formerly-rows-only query is fully oracle-checked: selection
-        and encoded sizes are deterministic (pinned across parallelism
-        levels by tests/test_entry_oracle.py), so the oracle is the
-        reviewed golden histogram at the driver's sf0.01, embedded as a
-        SQL VALUES list. A selector regression that flips a codec OR a
-        kernel change that alters encoded bytes flips the value hash."""
+        and encoded sizes are deterministic functions of the data
+        (identical histograms measured at local[2] and local[8]), so the
+        oracle is the reviewed golden histogram at the driver's sf0.01,
+        embedded as a SQL VALUES list; the pytest golden
+        (test_codec_selection_pinned_choices) pins the choices too. A
+        selector regression that flips a codec OR a kernel change that
+        alters encoded bytes flips the value hash."""
         ch = _chunks(spark, sf)
         return (ch.groupBy("col", "codec")
                 .agg(F.count("*").alias("n_chunks"),
