@@ -363,6 +363,16 @@ def main() -> None:
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         **extras,
     }
+    # sf1 scale proof (tools/bench_sf1.py: 45M rows = 10x this table,
+    # run separately on an idle box — too long to rerun per-round): embed
+    # the recorded section so the per-round artifact carries it
+    try:
+        with open(os.path.join(REPO, "BENCH_local.json")) as f:
+            sf1 = json.load(f).get("sf1")
+        if sf1:
+            out["sf1_proof"] = sf1
+    except Exception:
+        pass
     print(json.dumps(out))
 
 

@@ -452,6 +452,40 @@ def read_page_index(mv: memoryview,
                      ci.get(5))
 
 
+def _candidate_pages(idx: PageIndex, phys: str, key) -> list[int]:
+    """Page indices whose [min, max] may contain ``key``.
+
+    boundary_order == ASCENDING (the writer detects and records it on
+    sorted columns) turns the scan into a BINARY SEARCH over the page
+    bounds — the parquet-format PageIndex's intended use: at 100 TB a
+    sorted id column has thousands of pages per chunk, and O(log p) beats
+    O(p) before a single page header is touched. DESCENDING mirrors;
+    UNORDERED (or no ColumnIndex) falls back to the linear range scan."""
+    n = len(idx.locations)
+    if idx.mins is None:
+        return list(range(n))
+    import bisect
+
+    real = [i for i in range(n) if not idx.null_pages[i]]
+    if idx.boundary_order in (1, 2) and len(real) > 4:
+        mins = [_stat_to_typed(idx.mins[i], phys) for i in real]
+        maxs = [_stat_to_typed(idx.maxs[i], phys) for i in real]
+        if idx.boundary_order == 2:      # DESCENDING: flip to ascending
+            real, mins, maxs = real[::-1], mins[::-1], maxs[::-1]
+        # pages with max < key end before lo; pages with min > key start
+        # at hi — candidates are the (usually 0- or 1-wide) slice between
+        lo = bisect.bisect_left(maxs, key)
+        hi = bisect.bisect_right(mins, key)
+        return [real[i] for i in range(lo, hi)]
+    out = []
+    for i in real:
+        mn = _stat_to_typed(idx.mins[i], phys)
+        mx = _stat_to_typed(idx.maxs[i], phys)
+        if mn <= key <= mx:
+            out.append(i)
+    return out
+
+
 def _stat_to_typed(b: bytes, phys: str):
     if phys == "byte_array":
         return b
@@ -492,18 +526,10 @@ def lookup_rows(path: str, column: str, key) -> tuple:
         pages_total += len(idx.locations)
         dictionary = _read_dictionary_page(mv, leaf, chunk)
         n_slots_rg = 0
-        for pi, (off, _sz, first_row) in enumerate(idx.locations):
-            survives = True
-            if idx.mins is not None:
-                if idx.null_pages[pi]:
-                    survives = False
-                else:
-                    mn = _stat_to_typed(idx.mins[pi], leaf.phys)
-                    mx = _stat_to_typed(idx.maxs[pi], leaf.phys)
-                    k = key_b if key_b is not None else key
-                    survives = bool(mn <= k <= mx)
-            if not survives:
-                continue
+        candidates = _candidate_pages(idx, leaf.phys,
+                                      key_b if key_b is not None else key)
+        for pi in candidates:
+            off, _sz, first_row = idx.locations[pi]
             vals, deflev, _rep, n_slots, _next = _decode_data_page_at(
                 mv, off, leaf, chunk, dictionary)
             pages_decoded += 1

@@ -160,12 +160,95 @@ def _encodings_tag(specs, delta_cols) -> str:
     return ",".join(parts)
 
 
+def _write_one_file(tbl, tmp: str, dest: str, row_group_rows, page_rows,
+                    compression, delta_columns, encodings,
+                    data_page_version):
+    """Write one Arrow table as one engine PAR1 file (dot-prefixed temp +
+    atomic rename) and return its manifest tuple."""
+    import hashlib
+
+    import numpy as np
+
+    from . import parquet_writer as pw
+    specs, utf8 = specs_from_arrow(tbl)
+    d_cols = frozenset(delta_columns)
+    if encodings == "auto":
+        specs, d_cols = auto_encodings(specs)
+    pw.write_file(tmp, specs, tbl.num_rows,
+                  row_group_rows=row_group_rows, page_rows=page_rows,
+                  compression=compression, utf8_columns=utf8,
+                  delta_columns=d_cols,
+                  data_page_version=data_page_version)
+    with open(tmp, "rb") as fh:
+        data = fh.read()
+    sha = hashlib.sha256(data).hexdigest()
+    dest = dest.format(sha=sha[:16])
+    os.replace(tmp, dest)  # atomic; retries overwrite
+    n_values = sum(
+        int(np.asarray(s.lengths).sum())
+        if hasattr(s, "lengths") and s.lengths is not None
+        else tbl.num_rows
+        for s in specs)
+    return (dest, tbl.num_rows, n_values, len(data), sha,
+            _encodings_tag(specs, d_cols))
+
+
+def emit_parquet_dataset(df, out_dir: str,
+                         name_prefix: str = "",
+                         row_group_rows: "int | None" = None,
+                         page_rows: "int | None" = 2048,
+                         compression: "str | None" = "zstd",
+                         delta_columns: "frozenset | set" = frozenset(),
+                         encodings: str = "default",
+                         data_page_version: int = 1):
+    """DataFrame-in variant of ``write_parquet_dataset``: each task writes
+    its partition's rows as ONE engine-format parquet file named by its
+    CONTENT hash (``{prefix}part-{sha16}.parquet``) — a retried task that
+    reproduces the same partition content overwrites the same file with
+    identical bytes. Callers that need cross-attempt determinism should
+    hash-partition the input first (the streaming sink does). Returns the
+    manifest DataFrame (lazy: files are written when the manifest is
+    consumed)."""
+    from ..shipping import ensure_shipped
+    ensure_shipped(df.sparkSession)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def task(batches):
+        import pyarrow as pa
+        from pyspark import TaskContext
+
+        batch_list = [b for b in batches if b.num_rows]
+        if not batch_list:
+            return
+        tbl = pa.Table.from_batches(batch_list)
+        pid = TaskContext.get().partitionId()
+        tmp = os.path.join(out_dir,
+                           f".emit-{name_prefix}{pid}.inprogress")
+        dest = os.path.join(out_dir,
+                            name_prefix + "part-{sha}.parquet")
+        row = _write_one_file(tbl, tmp, dest, row_group_rows, page_rows,
+                              compression, delta_columns, encodings,
+                              data_page_version)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([row[0]], pa.string()),
+             pa.array([row[1]], pa.int64()),
+             pa.array([row[2]], pa.int64()),
+             pa.array([row[3]], pa.int64()),
+             pa.array([row[4]], pa.string()),
+             pa.array([row[5]], pa.string())],
+            names=["file", "n_rows", "n_values", "bytes", "checksum",
+                   "encodings"])
+
+    return df.mapInArrow(task, MANIFEST_SCHEMA)
+
+
 def write_parquet_dataset(spark, src_path: str, out_dir: str,
                           row_group_rows: "int | None" = None,
                           page_rows: "int | None" = 2048,
                           compression: "str | None" = "zstd",
                           delta_columns: "frozenset | set" = frozenset(),
                           encodings: str = "default",
+                          data_page_version: int = 1,
                           slices_per_core: int = 4):
     """Encode ``src_path`` (parquet file/dir) into a directory of
     ENGINE-written PAR1 files, one per source row group, written by the
@@ -201,39 +284,27 @@ def write_parquet_dataset(spark, src_path: str, out_dir: str,
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        from parquet_cpp_spark.sources import parquet_writer as pw
         for batch in batches:
             for f, rg in zip(batch.column("file").to_pylist(),
                              batch.column("rg").to_pylist()):
                 tbl = pq.ParquetFile(f).read_row_group(rg, use_threads=False)
-                specs, utf8 = specs_from_arrow(tbl)
-                d_cols = delta_cols
-                if encodings == "auto":
-                    specs, d_cols = auto_encodings(specs)
+                # name carries the SOURCE tag (file, rg): a retried split
+                # overwrites its own file, two distinct splits never share
                 tag = hashlib.sha256(f"{f}#{rg}".encode()).hexdigest()[:16]
-                dest = os.path.join(out_dir, f"part-{tag}.parquet")
-                tmp = os.path.join(out_dir, f".part-{tag}.inprogress")
-                pw.write_file(tmp, specs, tbl.num_rows,
-                              row_group_rows=row_group_rows,
-                              page_rows=page_rows, compression=compression,
-                              utf8_columns=utf8, delta_columns=d_cols)
-                with open(tmp, "rb") as fh:
-                    data = fh.read()
-                os.replace(tmp, dest)  # atomic; retries overwrite
-                import numpy as np
-                n_values = sum(
-                    int(np.asarray(s.lengths).sum())
-                    if isinstance(s, pw.ListColumn) else tbl.num_rows
-                    for s in specs)
-                yield pa.RecordBatch.from_arrays([
-                    pa.array([dest], pa.string()),
-                    pa.array([tbl.num_rows], pa.int64()),
-                    pa.array([n_values], pa.int64()),
-                    pa.array([len(data)], pa.int64()),
-                    pa.array([hashlib.sha256(data).hexdigest()],
-                             pa.string()),
-                    pa.array([_encodings_tag(specs, d_cols)], pa.string()),
-                ], names=["file", "n_rows", "n_values", "bytes",
-                          "checksum", "encodings"])
+                row = _write_one_file(
+                    tbl,
+                    os.path.join(out_dir, f".part-{tag}.inprogress"),
+                    os.path.join(out_dir, f"part-{tag}.parquet"),
+                    row_group_rows, page_rows, compression, delta_cols,
+                    encodings, data_page_version)
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array([row[0]], pa.string()),
+                     pa.array([row[1]], pa.int64()),
+                     pa.array([row[2]], pa.int64()),
+                     pa.array([row[3]], pa.int64()),
+                     pa.array([row[4]], pa.string()),
+                     pa.array([row[5]], pa.string())],
+                    names=["file", "n_rows", "n_values", "bytes",
+                           "checksum", "encodings"])
 
     return splits_df.mapInArrow(task, schema=MANIFEST_SCHEMA)

@@ -56,3 +56,47 @@ def start_encode_stream(spark: SparkSession, input_dir: str, out_dir: str,
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_parquet_emit_stream(spark: SparkSession, input_dir: str,
+                              out_dir: str,
+                              checkpoint_dir: str | None = None,
+                              trigger_available_now: bool = True,
+                              max_files_per_trigger: int = 16,
+                              files_per_batch: int | None = None,
+                              **writer_kw):
+    """Streaming ENGINE-PARQUET emission: readStream over arriving token
+    files -> foreachBatch -> executors write engine-format PAR1 files
+    (``sources.parquet_sink.emit_parquet_dataset``) + a manifest.
+
+    Idempotency across micro-batch retries: the batch is hash-partitioned
+    on doc_id first (task content is then deterministic for a given batch)
+    and files are named ``b{batch_id}-part-{content_sha}.parquet`` — a
+    replayed batch rewrites the same bytes to the same names. The output
+    dir is a plain parquet dataset Spark/DuckDB scan directly, growing one
+    micro-batch at a time."""
+    from ..sources.parquet_sink import emit_parquet_dataset
+
+    manifest_path = os.path.join(out_dir, "_manifest")
+    data_dir = os.path.join(out_dir, "data")
+    checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
+
+    stream = (spark.readStream.schema(TOKEN_SCHEMA)
+              .option("maxFilesPerTrigger", str(max_files_per_trigger))
+              .parquet(input_dir))
+
+    def sink(batch_df, batch_id: int):
+        n = files_per_batch or max(
+            1, batch_df.sparkSession.sparkContext.defaultParallelism)
+        part = batch_df.repartition(n, "doc_id")
+        man = emit_parquet_dataset(part, data_dir,
+                                   name_prefix=f"b{batch_id:06d}-",
+                                   **writer_kw)
+        (man.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append").parquet(manifest_path))
+
+    writer = (stream.writeStream.foreachBatch(sink)
+              .option("checkpointLocation", checkpoint_dir))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

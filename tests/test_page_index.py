@@ -135,3 +135,35 @@ def test_write_page_index_off(tmp_path):
     assert ch.offset_index is None and ch.column_index is None
     with pytest.raises(ValueError, match="no PageIndex"):
         pf.lookup_rows(path, "id", 3)
+
+
+def test_candidate_pages_binary_search_matches_linear(tmp_path):
+    """ASCENDING boundary_order turns page pruning into a binary search;
+    its candidate set must equal the linear range scan's for every key
+    position (before, between, inside, after), and shuffled columns take
+    the linear path with identical semantics."""
+    path = str(tmp_path / "f.parquet")
+    _write_sorted(path)                      # ids = 3 * range(10000)
+    with open(path, "rb") as f:
+        mv = memoryview(f.read())
+    meta = pf.read_footer(mv)
+    idx = pf.read_page_index(mv, meta.row_groups[0][0])
+    assert idx.boundary_order == 1
+
+    def linear(key):
+        out = []
+        for i in range(len(idx.locations)):
+            if idx.null_pages[i]:
+                continue
+            mn = pf._stat_to_typed(idx.mins[i], "int64")
+            mx = pf._stat_to_typed(idx.maxs[i], "int64")
+            if mn <= key <= mx:
+                out.append(i)
+        return out
+
+    for key in (-5, 0, 1, 3 * 499, 3 * 500, 3 * 1250, 3 * 3999,
+                3 * 3999 + 1, 10**9):
+        assert pf._candidate_pages(idx, "int64", key) == linear(key), key
+
+    # a point key on a sorted column always hits <= 1 page per row group
+    assert len(pf._candidate_pages(idx, "int64", 3 * 1250)) == 1
