@@ -44,6 +44,26 @@ _STRUCT = 12
 # parquet-format enums
 _TYPE_IDS = {"boolean": 0, "int32": 1, "int64": 2, "float": 4, "double": 5,
              "byte_array": 6}
+
+
+def _phys_id(phys: str) -> "tuple[int, int]":
+    """(parquet type id, type_length) for a phys string. FLBA is spelled
+    ``flba:<N>`` (same grammar as the reader); INT96 is 12 fixed bytes."""
+    if phys == "int96":
+        return 3, 12
+    if phys.startswith("flba:"):
+        n = int(phys.split(":")[1])
+        if n <= 0:
+            raise ValueError(f"bad FLBA width in {phys!r}")
+        return 7, n
+    if phys in _TYPE_IDS:
+        return _TYPE_IDS[phys], 0
+    raise ValueError(f"writer supports {sorted(_TYPE_IDS) + ['int96', 'flba:<N>']}, "
+                     f"not {phys!r}")
+
+
+def _is_fixed_bytes(phys: str) -> bool:
+    return phys == "int96" or phys.startswith("flba:")
 ENC_PLAIN, ENC_PLAIN_DICT, ENC_RLE, ENC_DELTA_BP = 0, 2, 3, 5
 _PAGE_DATA, _PAGE_DICT, _PAGE_DATA_V2 = 0, 2, 3
 _CODEC_IDS = {None: 0, "snappy": 1, "gzip": 2, "zstd": 6}
@@ -132,6 +152,8 @@ def _plain_values(values, phys: str) -> bytes:
         return plain.encode_byte_array(values)
     if phys == "boolean":
         return plain.encode_boolean(np.asarray(values))
+    if _is_fixed_bytes(phys):
+        return plain.encode_flba(list(values), _phys_id(phys)[1])
     return plain.encode_fixed(np.asarray(values), phys)
 
 
@@ -152,7 +174,10 @@ def _chunk_stats(dense, phys: str, null_count: int) -> "list | None":
     the reference's NaN rule: stats with NaN extremes are not written)."""
     fields = [(3, _I64, null_count)]
     n = len(dense)
-    if n == 0:
+    if n == 0 or _is_fixed_bytes(phys):
+        # INT96 sort order is UNKNOWN and DECIMAL-FLBA ordering is signed
+        # big-endian (not byte-lexicographic) — the reference refuses
+        # untrustworthy stats; so do we: null_count only
         return fields
     if phys == "byte_array":
         view = ba.as_view(dense) if not isinstance(dense, ba.ByteArrayView) \
@@ -265,9 +290,20 @@ class ListColumn:
 class _Column:
     def __init__(self, name: str, phys: str, values, valid=None,
                  use_dictionary: bool = False, lengths=None):
-        if phys not in _TYPE_IDS:
-            raise ValueError(f"writer supports {sorted(_TYPE_IDS)}, "
-                             f"not {phys!r}")
+        _phys_id(phys)  # validates
+        if _is_fixed_bytes(phys):
+            if use_dictionary:
+                raise ValueError(f"column {name}: dictionary encoding is "
+                                 "out of scope for FLBA/INT96 (PLAIN only, "
+                                 "like the reference's fixed-width pages)")
+            if lengths is not None:
+                raise ValueError(f"column {name}: list<FLBA/INT96> out of "
+                                 "writer scope")
+            width = _phys_id(phys)[1]
+            for v in values:
+                if len(v) != width:
+                    raise ValueError(f"column {name}: FLBA/INT96 value of "
+                                     f"{len(v)} bytes, expected {width}")
         self.name = name
         self.phys = phys
         self.valid = None if valid is None \
@@ -316,6 +352,10 @@ class _Column:
             if phys == "byte_array":
                 self.dense = ba.take(ba.as_view(values),
                                      np.flatnonzero(self.valid))
+            elif _is_fixed_bytes(phys):
+                # keep a PYTHON list: np.asarray would coerce to '|S<N>'
+                # and silently strip trailing NUL bytes on extraction
+                self.dense = [v for v, ok in zip(values, self.valid) if ok]
             else:
                 self.dense = _coerce_dense(
                     np.asarray(values)[self.valid], phys, name)
@@ -499,6 +539,8 @@ def _write_chunk(buf: bytearray, c: _Column, lo: int, hi: int,
         pg_dense = _slice_dense(c.dense, c.phys, pdlo, pdhi)
         if pdhi == pdlo:
             pmin = pmax = None
+        elif _is_fixed_bytes(c.phys):
+            pmin = pmax = NAN_POISONED   # untrustworthy ordering: no index
         elif c.phys == "byte_array":
             view = pg_dense if isinstance(pg_dense, ba.ByteArrayView) \
                 else ba.as_view(pg_dense)
@@ -518,7 +560,7 @@ def _write_chunk(buf: bytearray, c: _Column, lo: int, hi: int,
         })
 
     total_comp = len(buf) - chunk_start
-    cmd = [(1, _I32, _TYPE_IDS[c.phys]),
+    cmd = [(1, _I32, _phys_id(c.phys)[0]),
            (2, _LIST, (_I32, encodings)),
            (3, _LIST, (_BINARY, c.path)),
            (4, _I32, codec_id),
@@ -550,7 +592,9 @@ def write_file(path: str, columns: list[tuple], num_rows: int,
                delta_columns: "frozenset[str] | set[str]" = frozenset(),
                data_page_version: int = 1,
                dict_size_limit: int = DEFAULT_DICT_SIZE_LIMIT,
-               write_page_index: bool = True) -> None:
+               write_page_index: bool = True,
+               decimal_columns: "dict[str, tuple[int, int]] | None"
+               = None) -> None:
     """Write flat columns as a readable PAR1 file.
 
     ``columns``: (name, phys, values[, valid[, use_dictionary]]) tuples.
@@ -565,6 +609,13 @@ def write_file(path: str, columns: list[tuple], num_rows: int,
     ``delta_columns`` write DELTA_BINARY_PACKED data pages straight from
     ``kernels.delta``. ``data_page_version=2`` writes DataPageV2 (def
     levels unprefixed and outside the compressed region).
+    FLBA columns are spelled ``phys='flba:<N>'`` (values: N-byte strings,
+    PLAIN pages, stats null_count-only — FLBA ordering is type-defined,
+    not byte-lexicographic); ``'int96'`` is the 12-byte deprecated
+    timestamp layout. ``decimal_columns`` maps an FLBA column name to
+    (precision, scale) for the DECIMAL converted type (two's-complement
+    big-endian unscaled ints — ``logical.decimal_to_flba`` produces this
+    layout).
     ``write_page_index`` (default on) emits the parquet PageIndex —
     per-page ColumnIndex (null_pages/min/max/boundary_order/null_counts)
     and OffsetIndex (page offset/size/first_row) structures between the
@@ -577,6 +628,7 @@ def write_file(path: str, columns: list[tuple], num_rows: int,
     if compression not in _CODEC_IDS:
         raise ValueError(f"unsupported compression {compression!r} "
                          f"(one of {sorted(k for k in _CODEC_IDS if k)})")
+    decimal_columns = decimal_columns or {}
     cols = [_Column(s.name, s.phys, s.values, None, s.use_dictionary,
                     s.lengths) if isinstance(s, ListColumn)
             else _Column(*s) for s in columns]
@@ -645,6 +697,8 @@ def write_file(path: str, columns: list[tuple], num_rows: int,
         if c.name in utf8_columns and c.phys != "byte_array":
             raise ValueError(f"utf8 annotation on non-byte_array "
                              f"column {c.name!r}")
+        tid, tlen = _phys_id(c.phys)
+        tl_field = [(2, _I32, tlen)] if c.phys.startswith("flba:") else []
         if c.is_list:
             # standard 3-level list shape (schema.h:43-77): a REQUIRED
             # group annotated LIST, one REPEATED middle group, the leaf.
@@ -653,14 +707,22 @@ def write_file(path: str, columns: list[tuple], num_rows: int,
                            (5, _I32, 1), (6, _I32, 3)])   # ConvertedType LIST
             schema.append([(3, _I32, 2), (4, _BINARY, "list"),
                            (5, _I32, 1)])                 # REPEATED group
-            el = [(1, _I32, _TYPE_IDS[c.phys]), (3, _I32, 0),
+            el = [(1, _I32, tid), *tl_field, (3, _I32, 0),
                   (4, _BINARY, "element")]
         else:
             rep = 1 if c.valid is not None else 0
-            el = [(1, _I32, _TYPE_IDS[c.phys]), (3, _I32, rep),
+            el = [(1, _I32, tid), *tl_field, (3, _I32, rep),
                   (4, _BINARY, c.name)]
         if c.name in utf8_columns:
             el.append((6, _I32, 0))  # ConvertedType UTF8
+        if c.name in decimal_columns:
+            if not c.phys.startswith("flba:"):
+                raise ValueError(f"decimal annotation on non-FLBA "
+                                 f"column {c.name!r}")
+            precision, scale = decimal_columns[c.name]
+            # two's-complement big-endian unscaled ints in fixed bytes —
+            # the logical.py decimal->FLBA layout (arrow/writer.cc:572+)
+            el += [(6, _I32, 5), (7, _I32, scale), (8, _I32, precision)]
         schema.append(el)
     fmd = bytearray()
     # column_orders: TYPE_DEFINED_ORDER per leaf — without it readers must

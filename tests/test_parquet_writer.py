@@ -95,9 +95,11 @@ def test_own_reader_round_trip(alltypes):
 
 
 def test_writer_rejects_out_of_scope(tmp_path):
+    # (flba:12 / int96 graduated into scope in r6 — see
+    # test_flba_decimal_and_int96_round_trip)
     with pytest.raises(ValueError, match="writer supports"):
         pw.write_file(str(tmp_path / "x.parquet"),
-                      [("a", "flba:12", [b"x" * 12])], 1)
+                      [("a", "uuid", [b"x" * 16])], 1)
     with pytest.raises(ValueError, match="slots, expected"):
         pw.write_file(str(tmp_path / "y.parquet"),
                       [("a", "int32", np.arange(3, dtype=np.int32))], 4)
@@ -579,3 +581,75 @@ def test_dict_fallback_degenerate_first_row(tmp_path):
     md = pq.ParquetFile(path).metadata.row_group(0).column(0)
     assert "PLAIN_DICTIONARY" not in set(md.encodings)
     assert pq.read_table(path).column("b").to_pylist() == vals
+
+
+# ---------------------------------------------------------------------------
+# FLBA + INT96: the writer now covers all 8 reference physical types
+# (types.h:49-60); DECIMAL-annotated FLBA carries logical.py's
+# two's-complement big-endian layout (arrow/writer.cc:572-604)
+# ---------------------------------------------------------------------------
+
+def test_flba_decimal_and_int96_round_trip(tmp_path):
+    import decimal
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from parquet_cpp_spark import logical
+
+    n = 500
+    rng = np.random.default_rng(3)
+    unscaled = rng.integers(-10**8, 10**8, n)
+    dec_vals, width = logical.decimal_to_flba(unscaled, precision=9)
+    int96_vals = [bytes(rng.integers(0, 256, 12, dtype=np.uint8))
+                  for _ in range(n)]
+    valid = rng.random(n) > 0.3
+    path = str(tmp_path / "flba.parquet")
+    pw.write_file(path, [
+        ("d", f"flba:{width}", dec_vals),
+        ("dn", f"flba:{width}", dec_vals, valid),
+        ("raw", f"flba:{width}", dec_vals),        # un-annotated FLBA
+        ("t96", "int96", int96_vals),
+    ], n, page_rows=100, compression="zstd",
+        decimal_columns={"d": (9, 2), "dn": (9, 2)})
+
+    t = pq.read_table(path)
+    assert [int(v.scaleb(2)) for v in t.column("d").to_pylist()] == \
+        unscaled.tolist()
+    expn = [decimal.Decimal(int(u)).scaleb(-2) if ok else None
+            for u, ok in zip(unscaled, valid)]
+    assert t.column("dn").to_pylist() == expn
+    assert t.column("raw").to_pylist() == dec_vals  # fixed_size_binary
+    # INT96 raw bytes through the engine's own reader (pyarrow surfaces
+    # them as timestamps; byte identity is the stronger check)
+    own = parquet_format.read_file(path)
+    assert own["t96"][0] == int96_vals
+    assert own["d"][0] == dec_vals
+    s = duckdb.sql(
+        f"SELECT sum(d) FROM read_parquet('{path}')").fetchone()[0]
+    assert int(s.scaleb(2)) == int(unscaled.sum())
+    # FLBA chunks write null_count-only stats (ordering is type-defined,
+    # not byte-lexicographic) and no ColumnIndex
+    md = pq.ParquetFile(path).metadata.row_group(0)
+    st = md.column(1).statistics
+    assert st is None or not st.has_min_max
+    with open(path, "rb") as f:
+        mv = memoryview(f.read())
+    ch = parquet_format.read_footer(mv).row_groups[0][0]
+    assert ch.column_index is None and ch.offset_index is not None
+
+
+def test_flba_rejections(tmp_path):
+    with pytest.raises(ValueError, match="dictionary encoding is"):
+        pw.write_file(str(tmp_path / "a.parquet"),
+                      [("x", "flba:4", [b"abcd"], None, True)], 1)
+    with pytest.raises(ValueError, match="expected 4"):
+        pw.write_file(str(tmp_path / "b.parquet"),
+                      [("x", "flba:4", [b"abc"])], 1)
+    with pytest.raises(ValueError, match="decimal annotation"):
+        pw.write_file(str(tmp_path / "c.parquet"),
+                      [("x", "int64", np.zeros(1, np.int64))], 1,
+                      decimal_columns={"x": (9, 2)})
+    with pytest.raises(ValueError, match="bad FLBA width"):
+        pw.write_file(str(tmp_path / "d.parquet"),
+                      [("x", "flba:0", [])], 0)
