@@ -144,6 +144,7 @@ class FileMeta:
     num_rows: int
     leaves: list[LeafColumn]
     row_groups: list[list[ColumnChunkMeta]] = field(default_factory=list)
+    rg_rows: list[int] = field(default_factory=list)   # rows per row group
 
 
 def _parse_schema(elements: list[dict]) -> list[LeafColumn]:
@@ -204,6 +205,7 @@ def read_footer(mv: memoryview) -> FileMeta:
                 offset_index=(cc[4], cc[5]) if 4 in cc else None,
                 column_index=(cc[6], cc[7]) if 6 in cc else None))
         out.row_groups.append(chunks)
+        out.rg_rows.append(rg.get(3, 0))
     return out
 
 
@@ -503,15 +505,17 @@ def lookup_rows(path: str, column: str, key) -> tuple:
 
     Returns (row_indices, pages_decoded, pages_total) — the page-skip
     counters are the test surface: a lookup that decodes every page is a
-    scan, not a lookup. Flat (max_rep = 0) columns only; this is the
+    scan, not a lookup. Flat columns AND single-level REPEATED leaves
+    (e.g. ``tokens.list.element``: "which rows contain token X", rep
+    levels re-delimit records inside each surviving page); this is the
     parquet analog of plans.lookup's chunk-format per-page pruning
     (TypedColumnReader::Skip, reference column_reader.h:268-281)."""
     with open(path, "rb") as f:
         mv = memoryview(f.read())
     meta = read_footer(mv)
     leaf = next(lf for lf in meta.leaves if lf.name == column)
-    if leaf.max_rep:
-        raise ValueError("lookup_rows supports flat columns only")
+    if leaf.max_rep > 1:
+        raise ValueError("lookup_rows supports max_rep <= 1")
     if leaf.phys == "byte_array" and isinstance(key, str):
         key = key.encode()
     key_b = key if isinstance(key, bytes) else None
@@ -525,12 +529,11 @@ def lookup_rows(path: str, column: str, key) -> tuple:
             raise ValueError("file carries no PageIndex for this column")
         pages_total += len(idx.locations)
         dictionary = _read_dictionary_page(mv, leaf, chunk)
-        n_slots_rg = 0
         candidates = _candidate_pages(idx, leaf.phys,
                                       key_b if key_b is not None else key)
         for pi in candidates:
             off, _sz, first_row = idx.locations[pi]
-            vals, deflev, _rep, n_slots, _next = _decode_data_page_at(
+            vals, deflev, replev, n_slots, _next = _decode_data_page_at(
                 mv, off, leaf, chunk, dictionary)
             pages_decoded += 1
             if leaf.phys == "byte_array":
@@ -541,10 +544,15 @@ def lookup_rows(path: str, column: str, key) -> tuple:
                 matches = np.flatnonzero(
                     np.asarray(vals) == key).tolist()
             if deflev is not None and matches:
-                # dense index -> slot index (nulls occupy slots)
+                # dense index -> slot index (nulls/markers occupy slots)
                 slot_of = np.flatnonzero(np.asarray(deflev) == leaf.max_def)
                 matches = [int(slot_of[m]) for m in matches]
+            if leaf.max_rep and matches:
+                # slot -> row within the page: rep == 0 starts a record
+                # (pages are record-aligned, so the page's first slot has
+                # rep 0 and first_row is its row index)
+                rec_of = np.cumsum(np.asarray(replev) == 0) - 1
+                matches = sorted({int(rec_of[m]) for m in matches})
             hits.extend(row_base + first_row + int(m) for m in matches)
-        n_slots_rg = chunk.num_values
-        row_base += n_slots_rg
-    return hits, pages_decoded, pages_total
+        row_base += meta.rg_rows[gi] if leaf.max_rep else chunk.num_values
+    return sorted(set(hits)), pages_decoded, pages_total

@@ -167,3 +167,30 @@ def test_candidate_pages_binary_search_matches_linear(tmp_path):
 
     # a point key on a sorted column always hits <= 1 page per row group
     assert len(pf._candidate_pages(idx, "int64", 3 * 1250)) == 1
+
+
+def test_lookup_rows_list_leaf_contains_token(tmp_path):
+    """Inverted point lookup on the REPEATED tokens leaf: 'which rows
+    contain token X' decodes only the pages whose element range may hold
+    X, and rep levels re-delimit the hit rows exactly — token-level
+    search over the engine's own headline column without a scan."""
+    rng = np.random.default_rng(31)
+    lengths = rng.integers(1, 8, 2000).astype(np.int64)
+    # tokens clustered by row block => selective per-page element ranges
+    base = np.repeat(np.arange(2000, dtype=np.int32) * 10, lengths)
+    vals = base + rng.integers(0, 10, len(base)).astype(np.int32)
+    path = str(tmp_path / "tok.parquet")
+    pw.write_file(path, [pw.ListColumn("tokens", "int32", vals, lengths)],
+                  2000, row_group_rows=1000, page_rows=100)
+
+    ofs = np.zeros(2001, np.int64)
+    np.cumsum(lengths, out=ofs[1:])
+    target = int(vals[ofs[1500]])            # a token in row 1500
+    exp_rows = sorted({int(r) for r in range(2000)
+                       if target in vals[ofs[r]:ofs[r + 1]]})
+    hits, dec, tot = pf.lookup_rows(path, "tokens.list.element", target)
+    assert hits == exp_rows and 1500 in hits
+    assert tot == 20 and dec <= 2            # clustered: ~1 page survives
+    # absent token beyond every range: zero pages decoded
+    hits2, dec2, _ = pf.lookup_rows(path, "tokens.list.element", 10**8)
+    assert hits2 == [] and dec2 == 0
