@@ -194,3 +194,35 @@ def test_lookup_rows_list_leaf_contains_token(tmp_path):
     # absent token beyond every range: zero pages decoded
     hits2, dec2, _ = pf.lookup_rows(path, "tokens.list.element", 10**8)
     assert hits2 == [] and dec2 == 0
+
+
+def test_descending_boundary_order_binary_search(tmp_path):
+    """A descending-sorted column records boundary_order=DESCENDING and
+    the bisect pruning path mirrors correctly (flip to ascending)."""
+    ids = (np.arange(10_000, dtype=np.int64)[::-1] * 3).copy()
+    path = str(tmp_path / "desc.parquet")
+    pw.write_file(path, [("id", "int64", ids)], 10_000,
+                  row_group_rows=5000, page_rows=500)
+    with open(path, "rb") as f:
+        mv = memoryview(f.read())
+    meta = pf.read_footer(mv)
+    idx = pf.read_page_index(mv, meta.row_groups[0][0])
+    assert idx.boundary_order == 2
+    hits, dec, tot = pf.lookup_rows(path, "id", 3 * 7777)
+    assert hits == [10_000 - 1 - 7777] and dec == 1 and tot == 20
+    hits, dec, _ = pf.lookup_rows(path, "id", 10**12)
+    assert hits == [] and dec == 0
+
+
+def test_lookup_rows_list_leaf_v2_pages(tmp_path):
+    """The inverted token lookup works identically over DataPageV2 list
+    pages (levels outside the compressed region)."""
+    lengths = np.full(1000, 4, dtype=np.int64)
+    vals = np.repeat(np.arange(1000, dtype=np.int32) * 100, 4) + \
+        np.tile(np.arange(4, dtype=np.int32), 1000)
+    path = str(tmp_path / "v2tok.parquet")
+    pw.write_file(path, [pw.ListColumn("t", "int32", vals, lengths)],
+                  1000, page_rows=100, data_page_version=2,
+                  compression="zstd")
+    hits, dec, tot = pf.lookup_rows(path, "t.list.element", 77702)
+    assert hits == [777] and dec == 1 and tot == 10
