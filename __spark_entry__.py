@@ -982,8 +982,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # left litter in git status at every sf (r5 verdict nit). The name
         # is row-count-keyed so repeated runs overwrite idempotently.
         import tempfile
+        # uid-keyed: /tmp is world-shared and sticky — a fixed name owned
+        # by another user would fail the overwrite with PermissionError
         out = os.path.join(tempfile.gettempdir(),
-                           f"pcs_writer_rt_{len(ids)}.parquet")
+                           f"pcs_{os.getuid()}_writer_rt_{len(ids)}.parquet")
         pw.write_file(out, [
             ("doc_id", "int64", ids),
             ("source", "byte_array", srcs, None, True),
@@ -1024,7 +1026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                 for t in pdf["tokens"]])
                 if n else np.zeros(0, np.int32))
         out = os.path.join(tempfile.gettempdir(),
-                           f"pcs_writer_tokens_{n}.parquet")
+                           f"pcs_{os.getuid()}_writer_tokens_{n}.parquet")
         pw.write_file(out, [
             ("doc_id", "byte_array", [s.encode() for s in pdf["doc_id"]]),
             pw.ListColumn("tokens", "int32", vals, lengths,

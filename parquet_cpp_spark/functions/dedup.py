@@ -234,6 +234,9 @@ def decontaminate(docs: DataFrame, bench: DataFrame,
     doc_sh = docs.select(F.col(id_col), F.explode(sh).alias("sh"))
     bench_sh = bench.select(F.explode(sh).alias("sh")).distinct()
     if strategy == "auto":
+        # persist around the sizing count so the join below reuses the
+        # deduped shingles instead of re-exploding the bench corpus
+        bench_sh = bench_sh.persist()
         strategy = "broadcast" if bench_sh.count() <= broadcast_limit \
             else "shuffle"
     if strategy == "broadcast":

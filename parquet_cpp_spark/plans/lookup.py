@@ -146,9 +146,17 @@ def point_lookup_parquet(spark, dataset_dir: str, column: str, key):
     from ..shipping import ensure_shipped
     ensure_shipped(spark)
 
+    schema = ("file string, row_index bigint, pages_decoded int, "
+              "pages_total int")
+    if not os.path.isdir(dataset_dir):
+        raise FileNotFoundError(f"not a dataset dir: {dataset_dir}")
     files = sorted(
         os.path.join(dataset_dir, f) for f in os.listdir(dataset_dir)
         if f.endswith(".parquet"))
+    if not files:
+        # dir exists but holds no committed files (sink not yet run, or
+        # only .inprogress temps): an empty result, not a crash
+        return spark.createDataFrame([], schema)
     files_df = spark.createDataFrame([(f,) for f in files],
                                      "file string") \
         .repartition(min(len(files), spark.sparkContext.defaultParallelism))
@@ -168,7 +176,4 @@ def point_lookup_parquet(spark, dataset_dir: str, column: str, key):
                 ], names=["file", "row_index", "pages_decoded",
                           "pages_total"])
 
-    out = files_df.mapInArrow(
-        task, "file string, row_index bigint, pages_decoded int, "
-              "pages_total int")
-    return out
+    return files_df.mapInArrow(task, schema)

@@ -270,9 +270,6 @@ def _decode_data_page_at(mv: memoryview, pos: int, leaf: LeafColumn,
     page_type = ph[1]
     deflev = replev = None
     if page_type == _PAGE_DATA_V2:
-            # V2: levels sit UNPREFIXED (rep first, then def) before the
-            # (separately) compressed value region — mirror of
-            # parquet_writer's V2 emission
         # V2: levels sit UNPREFIXED (rep first, then def) before the
         # (separately) compressed value region — mirror of
         # parquet_writer's V2 emission
@@ -462,10 +459,16 @@ def _candidate_pages(idx: PageIndex, phys: str, key) -> list[int]:
     bounds — the parquet-format PageIndex's intended use: at 100 TB a
     sorted id column has thousands of pages per chunk, and O(log p) beats
     O(p) before a single page header is touched. DESCENDING mirrors;
-    UNORDERED (or no ColumnIndex) falls back to the linear range scan."""
+    UNORDERED (or no ColumnIndex) falls back to the linear range scan.
+    FLBA/INT96 bounds have type-defined (not byte-lexicographic) order,
+    so they never prune — every non-null page stays a candidate."""
     n = len(idx.locations)
     if idx.mins is None:
         return list(range(n))
+    if phys == "int96" or phys.startswith("flba"):
+        # e.g. a pyarrow-written decimal column index: byte-comparing its
+        # bounds against the key would prune WRONGLY; decode all pages
+        return [i for i in range(n) if not idx.null_pages[i]]
     import bisect
 
     real = [i for i in range(n) if not idx.null_pages[i]]
@@ -489,8 +492,8 @@ def _candidate_pages(idx: PageIndex, phys: str, key) -> list[int]:
 
 
 def _stat_to_typed(b: bytes, phys: str):
-    if phys == "byte_array":
-        return b
+    if phys == "byte_array" or phys == "int96" or phys.startswith("flba"):
+        return b   # raw bytes; FLBA/INT96 byte order is NOT value order
     if phys == "boolean":
         return bool(b[0])
     dt = {"int32": "<i4", "int64": "<i8",
@@ -509,9 +512,16 @@ def lookup_rows(path: str, column: str, key) -> tuple:
     (e.g. ``tokens.list.element``: "which rows contain token X", rep
     levels re-delimit records inside each surviving page); this is the
     parquet analog of plans.lookup's chunk-format per-page pruning
-    (TypedColumnReader::Skip, reference column_reader.h:268-281)."""
+    (TypedColumnReader::Skip, reference column_reader.h:268-281).
+
+    The file is mmap'd, not read: skipped pages cost no I/O either —
+    only the footer, the index region, and surviving pages fault in.
+    (On remote object stores the analog is ranged GETs.)"""
+    import mmap
+
     with open(path, "rb") as f:
-        mv = memoryview(f.read())
+        m = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+    mv = memoryview(m)
     meta = read_footer(mv)
     leaf = next(lf for lf in meta.leaves if lf.name == column)
     if leaf.max_rep > 1:

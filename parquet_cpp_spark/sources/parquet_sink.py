@@ -160,6 +160,33 @@ def _encodings_tag(specs, delta_cols) -> str:
     return ",".join(parts)
 
 
+def _attempt_tag() -> str:
+    """Unique-per-task-attempt suffix for temp names: two attempts of the
+    same task (speculation, zombie executors on shared storage) must NEVER
+    share a temp file — interleaved writes would commit a corrupt file
+    whose checksum still 'matches' (it hashes the corrupt bytes)."""
+    from pyspark import TaskContext
+    ctx = TaskContext.get()
+    if ctx is None:
+        import os as _os
+        return f"drv{_os.getpid()}"
+    return f"a{ctx.taskAttemptId()}"
+
+
+def _manifest_batch(row):
+    """One manifest tuple -> a single-row Arrow batch (MANIFEST_SCHEMA)."""
+    import pyarrow as pa
+    return pa.RecordBatch.from_arrays(
+        [pa.array([row[0]], pa.string()),
+         pa.array([row[1]], pa.int64()),
+         pa.array([row[2]], pa.int64()),
+         pa.array([row[3]], pa.int64()),
+         pa.array([row[4]], pa.string()),
+         pa.array([row[5]], pa.string())],
+        names=["file", "n_rows", "n_values", "bytes", "checksum",
+               "encodings"])
+
+
 def _write_one_file(tbl, tmp: str, dest: str, row_group_rows, page_rows,
                     compression, delta_columns, encodings,
                     data_page_version):
@@ -205,10 +232,13 @@ def emit_parquet_dataset(df, out_dir: str,
     its partition's rows as ONE engine-format parquet file named by its
     CONTENT hash (``{prefix}part-{sha16}.parquet``) — a retried task that
     reproduces the same partition content overwrites the same file with
-    identical bytes. Callers that need cross-attempt determinism should
-    hash-partition the input first (the streaming sink does). Returns the
-    manifest DataFrame (lazy: files are written when the manifest is
-    consumed)."""
+    identical bytes. Content-hash naming alone does NOT make retries
+    idempotent: callers must make partition content deterministic —
+    hash-partition AND sort within partitions (shuffle fetch order is
+    nondeterministic; the streaming sink does both) — or a retried task
+    can emit the same rows in a different order under a different name,
+    duplicating data. Returns the manifest DataFrame (lazy: files are
+    written when the manifest is consumed)."""
     from ..shipping import ensure_shipped
     ensure_shipped(df.sparkSession)
     os.makedirs(out_dir, exist_ok=True)
@@ -222,22 +252,14 @@ def emit_parquet_dataset(df, out_dir: str,
             return
         tbl = pa.Table.from_batches(batch_list)
         pid = TaskContext.get().partitionId()
-        tmp = os.path.join(out_dir,
-                           f".emit-{name_prefix}{pid}.inprogress")
+        tmp = os.path.join(
+            out_dir, f".emit-{name_prefix}{pid}-{_attempt_tag()}.inprogress")
         dest = os.path.join(out_dir,
                             name_prefix + "part-{sha}.parquet")
         row = _write_one_file(tbl, tmp, dest, row_group_rows, page_rows,
                               compression, delta_columns, encodings,
                               data_page_version)
-        yield pa.RecordBatch.from_arrays(
-            [pa.array([row[0]], pa.string()),
-             pa.array([row[1]], pa.int64()),
-             pa.array([row[2]], pa.int64()),
-             pa.array([row[3]], pa.int64()),
-             pa.array([row[4]], pa.string()),
-             pa.array([row[5]], pa.string())],
-            names=["file", "n_rows", "n_values", "bytes", "checksum",
-                   "encodings"])
+        yield _manifest_batch(row)
 
     return df.mapInArrow(task, MANIFEST_SCHEMA)
 
@@ -293,18 +315,12 @@ def write_parquet_dataset(spark, src_path: str, out_dir: str,
                 tag = hashlib.sha256(f"{f}#{rg}".encode()).hexdigest()[:16]
                 row = _write_one_file(
                     tbl,
-                    os.path.join(out_dir, f".part-{tag}.inprogress"),
+                    os.path.join(
+                        out_dir,
+                        f".part-{tag}-{_attempt_tag()}.inprogress"),
                     os.path.join(out_dir, f"part-{tag}.parquet"),
                     row_group_rows, page_rows, compression, delta_cols,
                     encodings, data_page_version)
-                yield pa.RecordBatch.from_arrays(
-                    [pa.array([row[0]], pa.string()),
-                     pa.array([row[1]], pa.int64()),
-                     pa.array([row[2]], pa.int64()),
-                     pa.array([row[3]], pa.int64()),
-                     pa.array([row[4]], pa.string()),
-                     pa.array([row[5]], pa.string())],
-                    names=["file", "n_rows", "n_values", "bytes",
-                           "checksum", "encodings"])
+                yield _manifest_batch(row)
 
     return splits_df.mapInArrow(task, schema=MANIFEST_SCHEMA)

@@ -70,11 +70,16 @@ def start_parquet_emit_stream(spark: SparkSession, input_dir: str,
     (``sources.parquet_sink.emit_parquet_dataset``) + a manifest.
 
     Idempotency across micro-batch retries: the batch is hash-partitioned
-    on doc_id first (task content is then deterministic for a given batch)
-    and files are named ``b{batch_id}-part-{content_sha}.parquet`` — a
-    replayed batch rewrites the same bytes to the same names. The output
-    dir is a plain parquet dataset Spark/DuckDB scan directly, growing one
-    micro-batch at a time."""
+    on doc_id AND sorted within partitions (shuffle fetch order is
+    nondeterministic — without the sort, a replayed task could produce
+    different bytes, a different content sha, and a DUPLICATE data file),
+    so files are named ``b{batch_id}-part-{content_sha}.parquet`` and a
+    replayed batch rewrites the same bytes to the same names; the
+    manifest is written with dynamic partition overwrite on batch_id, so
+    a batch replayed after a crash between manifest write and checkpoint
+    commit REPLACES its own manifest rows instead of appending
+    duplicates. The output dir is a plain parquet dataset Spark/DuckDB
+    scan directly, growing one micro-batch at a time."""
     from ..sources.parquet_sink import emit_parquet_dataset
 
     manifest_path = os.path.join(out_dir, "_manifest")
@@ -88,12 +93,15 @@ def start_parquet_emit_stream(spark: SparkSession, input_dir: str,
     def sink(batch_df, batch_id: int):
         n = files_per_batch or max(
             1, batch_df.sparkSession.sparkContext.defaultParallelism)
-        part = batch_df.repartition(n, "doc_id")
+        part = batch_df.repartition(n, "doc_id") \
+            .sortWithinPartitions("doc_id")
         man = emit_parquet_dataset(part, data_dir,
                                    name_prefix=f"b{batch_id:06d}-",
                                    **writer_kw)
         (man.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append").parquet(manifest_path))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(manifest_path))
 
     writer = (stream.writeStream.foreachBatch(sink)
               .option("checkpointLocation", checkpoint_dir))
