@@ -207,3 +207,34 @@ def test_point_lookup_parquet_dataset_skips_pages(spark, tmp_path):
     res2 = point_lookup_parquet(spark, out, "doc_id", "zzzz-absent") \
         .agg(F.sum("pages_decoded")).collect()[0][0]
     assert res2 == 0
+
+
+def test_point_lookup_parquet_tokens_inverted(spark, tmp_path):
+    """Distributed INVERTED lookup on the REPEATED tokens leaf across a
+    multi-file dataset: 'which (file, row) contain token X' prunes
+    through each file's element-range index and decodes only the
+    clustered pages that may hold it."""
+    import numpy as np
+
+    from parquet_cpp_spark.plans.lookup import point_lookup_parquet
+    from parquet_cpp_spark.sources import parquet_writer as pw
+
+    out = str(tmp_path / "ds")
+    os.makedirs(out)
+    for fi in range(3):
+        lengths = np.full(1000, 5, dtype=np.int64)
+        base = fi * 1_000_000 + \
+            np.repeat(np.arange(1000, dtype=np.int32) * 50, 5)
+        vals = (base + np.tile(np.arange(5, dtype=np.int32), 1000)) \
+            .astype(np.int32)
+        pw.write_file(os.path.join(out, f"f{fi}.parquet"),
+                      [pw.ListColumn("tokens", "int32", vals, lengths)],
+                      1000, page_rows=100)
+    target = 1_000_000 + 123 * 50 + 2          # row 123 of file 1 only
+    res = point_lookup_parquet(spark, out, "tokens.list.element",
+                               int(target)).collect()
+    hits = [(os.path.basename(r.file), r.row_index)
+            for r in res if r.row_index >= 0]
+    assert hits == [("f1.parquet", 123)]
+    assert sum({r.file: r.pages_decoded for r in res}.values()) == 1
+    assert sum({r.file: r.pages_total for r in res}.values()) == 30
