@@ -37,26 +37,46 @@ _FLAT_PHYS = {"int32": "int32", "int64": "int64", "float": "float",
 
 
 def specs_from_arrow(tbl):
-    """Arrow table -> (writer column specs, utf8 column names).
+    """Arrow table -> (specs, utf8 column names, temporal annotations).
 
     The bridge between ``mapInArrow`` batches and ``parquet_writer``:
     list columns become ``ListColumn`` (offsets -> lengths, flattened
     values), nullable flat columns carry their validity mask, strings get
-    the UTF8 annotation. Fails loudly on shapes the writer doesn't cover
-    (nested lists, structs, maps, null list slots)."""
+    the UTF8 annotation, date32/timestamp columns store as annotated
+    int32/int64 (DATE / TIMESTAMP_MILLIS / TIMESTAMP_MICROS converted
+    types). Fails loudly on shapes the writer doesn't cover (nested
+    lists, structs, maps, null list slots, ns/s timestamps)."""
     import numpy as np
     import pyarrow as pa
 
     from . import parquet_writer as pw
 
-    specs, utf8 = [], set()
+    specs, utf8, annotations = [], set(), {}
     for name in tbl.column_names:
         col = tbl.column(name).combine_chunks()
         if isinstance(col, pa.ChunkedArray):   # older pyarrow: 1-chunk CA
             col = col.chunk(0) if col.num_chunks \
                 else pa.array([], type=col.type)
         typ = col.type
-        if pa.types.is_list(typ) or pa.types.is_large_list(typ):
+        if pa.types.is_date32(typ) or pa.types.is_timestamp(typ):
+            if pa.types.is_date32(typ):
+                phys, ann = "int32", "date"
+                col = col.cast(pa.int32())
+            else:
+                unit = typ.unit
+                if unit not in ("ms", "us"):
+                    raise ValueError(f"column {name}: timestamp[{unit}] "
+                                     "out of scope (ms/us only)")
+                phys, ann = "int64", f"timestamp_{unit}"
+                col = col.cast(pa.timestamp(unit)).cast(pa.int64())
+            annotations[name] = ann
+            valid = None
+            if col.null_count:
+                valid = ~np.asarray(col.is_null())
+                col = col.fill_null(0)
+            specs.append((name, phys,
+                          col.to_numpy(zero_copy_only=False), valid))
+        elif pa.types.is_list(typ) or pa.types.is_large_list(typ):
             inner = str(typ.value_type)
             if inner not in ("int32", "int64"):
                 raise ValueError(f"column {name}: list<{inner}> out of "
@@ -94,7 +114,7 @@ def specs_from_arrow(tbl):
         else:
             raise ValueError(f"column {name}: arrow type {typ} out of "
                              "parquet_sink scope")
-    return specs, utf8
+    return specs, utf8, annotations
 
 
 def auto_encodings(specs) -> tuple:
@@ -197,7 +217,7 @@ def _write_one_file(tbl, tmp: str, dest: str, row_group_rows, page_rows,
     import numpy as np
 
     from . import parquet_writer as pw
-    specs, utf8 = specs_from_arrow(tbl)
+    specs, utf8, annotations = specs_from_arrow(tbl)
     d_cols = frozenset(delta_columns)
     if encodings == "auto":
         specs, d_cols = auto_encodings(specs)
@@ -205,7 +225,8 @@ def _write_one_file(tbl, tmp: str, dest: str, row_group_rows, page_rows,
                   row_group_rows=row_group_rows, page_rows=page_rows,
                   compression=compression, utf8_columns=utf8,
                   delta_columns=d_cols,
-                  data_page_version=data_page_version)
+                  data_page_version=data_page_version,
+                  annotations=annotations)
     with open(tmp, "rb") as fh:
         data = fh.read()
     sha = hashlib.sha256(data).hexdigest()

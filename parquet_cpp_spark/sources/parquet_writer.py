@@ -64,6 +64,17 @@ def _phys_id(phys: str) -> "tuple[int, int]":
 
 def _is_fixed_bytes(phys: str) -> bool:
     return phys == "int96" or phys.startswith("flba:")
+
+
+# ConvertedType annotations over int32/int64 storage (types.h:63-90):
+# name -> (converted-type id, required phys)
+_TIME_ANNOTATIONS = {
+    "date": (6, "int32"),
+    "time_ms": (7, "int32"),
+    "time_us": (8, "int64"),
+    "timestamp_ms": (9, "int64"),
+    "timestamp_us": (10, "int64"),
+}
 ENC_PLAIN, ENC_PLAIN_DICT, ENC_RLE, ENC_DELTA_BP = 0, 2, 3, 5
 _PAGE_DATA, _PAGE_DICT, _PAGE_DATA_V2 = 0, 2, 3
 _CODEC_IDS = {None: 0, "snappy": 1, "gzip": 2, "zstd": 6}
@@ -593,8 +604,8 @@ def write_file(path: str, columns: list[tuple], num_rows: int,
                data_page_version: int = 1,
                dict_size_limit: int = DEFAULT_DICT_SIZE_LIMIT,
                write_page_index: bool = True,
-               decimal_columns: "dict[str, tuple[int, int]] | None"
-               = None) -> None:
+               decimal_columns: "dict[str, tuple[int, int]] | None" = None,
+               annotations: "dict[str, str] | None" = None) -> None:
     """Write flat columns as a readable PAR1 file.
 
     ``columns``: (name, phys, values[, valid[, use_dictionary]]) tuples.
@@ -615,7 +626,10 @@ def write_file(path: str, columns: list[tuple], num_rows: int,
     timestamp layout. ``decimal_columns`` maps an FLBA column name to
     (precision, scale) for the DECIMAL converted type (two's-complement
     big-endian unscaled ints — ``logical.decimal_to_flba`` produces this
-    layout).
+    layout). ``annotations`` maps an int column name to a temporal
+    converted type — 'date' / 'time_ms' (int32 storage), 'time_us' /
+    'timestamp_ms' / 'timestamp_us' (int64 storage) — so readers surface
+    real date/timestamp columns (``logical.py`` produces the stored ints).
     ``write_page_index`` (default on) emits the parquet PageIndex —
     per-page ColumnIndex (null_pages/min/max/boundary_order/null_counts)
     and OffsetIndex (page offset/size/first_row) structures between the
@@ -629,6 +643,7 @@ def write_file(path: str, columns: list[tuple], num_rows: int,
         raise ValueError(f"unsupported compression {compression!r} "
                          f"(one of {sorted(k for k in _CODEC_IDS if k)})")
     decimal_columns = decimal_columns or {}
+    annotations = annotations or {}
     cols = [_Column(s.name, s.phys, s.values, None, s.use_dictionary,
                     s.lengths) if isinstance(s, ListColumn)
             else _Column(*s) for s in columns]
@@ -715,6 +730,16 @@ def write_file(path: str, columns: list[tuple], num_rows: int,
                   (4, _BINARY, c.name)]
         if c.name in utf8_columns:
             el.append((6, _I32, 0))  # ConvertedType UTF8
+        if c.name in annotations:
+            ann = annotations[c.name]
+            if ann not in _TIME_ANNOTATIONS:
+                raise ValueError(f"unknown annotation {ann!r} "
+                                 f"(one of {sorted(_TIME_ANNOTATIONS)})")
+            conv_id, want_phys = _TIME_ANNOTATIONS[ann]
+            if c.phys != want_phys:
+                raise ValueError(f"annotation {ann!r} needs {want_phys} "
+                                 f"storage, column {c.name!r} is {c.phys}")
+            el.append((6, _I32, conv_id))
         if c.name in decimal_columns:
             if not c.phys.startswith("flba:"):
                 raise ValueError(f"decimal annotation on non-FLBA "

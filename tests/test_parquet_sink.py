@@ -99,7 +99,7 @@ def test_specs_from_arrow_nullables_and_rejects():
         "s": pa.array(["a", None, "c"]),
         "l": pa.array([[1, 2], [], [3]], pa.list_(pa.int32())),
     })
-    specs, utf8 = specs_from_arrow(tbl)
+    specs, utf8, _ann = specs_from_arrow(tbl)
     assert utf8 == {"s"}
     by_name = {getattr(s, "name", None) or s[0]: s for s in specs}
     assert by_name["i"][3].tolist() == [True, False, True]
@@ -238,3 +238,47 @@ def test_point_lookup_parquet_tokens_inverted(spark, tmp_path):
     assert hits == [("f1.parquet", 123)]
     assert sum({r.file: r.pages_decoded for r in res}.values()) == 1
     assert sum({r.file: r.pages_total for r in res}.values()) == 30
+
+
+def test_sink_temporal_columns_roundtrip(spark, tmp_path):
+    """date32 and timestamp[ms/us] columns store as annotated int32/int64
+    (DATE / TIMESTAMP_* converted types) and come back as real date/
+    timestamp values through Spark's JVM reader and DuckDB; nanosecond
+    timestamps fail loudly."""
+    import datetime as dt
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_cpp_spark.sources.parquet_sink import (specs_from_arrow,
+                                                        write_parquet_dataset)
+
+    days = [dt.date(2020, 1, 1) + dt.timedelta(days=i) for i in range(200)]
+    ts = [dt.datetime(2021, 3, 4, 5, 6, 7) + dt.timedelta(seconds=i)
+          for i in range(200)]
+    tbl = pa.table({
+        "d": pa.array(days, pa.date32()),
+        "t_us": pa.array(ts, pa.timestamp("us")),
+        "t_ms": pa.array(ts, pa.timestamp("ms")),
+        "dn": pa.array([x if i % 3 else None
+                        for i, x in enumerate(days)], pa.date32()),
+    })
+    src = str(tmp_path / "src.parquet")
+    pq.write_table(tbl, src)
+    out = str(tmp_path / "out")
+    write_parquet_dataset(spark, src, out).collect()
+
+    got = spark.read.parquet(out).orderBy("d").collect()
+    assert [r.d for r in got] == days
+    assert [r.t_us for r in got] == ts
+    assert [r.dn for r in got] == \
+        [x if i % 3 else None for i, x in enumerate(days)]
+    n = duckdb.connect().execute(
+        f"SELECT count(*) FROM read_parquet('{out}/*.parquet') "
+        f"WHERE d >= DATE '2020-01-01' AND t_ms <= t_us").fetchone()[0]
+    assert n == 200
+
+    with pytest.raises(Exception, match="out of scope"):
+        specs_from_arrow(pa.table(
+            {"x": pa.array([dt.datetime(2020, 1, 1)], pa.timestamp("ns"))}))
