@@ -145,6 +145,7 @@ class FileMeta:
     leaves: list[LeafColumn]
     row_groups: list[list[ColumnChunkMeta]] = field(default_factory=list)
     rg_rows: list[int] = field(default_factory=list)   # rows per row group
+    key_value_metadata: dict[str, str] = field(default_factory=dict)
 
 
 def _parse_schema(elements: list[dict]) -> list[LeafColumn]:
@@ -190,6 +191,9 @@ def read_footer(mv: memoryview) -> FileMeta:
     fmd = _Compact(mv, len(mv) - 8 - meta_len).struct()
     leaves = _parse_schema(fmd[2])
     out = FileMeta(num_rows=fmd[3], leaves=leaves)
+    for kv in fmd.get(5, []):
+        out.key_value_metadata[kv[1].decode()] = \
+            kv.get(2, b"").decode()
     for rg in fmd[4]:
         chunks = []
         for cc in rg[1]:

@@ -221,24 +221,52 @@ def _write_one_file(tbl, tmp: str, dest: str, row_group_rows, page_rows,
     d_cols = frozenset(delta_columns)
     if encodings == "auto":
         specs, d_cols = auto_encodings(specs)
-    pw.write_file(tmp, specs, tbl.num_rows,
-                  row_group_rows=row_group_rows, page_rows=page_rows,
-                  compression=compression, utf8_columns=utf8,
-                  delta_columns=d_cols,
-                  data_page_version=data_page_version,
-                  annotations=annotations)
-    with open(tmp, "rb") as fh:
-        data = fh.read()
-    sha = hashlib.sha256(data).hexdigest()
-    dest = dest.format(sha=sha[:16])
-    os.replace(tmp, dest)  # atomic; retries overwrite
     n_values = sum(
         int(np.asarray(s.lengths).sum())
         if hasattr(s, "lengths") and s.lengths is not None
         else tbl.num_rows
         for s in specs)
-    return (dest, tbl.num_rows, n_values, len(data), sha,
-            _encodings_tag(specs, d_cols))
+    enc_tag = _encodings_tag(specs, d_cols)
+    # manifest fields ride in the footer's key_value_metadata so a
+    # resumed job can rebuild its manifest row WITHOUT re-encoding
+    pw.write_file(tmp, specs, tbl.num_rows,
+                  row_group_rows=row_group_rows, page_rows=page_rows,
+                  compression=compression, utf8_columns=utf8,
+                  delta_columns=d_cols,
+                  data_page_version=data_page_version,
+                  annotations=annotations,
+                  key_value_metadata={"pcs.n_values": str(n_values),
+                                      "pcs.encodings": enc_tag})
+    with open(tmp, "rb") as fh:
+        data = fh.read()
+    sha = hashlib.sha256(data).hexdigest()
+    dest = dest.format(sha=sha[:16])
+    os.replace(tmp, dest)  # atomic; retries overwrite
+    return (dest, tbl.num_rows, n_values, len(data), sha, enc_tag)
+
+
+def _manifest_from_existing(dest: str):
+    """Manifest tuple for an already-committed engine file (resume path):
+    n_rows from the footer, n_values/encodings from the embedded
+    key_value_metadata, checksum re-hashed from the bytes on disk.
+    Returns None when the file is absent, truncated, or not ours —
+    the caller then re-encodes."""
+    import hashlib
+
+    from . import parquet_format as pf
+    try:
+        with open(dest, "rb") as fh:
+            data = fh.read()
+        if len(data) < 12 or data[:4] != b"PAR1" or data[-4:] != b"PAR1":
+            return None
+        meta = pf.read_footer(memoryview(data))
+        kv = meta.key_value_metadata
+        if "pcs.n_values" not in kv:
+            return None
+        return (dest, meta.num_rows, int(kv["pcs.n_values"]), len(data),
+                hashlib.sha256(data).hexdigest(), kv["pcs.encodings"])
+    except Exception:
+        return None
 
 
 def emit_parquet_dataset(df, out_dir: str,
@@ -292,6 +320,7 @@ def write_parquet_dataset(spark, src_path: str, out_dir: str,
                           delta_columns: "frozenset | set" = frozenset(),
                           encodings: str = "default",
                           data_page_version: int = 1,
+                          resume: bool = False,
                           slices_per_core: int = 4):
     """Encode ``src_path`` (parquet file/dir) into a directory of
     ENGINE-written PAR1 files, one per source row group, written by the
@@ -307,7 +336,16 @@ def write_parquet_dataset(spark, src_path: str, out_dir: str,
     per file (mapped onto parquet's encoding surface via
     ``auto_encodings``) instead of the defaults (dict for strings/lists,
     plus explicit ``delta_columns``); the manifest's ``encodings`` column
-    records each file's choices."""
+    records each file's choices.
+
+    ``resume=True`` is the checkpoint-resume mode (the manifest
+    anti-join's analog for the parquet output): a split whose destination
+    file already exists with valid PAR1 magic and the engine's embedded
+    footer metadata is SKIPPED — its manifest row is rebuilt from the
+    footer (``pcs.n_values`` / ``pcs.encodings`` key_value_metadata) and
+    a re-hash of the bytes on disk, no re-encode. Names are source-tagged
+    per (file, row_group), so resume trusts that the SOURCE split is
+    unchanged; truncated or foreign files re-encode."""
     from ..shipping import ensure_shipped
     from .parquet_direct import list_row_groups
     ensure_shipped(spark)
@@ -330,16 +368,24 @@ def write_parquet_dataset(spark, src_path: str, out_dir: str,
         for batch in batches:
             for f, rg in zip(batch.column("file").to_pylist(),
                              batch.column("rg").to_pylist()):
-                tbl = pq.ParquetFile(f).read_row_group(rg, use_threads=False)
                 # name carries the SOURCE tag (file, rg): a retried split
                 # overwrites its own file, two distinct splits never share
                 tag = hashlib.sha256(f"{f}#{rg}".encode()).hexdigest()[:16]
+                dest = os.path.join(out_dir, f"part-{tag}.parquet")
+                if resume:
+                    # BEFORE reading the source: a resumed split costs one
+                    # footer parse + hash, zero source I/O, zero encode
+                    row = _manifest_from_existing(dest)
+                    if row is not None:
+                        yield _manifest_batch(row)
+                        continue
+                tbl = pq.ParquetFile(f).read_row_group(rg, use_threads=False)
                 row = _write_one_file(
                     tbl,
                     os.path.join(
                         out_dir,
                         f".part-{tag}-{_attempt_tag()}.inprogress"),
-                    os.path.join(out_dir, f"part-{tag}.parquet"),
+                    dest,
                     row_group_rows, page_rows, compression, delta_cols,
                     encodings, data_page_version)
                 yield _manifest_batch(row)

@@ -605,7 +605,8 @@ def write_file(path: str, columns: list[tuple], num_rows: int,
                dict_size_limit: int = DEFAULT_DICT_SIZE_LIMIT,
                write_page_index: bool = True,
                decimal_columns: "dict[str, tuple[int, int]] | None" = None,
-               annotations: "dict[str, str] | None" = None) -> None:
+               annotations: "dict[str, str] | None" = None,
+               key_value_metadata: "dict[str, str] | None" = None) -> None:
     """Write flat columns as a readable PAR1 file.
 
     ``columns``: (name, phys, values[, valid[, use_dictionary]]) tuples.
@@ -753,12 +754,17 @@ def write_file(path: str, columns: list[tuple], num_rows: int,
     # column_orders: TYPE_DEFINED_ORDER per leaf — without it readers must
     # ignore min_value/max_value (parquet-format Statistics contract)
     column_orders = [[(1, _STRUCT, [])] for _ in cols]
-    _struct(fmd, [(1, _I32, 1),
+    fmd_fields = [(1, _I32, 1),
                   (2, _LIST, (_STRUCT, schema)),
                   (3, _I64, num_rows),
-                  (4, _LIST, (_STRUCT, row_groups)),
-                  (6, _BINARY, created_by),
-                  (7, _LIST, (_STRUCT, column_orders))])
+                  (4, _LIST, (_STRUCT, row_groups))]
+    if key_value_metadata:
+        kvs = [[(1, _BINARY, k), (2, _BINARY, v)]
+               for k, v in sorted(key_value_metadata.items())]
+        fmd_fields.append((5, _LIST, (_STRUCT, kvs)))
+    fmd_fields += [(6, _BINARY, created_by),
+                   (7, _LIST, (_STRUCT, column_orders))]
+    _struct(fmd, fmd_fields)
     buf += fmd
     buf += len(fmd).to_bytes(4, "little")
     buf += MAGIC

@@ -282,3 +282,36 @@ def test_sink_temporal_columns_roundtrip(spark, tmp_path):
     with pytest.raises(Exception, match="out of scope"):
         specs_from_arrow(pa.table(
             {"x": pa.array([dt.datetime(2020, 1, 1)], pa.timestamp("ns"))}))
+
+
+def test_sink_resume_skips_committed_files(spark, tmp_path):
+    """resume=True: splits whose destination already holds a valid
+    engine file are skipped (manifest rebuilt from the footer's embedded
+    pcs.* key_value_metadata — identical rows, untouched mtimes); a
+    truncated file is detected and re-encoded."""
+    from parquet_cpp_spark.sources.parquet_sink import write_parquet_dataset
+    from parquet_cpp_spark.sources.tokens import synthesize_tokens_parquet
+
+    src_path = synthesize_tokens_parquet(
+        str(tmp_path / "tok.parquet"), 2000, 7, row_group_size=500)
+    out = str(tmp_path / "pqout")
+    m1 = sorted(map(tuple, write_parquet_dataset(
+        spark, src_path, out, encodings="auto").collect()))
+    mtimes = {f: os.path.getmtime(os.path.join(out, f))
+              for f in os.listdir(out)}
+    # truncate one committed file -> resume must re-encode exactly it
+    victim = sorted(os.listdir(out))[0]
+    vpath = os.path.join(out, victim)
+    data = open(vpath, "rb").read()
+    open(vpath, "wb").write(data[: len(data) // 2])
+
+    m2 = sorted(map(tuple, write_parquet_dataset(
+        spark, src_path, out, encodings="auto", resume=True).collect()))
+    assert m2 == m1                     # manifest identical incl. checksums
+    for f, t in mtimes.items():
+        if f == victim:
+            assert os.path.getmtime(os.path.join(out, f)) > t
+        else:
+            assert os.path.getmtime(os.path.join(out, f)) == t
+    # content intact after the repair
+    assert spark.read.parquet(out).count() == 2000

@@ -653,3 +653,20 @@ def test_flba_rejections(tmp_path):
     with pytest.raises(ValueError, match="bad FLBA width"):
         pw.write_file(str(tmp_path / "d.parquet"),
                       [("x", "flba:0", [])], 0)
+
+
+def test_key_value_metadata_roundtrip(tmp_path):
+    """FileMetaData.key_value_metadata (field 5): written by the engine,
+    visible to pyarrow AND the engine's own reader."""
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "kv.parquet")
+    pw.write_file(path, [("a", "int32", np.arange(3, dtype=np.int32))], 3,
+                  key_value_metadata={"pcs.test": "hello",
+                                      "other": "world"})
+    kv = pq.read_metadata(path).metadata
+    assert kv[b"pcs.test"] == b"hello" and kv[b"other"] == b"world"
+    with open(path, "rb") as f:
+        meta = parquet_format.read_footer(memoryview(f.read()))
+    assert meta.key_value_metadata == {"pcs.test": "hello",
+                                       "other": "world"}
