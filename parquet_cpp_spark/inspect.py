@@ -112,6 +112,8 @@ def cmd_parquet(path: str, scan: bool) -> None:
     meta = pf.read_footer(mv)
     print(f"{path}: {meta.num_rows} rows, "
           f"{len(meta.row_groups)} row group(s), {len(meta.leaves)} leaves")
+    for k, v in meta.key_value_metadata.items():
+        print(f"  kv: {k} = {v}")
     print("schema:")
     for lf in meta.leaves:
         opt = "REPEATED" if lf.max_rep else \
