@@ -20,9 +20,13 @@ content+source tagged so task retries overwrite with identical bytes
 instead of duplicating.
 
 Column mapping is derived from the Arrow schema — flat
-int32/int64/float/double/bool/string/binary leaves (nullable supported)
-plus ``list<int32|int64>`` columns (REQUIRED lists via rep/def levels).
-Anything else fails loudly.
+int32/int64/float/double/bool/string/binary leaves (nullable supported),
+date32 / timestamp[ms|us] (stored as annotated ints), plus
+``list<int32|int64>`` columns (REQUIRED lists via rep/def levels).
+Anything else fails loudly. ``encodings='auto'`` applies the engine's
+codec selector per column per file; ``resume=True`` rebuilds manifest
+rows for already-committed files from their footer metadata instead of
+re-encoding (checkpoint resume for the parquet output).
 """
 
 from __future__ import annotations
