@@ -113,7 +113,9 @@ def cmd_parquet(path: str, scan: bool) -> None:
     print(f"{path}: {meta.num_rows} rows, "
           f"{len(meta.row_groups)} row group(s), {len(meta.leaves)} leaves")
     for k, v in meta.key_value_metadata.items():
-        print(f"  kv: {k} = {v}")
+        # truncate: pyarrow files carry multi-KB ARROW:schema blobs
+        shown = v if len(v) <= 80 else f"{v[:77]}... ({len(v)} chars)"
+        print(f"  kv: {k} = {shown}")
     print("schema:")
     for lf in meta.leaves:
         opt = "REPEATED" if lf.max_rep else \

@@ -192,8 +192,11 @@ def read_footer(mv: memoryview) -> FileMeta:
     leaves = _parse_schema(fmd[2])
     out = FileMeta(num_rows=fmd[3], leaves=leaves)
     for kv in fmd.get(5, []):
-        out.key_value_metadata[kv[1].decode()] = \
-            kv.get(2, b"").decode()
+        # errors='replace': pyarrow permits arbitrary BYTES keys/values
+        # (e.g. raw ARROW:schema payloads); a non-UTF-8 entry must not
+        # make the whole file unreadable
+        out.key_value_metadata[kv[1].decode(errors="replace")] = \
+            kv.get(2, b"").decode(errors="replace")
     for rg in fmd[4]:
         chunks = []
         for cc in rg[1]:

@@ -71,7 +71,13 @@ def specs_from_arrow(tbl):
                 if unit not in ("ms", "us"):
                     raise ValueError(f"column {name}: timestamp[{unit}] "
                                      "out of scope (ms/us only)")
-                phys, ann = "int64", f"timestamp_{unit}"
+                phys = "int64"
+                # tz-aware arrow timestamps are UTC instants; tz-NAIVE
+                # ones must stay NTZ — writing the legacy converted type
+                # for those would silently turn wall-clock values into
+                # UTC instants (readers shift them by session timezone)
+                ann = f"timestamp_{unit}" if typ.tz is not None \
+                    else f"timestamp_ntz_{unit}"
                 col = col.cast(pa.timestamp(unit)).cast(pa.int64())
             annotations[name] = ann
             valid = None
@@ -232,7 +238,12 @@ def _write_one_file(tbl, tmp: str, dest: str, row_group_rows, page_rows,
         for s in specs)
     enc_tag = _encodings_tag(specs, d_cols)
     # manifest fields ride in the footer's key_value_metadata so a
-    # resumed job can rebuild its manifest row WITHOUT re-encoding
+    # resumed job can rebuild its manifest row WITHOUT re-encoding;
+    # pcs.params records the writer knobs so resume can detect a rerun
+    # with DIFFERENT parameters and re-encode instead of trusting stale
+    # files
+    params = _params_tag(row_group_rows, page_rows, compression,
+                         delta_columns, encodings, data_page_version)
     pw.write_file(tmp, specs, tbl.num_rows,
                   row_group_rows=row_group_rows, page_rows=page_rows,
                   compression=compression, utf8_columns=utf8,
@@ -240,7 +251,8 @@ def _write_one_file(tbl, tmp: str, dest: str, row_group_rows, page_rows,
                   data_page_version=data_page_version,
                   annotations=annotations,
                   key_value_metadata={"pcs.n_values": str(n_values),
-                                      "pcs.encodings": enc_tag})
+                                      "pcs.encodings": enc_tag,
+                                      "pcs.params": params})
     with open(tmp, "rb") as fh:
         data = fh.read()
     sha = hashlib.sha256(data).hexdigest()
@@ -249,7 +261,14 @@ def _write_one_file(tbl, tmp: str, dest: str, row_group_rows, page_rows,
     return (dest, tbl.num_rows, n_values, len(data), sha, enc_tag)
 
 
-def _manifest_from_existing(dest: str):
+def _params_tag(row_group_rows, page_rows, compression, delta_columns,
+                encodings, data_page_version) -> str:
+    return (f"rg={row_group_rows};pg={page_rows};c={compression};"
+            f"d={','.join(sorted(delta_columns))};e={encodings};"
+            f"v={data_page_version}")
+
+
+def _manifest_from_existing(dest: str, expected_params: "str | None" = None):
     """Manifest tuple for an already-committed engine file (resume path):
     n_rows from the footer, n_values/encodings from the embedded
     key_value_metadata, checksum re-hashed from the bytes on disk.
@@ -267,6 +286,9 @@ def _manifest_from_existing(dest: str):
         kv = meta.key_value_metadata
         if "pcs.n_values" not in kv:
             return None
+        if expected_params is not None and \
+                kv.get("pcs.params") != expected_params:
+            return None   # written with different knobs: re-encode
         return (dest, meta.num_rows, int(kv["pcs.n_values"]), len(data),
                 hashlib.sha256(data).hexdigest(), kv["pcs.encodings"])
     except Exception:
@@ -378,8 +400,13 @@ def write_parquet_dataset(spark, src_path: str, out_dir: str,
                 dest = os.path.join(out_dir, f"part-{tag}.parquet")
                 if resume:
                     # BEFORE reading the source: a resumed split costs one
-                    # footer parse + hash, zero source I/O, zero encode
-                    row = _manifest_from_existing(dest)
+                    # footer parse + hash, zero source I/O, zero encode;
+                    # a file written under different writer knobs fails
+                    # the pcs.params check and re-encodes
+                    row = _manifest_from_existing(
+                        dest, _params_tag(row_group_rows, page_rows,
+                                          compression, delta_cols,
+                                          encodings, data_page_version))
                     if row is not None:
                         yield _manifest_batch(row)
                         continue

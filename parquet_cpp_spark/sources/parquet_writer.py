@@ -66,14 +66,21 @@ def _is_fixed_bytes(phys: str) -> bool:
     return phys == "int96" or phys.startswith("flba:")
 
 
-# ConvertedType annotations over int32/int64 storage (types.h:63-90):
-# name -> (converted-type id, required phys)
+# Temporal annotations over int32/int64 storage (types.h:63-90):
+# name -> (converted-type id | None, required phys, isAdjustedToUTC | None).
+# The *_ntz timestamps carry NO converted type (the legacy ids imply
+# UTC-adjusted instants) — they are expressed purely through the modern
+# LogicalType TIMESTAMP(isAdjustedToUTC=false), which Spark surfaces as
+# TIMESTAMP_NTZ; the UTC variants write BOTH (legacy readers get the
+# converted id, modern readers the logical struct).
 _TIME_ANNOTATIONS = {
-    "date": (6, "int32"),
-    "time_ms": (7, "int32"),
-    "time_us": (8, "int64"),
-    "timestamp_ms": (9, "int64"),
-    "timestamp_us": (10, "int64"),
+    "date": (6, "int32", None),
+    "time_ms": (7, "int32", None),
+    "time_us": (8, "int64", None),
+    "timestamp_ms": (9, "int64", True),
+    "timestamp_us": (10, "int64", True),
+    "timestamp_ntz_ms": (None, "int64", False),
+    "timestamp_ntz_us": (None, "int64", False),
 }
 ENC_PLAIN, ENC_PLAIN_DICT, ENC_RLE, ENC_DELTA_BP = 0, 2, 3, 5
 _PAGE_DATA, _PAGE_DICT, _PAGE_DATA_V2 = 0, 2, 3
@@ -736,11 +743,20 @@ def write_file(path: str, columns: list[tuple], num_rows: int,
             if ann not in _TIME_ANNOTATIONS:
                 raise ValueError(f"unknown annotation {ann!r} "
                                  f"(one of {sorted(_TIME_ANNOTATIONS)})")
-            conv_id, want_phys = _TIME_ANNOTATIONS[ann]
+            conv_id, want_phys, utc = _TIME_ANNOTATIONS[ann]
             if c.phys != want_phys:
                 raise ValueError(f"annotation {ann!r} needs {want_phys} "
                                  f"storage, column {c.name!r} is {c.phys}")
-            el.append((6, _I32, conv_id))
+            if conv_id is not None:
+                el.append((6, _I32, conv_id))
+            if utc is not None:
+                # SchemaElement.logicalType (field 10): union TIMESTAMP
+                # (field 8) = {1: isAdjustedToUTC, 2: TimeUnit union
+                # (1 MILLIS / 2 MICROS, empty structs)}
+                unit_fid = 1 if ann.endswith("_ms") else 2
+                ts = [(1, _TRUE if utc else _FALSE, None),
+                      (2, _STRUCT, [(unit_fid, _STRUCT, [])])]
+                el.append((10, _STRUCT, [(8, _STRUCT, ts)]))
         if c.name in decimal_columns:
             if not c.phys.startswith("flba:"):
                 raise ValueError(f"decimal annotation on non-FLBA "

@@ -315,3 +315,62 @@ def test_sink_resume_skips_committed_files(spark, tmp_path):
             assert os.path.getmtime(os.path.join(out, f)) == t
     # content intact after the repair
     assert spark.read.parquet(out).count() == 2000
+
+
+def test_sink_timestamp_ntz_vs_utc_semantics(spark, tmp_path):
+    """tz-NAIVE arrow timestamps stay TIMESTAMP_NTZ end-to-end (logical
+    type isAdjustedToUTC=false, no legacy converted id) while tz-aware
+    ones become UTC-instant TIMESTAMP — wall-clock values never shift
+    with the session timezone."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_cpp_spark.sources import parquet_writer as pw
+    from parquet_cpp_spark.sources.parquet_sink import write_parquet_dataset
+
+    naive = [dt.datetime(1970, 1, 1) + dt.timedelta(seconds=i)
+             for i in range(10)]
+    src = str(tmp_path / "src.parquet")
+    pq.write_table(pa.table({
+        "ntz": pa.array(naive, pa.timestamp("us")),
+        "utc": pa.array(naive, pa.timestamp("us", tz="UTC")),
+    }), src)
+    out = str(tmp_path / "out")
+    write_parquet_dataset(spark, src, out).collect()
+    sch = spark.read.parquet(out).schema
+    assert sch["ntz"].dataType.typeName() == "timestamp_ntz"
+    assert sch["utc"].dataType.typeName() == "timestamp"
+    assert sorted(r.ntz for r in
+                  spark.read.parquet(out).collect()) == naive
+    # pyarrow agrees on both logical types
+    t = pq.read_table(out)
+    assert str(t.schema.field("ntz").type) == "timestamp[us]"
+    assert "UTC" in str(t.schema.field("utc").type)
+    # direct-writer surface: unknown annotation fails loudly
+    import numpy as np
+    with pytest.raises(ValueError, match="unknown annotation"):
+        pw.write_file(str(tmp_path / "x.parquet"),
+                      [("a", "int64", np.zeros(1, np.int64))], 1,
+                      annotations={"a": "timestamp_ns"})
+
+
+def test_sink_resume_reencodes_on_changed_params(spark, tmp_path):
+    """resume=True must NOT trust files written under different writer
+    knobs: a rerun with changed compression re-encodes everything (the
+    embedded pcs.params tag mismatches)."""
+    from parquet_cpp_spark.sources.parquet_sink import write_parquet_dataset
+    from parquet_cpp_spark.sources.tokens import synthesize_tokens_parquet
+
+    src_path = synthesize_tokens_parquet(
+        str(tmp_path / "tok.parquet"), 800, 5, row_group_size=400)
+    out = str(tmp_path / "pqout")
+    write_parquet_dataset(spark, src_path, out, compression=None).collect()
+    mtimes = {f: os.path.getmtime(os.path.join(out, f))
+              for f in os.listdir(out)}
+    m2 = write_parquet_dataset(spark, src_path, out, compression="zstd",
+                               resume=True).collect()
+    assert all(os.path.getmtime(os.path.join(out, f)) > t
+               for f, t in mtimes.items())
+    assert all("c=zstd" not in r.encodings for r in m2)  # sanity: tag fmt
