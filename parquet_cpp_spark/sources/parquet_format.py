@@ -41,7 +41,8 @@ _PHYS = {0: "boolean", 1: "int32", 2: "int64", 3: "flba:12",  # INT96
 _PAGE_DATA, _PAGE_INDEX, _PAGE_DICT, _PAGE_DATA_V2 = 0, 1, 2, 3
 ENC_PLAIN, ENC_PLAIN_DICT, ENC_RLE, ENC_RLE_DICT = 0, 2, 3, 8
 ENC_DELTA_BP = 5
-_CODECS = {0: None, 1: "snappy", 2: "gzip", 4: "brotli", 5: "lz4", 6: "zstd"}
+_CODECS = {0: None, 1: "snappy", 2: "gzip", 4: "brotli", 5: "lz4",
+           6: "zstd", 7: "lz4_raw"}
 
 
 class _Compact:
@@ -224,6 +225,27 @@ def _decompress_page(body: memoryview, codec: int, raw_size: int) -> memoryview:
     if name == "gzip":
         import zlib
         return memoryview(zlib.decompress(body, wbits=31))
+    if name == "lz4":
+        # legacy codec id 5: Hadoop framing (4-byte BE raw length + 4-byte
+        # BE compressed length + raw LZ4 blocks), with the reference's
+        # raw-block fallback when the prefix doesn't parse as a frame
+        # (Lz4HadoopCodec behavior)
+        out = bytearray()
+        pos, n = 0, len(body)
+        ok = n >= 8
+        while ok and pos + 8 <= n:
+            rlen = int.from_bytes(body[pos:pos + 4], "big")
+            clen = int.from_bytes(body[pos + 4:pos + 8], "big")
+            if pos + 8 + clen > n or len(out) + rlen > raw_size:
+                ok = False
+                break
+            out += pa.Codec("lz4_raw").decompress(
+                body[pos + 8:pos + 8 + clen], decompressed_size=rlen,
+                asbytes=True)
+            pos += 8 + clen
+        if ok and pos == n and len(out) == raw_size:
+            return memoryview(bytes(out))
+        name = "lz4_raw"  # fall back: whole body is one raw block
     return memoryview(pa.Codec(name).decompress(
         body, decompressed_size=raw_size, asbytes=True))
 

@@ -21,8 +21,10 @@ instead of duplicating.
 
 Column mapping is derived from the Arrow schema — flat
 int32/int64/float/double/bool/string/binary leaves (nullable supported),
-date32 / timestamp[ms|us] (stored as annotated ints), plus
-``list<int32|int64>`` columns (REQUIRED lists via rep/def levels).
+date32 / timestamp[ms|us] (stored as annotated ints),
+``list<scalar>`` columns (OPTIONAL slots and nullable elements included),
+structs of scalar fields, and ``map<scalar, scalar>`` columns — all via
+rep/def levels with strings extracted zero-copy from the Arrow buffers.
 Anything else fails loudly. ``encodings='auto'`` applies the engine's
 codec selector per column per file; ``resume=True`` rebuilds manifest
 rows for already-committed files from their footer metadata instead of
@@ -40,16 +42,74 @@ _FLAT_PHYS = {"int32": "int32", "int64": "int64", "float": "float",
               "double": "double", "bool": "boolean"}
 
 
+def _scalar_parts(col, name: str):
+    """Arrow scalar array -> (phys, slot-aligned values, valid, is_utf8).
+
+    The vectorized extraction shared by flat columns, struct fields, list
+    elements and map keys/values: strings/binary become a
+    ``ba.ByteArrayView`` straight from the Arrow offsets/values buffers
+    (``ba.from_arrow`` — no per-row Python, the ``encode_arrow`` hot-path
+    shape), numerics a numpy view; nulls are masked via ``valid`` with
+    slots filled by a typed zero (the writer drops them by mask)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..kernels import ba
+
+    typ = col.type
+    if pa.types.is_string(typ) or pa.types.is_large_string(typ) \
+            or pa.types.is_binary(typ) or pa.types.is_large_binary(typ):
+        utf8 = not (pa.types.is_binary(typ) or pa.types.is_large_binary(typ))
+        valid = None
+        if col.null_count:
+            valid = ~np.asarray(col.is_null())
+            col = col.fill_null("" if utf8 else b"")
+        return "byte_array", ba.from_arrow(col), valid, utf8
+    if str(typ) in _FLAT_PHYS:
+        valid = None
+        if col.null_count:
+            valid = ~np.asarray(col.is_null())
+            col = col.fill_null(False if str(typ) == "bool" else 0)
+        return (_FLAT_PHYS[str(typ)], col.to_numpy(zero_copy_only=False),
+                valid, False)
+    raise ValueError(f"column {name}: arrow type {typ} out of "
+                     "parquet_sink scope")
+
+
+def _repeated_parts(col, name: str):
+    """Arrow list/map array -> (lengths, valid, element range) with the
+    null-slot contract enforced: a null slot must have a zero extent (the
+    Arrow layout every Spark/pyarrow producer emits)."""
+    import numpy as np
+
+    offsets = np.asarray(col.offsets)
+    lengths = np.diff(offsets).astype(np.int64)
+    valid = None
+    if col.null_count:
+        valid = ~np.asarray(col.is_null())
+        if lengths[~valid].any():
+            raise ValueError(f"column {name}: null list slot with a "
+                             "non-empty extent is out of sink scope")
+    return lengths, valid, int(offsets[0]), int(offsets[-1])
+
+
+# default dictionary choice per phys (overridden by encodings='auto')
+_DICT_DEFAULT = ("int32", "int64", "byte_array")
+
+
 def specs_from_arrow(tbl):
-    """Arrow table -> (specs, utf8 column names, temporal annotations).
+    """Arrow table -> (specs, utf8 annotation keys, temporal annotations).
 
     The bridge between ``mapInArrow`` batches and ``parquet_writer``:
     list columns become ``ListColumn`` (offsets -> lengths, flattened
-    values), nullable flat columns carry their validity mask, strings get
-    the UTF8 annotation, date32/timestamp columns store as annotated
-    int32/int64 (DATE / TIMESTAMP_MILLIS / TIMESTAMP_MICROS converted
-    types). Fails loudly on shapes the writer doesn't cover (nested
-    lists, structs, maps, null list slots, ns/s timestamps)."""
+    values; OPTIONAL slots and nullable elements carried as masks),
+    structs of scalar fields become ``StructColumn``, maps become
+    ``MapColumn``, nullable flat columns carry their validity mask,
+    strings get the UTF8 annotation (dotted keys — ``s.f``, ``m.key`` —
+    for nested leaves), date32/timestamp columns store as annotated
+    int32/int64 (DATE / TIMESTAMP converted types, NTZ-aware). Fails
+    loudly on shapes the writer doesn't cover (nested lists,
+    struct-in-struct, ns/s timestamps)."""
     import numpy as np
     import pyarrow as pa
 
@@ -87,43 +147,54 @@ def specs_from_arrow(tbl):
             specs.append((name, phys,
                           col.to_numpy(zero_copy_only=False), valid))
         elif pa.types.is_list(typ) or pa.types.is_large_list(typ):
-            inner = str(typ.value_type)
-            if inner not in ("int32", "int64"):
-                raise ValueError(f"column {name}: list<{inner}> out of "
-                                 "writer scope (int32/int64 elements only)")
-            if col.null_count:
-                raise ValueError(f"column {name}: NULL list slots are out "
-                                 "of scope (REQUIRED lists only)")
-            offsets = col.offsets.to_numpy(zero_copy_only=False)
-            lengths = np.diff(offsets)
-            values = col.flatten().to_numpy(zero_copy_only=False)
-            specs.append(pw.ListColumn(name, inner, values, lengths,
-                                       use_dictionary=True))
-        elif pa.types.is_string(typ) or pa.types.is_large_string(typ) \
-                or pa.types.is_binary(typ):
-            if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+            lengths, valid, lo, hi = _repeated_parts(col, name)
+            child = col.values.slice(lo, hi - lo)
+            ephys, evals, evalid, eutf8 = _scalar_parts(
+                child, f"{name}.element")
+            if eutf8:
                 utf8.add(name)
-            valid = None
-            if col.null_count:
-                valid = ~np.asarray(col.is_null())
-                vals = [v if v is not None else b""
-                        for v in (x.as_py() for x in col)]
-                vals = [v.encode() if isinstance(v, str) else v
-                        for v in vals]
-            else:
-                vals = [v.encode() if isinstance(v, str) else v
-                        for v in col.to_pylist()]
-            specs.append((name, "byte_array", vals, valid, True))
-        elif str(typ) in _FLAT_PHYS:
-            valid = None
-            if col.null_count:
-                valid = ~np.asarray(col.is_null())
-                col = col.fill_null(0)
-            vals = col.to_numpy(zero_copy_only=False)
-            specs.append((name, _FLAT_PHYS[str(typ)], vals, valid))
+            specs.append(pw.ListColumn(
+                name, ephys, evals, lengths,
+                use_dictionary=ephys in _DICT_DEFAULT,
+                valid=valid, element_valid=evalid))
+        elif pa.types.is_struct(typ):
+            svalid = ~np.asarray(col.is_null()) if col.null_count else None
+            fields = []
+            for i in range(typ.num_fields):
+                fld = typ.field(i)
+                fphys, fvals, fvalid, futf8 = _scalar_parts(
+                    col.field(i), f"{name}.{fld.name}")
+                if futf8:
+                    utf8.add(f"{name}.{fld.name}")
+                fields.append((fld.name, fphys, fvals, fvalid,
+                               fphys in _DICT_DEFAULT))
+            specs.append(pw.StructColumn(name, fields, valid=svalid))
+        elif pa.types.is_map(typ):
+            lengths, valid, lo, hi = _repeated_parts(col, name)
+            keys = col.keys.slice(lo, hi - lo)
+            items = col.items.slice(lo, hi - lo)
+            if keys.null_count:
+                raise ValueError(f"column {name}: parquet map keys cannot "
+                                 "be null")
+            kphys, kvals, _kvalid, kutf8 = _scalar_parts(keys,
+                                                         f"{name}.key")
+            vphys, vvals, vvalid, vutf8 = _scalar_parts(items,
+                                                        f"{name}.value")
+            if kutf8:
+                utf8.add(f"{name}.key")
+            if vutf8:
+                utf8.add(f"{name}.value")
+            specs.append(pw.MapColumn(
+                name, kphys, kvals, vphys, vvals, lengths,
+                valid=valid, value_valid=vvalid,
+                key_use_dictionary=kphys in _DICT_DEFAULT,
+                value_use_dictionary=vphys in _DICT_DEFAULT))
         else:
-            raise ValueError(f"column {name}: arrow type {typ} out of "
-                             "parquet_sink scope")
+            phys, vals, valid, is_utf8 = _scalar_parts(col, name)
+            if is_utf8:
+                utf8.add(name)
+            specs.append((name, phys, vals, valid,
+                          phys == "byte_array"))
     return specs, utf8, annotations
 
 
@@ -140,50 +211,84 @@ def auto_encodings(specs) -> tuple:
 
     from .. import chunk as chunkmod, selector
     from . import parquet_writer as pw
+    from ..kernels import ba
+
+    def _dense(phys, vals, valid):
+        if valid is None:
+            return vals
+        idx = np.flatnonzero(np.asarray(valid, dtype=bool))
+        if phys == "byte_array":
+            return ba.take(ba.as_view(vals), idx)
+        return np.asarray(vals)[idx]
+
+    def _choose(dotted_name, phys, vals, valid):
+        """(use_dict, delta) for one leaf; None when the selector has no
+        say (floats/bools keep their default encodings)."""
+        if phys in ("int32", "int64"):
+            codec = selector.select_int_codec(
+                np.asarray(_dense(phys, vals, valid)), phys)
+            if codec == chunkmod.DELTA_BINARY_PACKED:
+                delta_cols.add(dotted_name)
+            return codec in (chunkmod.RLE, chunkmod.RLE_DICTIONARY)
+        if phys == "byte_array":
+            codec = selector.select_bytes_codec(_dense(phys, vals, valid))
+            return codec == chunkmod.RLE_DICTIONARY
+        return None
 
     out, delta_cols = [], set()
     for s in specs:
         if isinstance(s, pw.ListColumn):
-            codec = selector.select_int_codec(
-                np.asarray(s.values), s.phys)
-            if codec == chunkmod.DELTA_BINARY_PACKED:
-                delta_cols.add(s.name)
+            pick = _choose(s.name, s.phys, s.values, s.element_valid)
             out.append(pw.ListColumn(
                 s.name, s.phys, s.values, s.lengths,
-                use_dictionary=codec in (chunkmod.RLE,
-                                         chunkmod.RLE_DICTIONARY)))
-            continue
-        name, phys, vals = s[0], s[1], s[2]
-        valid = s[3] if len(s) > 3 else None
-        if phys in ("int32", "int64"):
-            dense = np.asarray(vals) if valid is None \
-                else np.asarray(vals)[np.asarray(valid)]
-            codec = selector.select_int_codec(dense, phys)
-            if codec == chunkmod.DELTA_BINARY_PACKED:
-                delta_cols.add(name)
-            use_dict = codec in (chunkmod.RLE, chunkmod.RLE_DICTIONARY)
-        elif phys == "byte_array":
-            dense = vals if valid is None \
-                else [v for v, ok in zip(vals, valid) if ok]
-            codec = selector.select_bytes_codec(dense)
-            use_dict = codec == chunkmod.RLE_DICTIONARY
+                use_dictionary=bool(pick), valid=s.valid,
+                element_valid=s.element_valid))
+        elif isinstance(s, pw.StructColumn):
+            fields = []
+            for f in s.fields:
+                fname, phys, vals = f[0], f[1], f[2]
+                fvalid = f[3] if len(f) > 3 else None
+                pick = _choose(f"{s.name}.{fname}", phys, vals, fvalid)
+                fields.append((fname, phys, vals, fvalid, bool(pick)))
+            out.append(pw.StructColumn(s.name, fields, valid=s.valid))
+        elif isinstance(s, pw.MapColumn):
+            kpick = _choose(f"{s.name}.key", s.key_phys, s.keys, None)
+            vpick = _choose(f"{s.name}.value", s.value_phys, s.values,
+                            s.value_valid)
+            out.append(pw.MapColumn(
+                s.name, s.key_phys, s.keys, s.value_phys, s.values,
+                s.lengths, valid=s.valid, value_valid=s.value_valid,
+                key_use_dictionary=bool(kpick),
+                value_use_dictionary=bool(vpick)))
         else:
-            out.append((name, phys, vals, valid))
-            continue
-        out.append((name, phys, vals, valid, use_dict))
+            name, phys, vals = s[0], s[1], s[2]
+            valid = s[3] if len(s) > 3 else None
+            pick = _choose(name, phys, vals, valid)
+            if pick is None:
+                out.append((name, phys, vals, valid))
+            else:
+                out.append((name, phys, vals, valid, pick))
     return out, frozenset(delta_cols)
 
 
 def _encodings_tag(specs, delta_cols) -> str:
     """Human/manifest-readable per-column encoding summary."""
     from . import parquet_writer as pw
-    parts = []
+    leaves = []
     for s in specs:
         if isinstance(s, pw.ListColumn):
-            name, use_dict = s.name, s.use_dictionary
+            leaves.append((s.name, s.use_dictionary))
+        elif isinstance(s, pw.StructColumn):
+            leaves += [(f"{s.name}.{f[0]}",
+                        bool(f[4]) if len(f) > 4 else False)
+                       for f in s.fields]
+        elif isinstance(s, pw.MapColumn):
+            leaves += [(f"{s.name}.key", s.key_use_dictionary),
+                       (f"{s.name}.value", s.value_use_dictionary)]
         else:
-            name = s[0]
-            use_dict = bool(s[4]) if len(s) > 4 else False
+            leaves.append((s[0], bool(s[4]) if len(s) > 4 else False))
+    parts = []
+    for name, use_dict in leaves:
         enc = ("delta" if name in delta_cols
                else "dict" if use_dict else "plain")
         parts.append(f"{name}={enc}")
@@ -231,11 +336,17 @@ def _write_one_file(tbl, tmp: str, dest: str, row_group_rows, page_rows,
     d_cols = frozenset(delta_columns)
     if encodings == "auto":
         specs, d_cols = auto_encodings(specs)
-    n_values = sum(
-        int(np.asarray(s.lengths).sum())
-        if hasattr(s, "lengths") and s.lengths is not None
-        else tbl.num_rows
-        for s in specs)
+
+    def _spec_values(s) -> int:
+        if isinstance(s, pw.ListColumn):
+            return int(np.asarray(s.lengths).sum())
+        if isinstance(s, pw.MapColumn):
+            return 2 * int(np.asarray(s.lengths).sum())
+        if isinstance(s, pw.StructColumn):
+            return tbl.num_rows * len(s.fields)
+        return tbl.num_rows
+
+    n_values = sum(_spec_values(s) for s in specs)
     enc_tag = _encodings_tag(specs, d_cols)
     # manifest fields ride in the footer's key_value_metadata so a
     # resumed job can rebuild its manifest row WITHOUT re-encoding;
@@ -256,7 +367,10 @@ def _write_one_file(tbl, tmp: str, dest: str, row_group_rows, page_rows,
     with open(tmp, "rb") as fh:
         data = fh.read()
     sha = hashlib.sha256(data).hexdigest()
-    dest = dest.format(sha=sha[:16])
+    # literal-sentinel substitution, NOT str.format: an out_dir containing
+    # '{'/'}' must pass through untouched (str.format on the whole path
+    # raised KeyError / mangled destinations with no placeholder at all)
+    dest = dest.replace("{sha}", sha[:16])
     os.replace(tmp, dest)  # atomic; retries overwrite
     return (dest, tbl.num_rows, n_values, len(data), sha, enc_tag)
 

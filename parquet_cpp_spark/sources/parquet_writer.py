@@ -29,7 +29,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..kernels import ba, delta, dictionary, plain, rle
-from ..levels import levels_from_lengths
+from ..levels import _real_slot_positions
 
 MAGIC = b"PAR1"
 
@@ -84,7 +84,11 @@ _TIME_ANNOTATIONS = {
 }
 ENC_PLAIN, ENC_PLAIN_DICT, ENC_RLE, ENC_DELTA_BP = 0, 2, 3, 5
 _PAGE_DATA, _PAGE_DICT, _PAGE_DATA_V2 = 0, 2, 3
-_CODEC_IDS = {None: 0, "snappy": 1, "gzip": 2, "zstd": 6}
+# parquet-format CompressionCodec ids (reference types.h:105-116). "lz4"
+# is the legacy Hadoop-framed codec (id 5) the reference's Lz4Codec and
+# parquet-mr implement; "lz4_raw" (id 7) is the modern unframed block.
+_CODEC_IDS = {None: 0, "snappy": 1, "gzip": 2, "brotli": 4, "lz4": 5,
+              "zstd": 6, "lz4_raw": 7}
 
 
 def _uvarint(buf: bytearray, v: int) -> None:
@@ -162,6 +166,14 @@ def _compress(data: bytes, codec: "str | None") -> bytes:
         co = zlib.compressobj(wbits=31)  # gzip container, parquet GZIP
         return co.compress(data) + co.flush()
     import pyarrow as pa
+    if codec == "lz4":
+        # Hadoop LZ4 framing (codec id 5): 4-byte BE decompressed length,
+        # 4-byte BE compressed length, one raw LZ4 block — the layout the
+        # reference's Lz4Codec and parquet-mr write/expect; Arrow C++
+        # reads it via its Lz4HadoopCodec (raw-block fallback)
+        block = pa.Codec("lz4_raw").compress(data, asbytes=True)
+        return (len(data).to_bytes(4, "big")
+                + len(block).to_bytes(4, "big") + block)
     return pa.Codec(codec).compress(data, asbytes=True)
 
 
@@ -217,18 +229,53 @@ def _chunk_stats(dense, phys: str, null_count: int) -> "list | None":
 NAN_POISONED = object()  # sentinel: page min/max undefined (NaN stats rule)
 
 
+_INDEX_BOUND_CAP = 64  # byte_array PageIndex bound truncation cap
+
+
+def _trunc_min(v: bytes) -> bytes:
+    """Prefix-truncate a byte_array lower bound: v[:cap] <= v, and
+    a <= b implies trunc(a) <= trunc(b) — pruning stays conservative."""
+    return v if len(v) <= _INDEX_BOUND_CAP else v[:_INDEX_BOUND_CAP]
+
+
+def _trunc_max(v: bytes) -> bytes:
+    """Increment-truncate an upper bound (the reference truncates index
+    bounds the same way): shortest prefix-with-last-byte-bumped that is
+    >= v. An all-0xFF prefix cannot be bumped — keep the full value."""
+    if len(v) <= _INDEX_BOUND_CAP:
+        return v
+    p = bytearray(v[:_INDEX_BOUND_CAP])
+    for i in reversed(range(len(p))):
+        if p[i] != 0xFF:
+            p[i] += 1
+            return bytes(p[:i + 1])
+    return v
+
+
 def _column_index_fields(pages, phys: str) -> "list | None":
     """ColumnIndex struct fields (parquet-format PageIndex), or None when
     any page's extremes are NaN-poisoned — the reference's NaN stats rule
-    applied to the whole index (readers must not prune on NaN bounds)."""
+    applied to the whole index (readers must not prune on NaN bounds).
+    byte_array bounds longer than 64 bytes are truncated (min to a prefix,
+    max increment-truncated) so long strings can't bloat the index; the
+    boundary order is computed from the EMITTED bounds so readers'
+    binary-searched pruning stays consistent with what they see."""
     if any(p["min"] is NAN_POISONED for p in pages):
         return None
     null_pages = [p["min"] is None for p in pages]
-    mins = [b"" if p["min"] is None else _stat_bytes(p["min"], phys)
-            for p in pages]
-    maxs = [b"" if p["max"] is None else _stat_bytes(p["max"], phys)
-            for p in pages]
-    nn = [(p["min"], p["max"]) for p in pages if p["min"] is not None]
+    if phys == "byte_array":
+        mins = [b"" if p["min"] is None else _trunc_min(bytes(p["min"]))
+                for p in pages]
+        maxs = [b"" if p["max"] is None else _trunc_max(bytes(p["max"]))
+                for p in pages]
+        nn = [(mn, mx) for p, mn, mx in zip(pages, mins, maxs)
+              if p["min"] is not None]
+    else:
+        mins = [b"" if p["min"] is None else _stat_bytes(p["min"], phys)
+                for p in pages]
+        maxs = [b"" if p["max"] is None else _stat_bytes(p["max"], phys)
+                for p in pages]
+        nn = [(p["min"], p["max"]) for p in pages if p["min"] is not None]
 
     def _mono(op):
         return all(op(nn[i][0], nn[i + 1][0]) and op(nn[i][1], nn[i + 1][1])
@@ -289,103 +336,107 @@ def _coerce_dense(dense, phys: str, name: str):
 
 
 class ListColumn:
-    """Spec for a REQUIRED ``list<element>`` column (3-level encoding,
+    """Spec for a ``list<element>`` column (3-level encoding,
     ``schema.h:43-77``): ``values`` are the flattened elements, ``lengths``
-    the per-row element counts. max_rep = max_def = 1; an empty list is one
-    level slot with def = 0 (the reference writes REPEATED leaves the same
-    way — rep 0 delimits a record, ``column_writer.cc:616-629``; levels
-    from offsets mirror ``arrow/writer.cc:71-262``)."""
+    the per-row element counts; rep 0 delimits a record like the
+    reference's REPEATED leaves (``column_writer.cc:616-629``; levels from
+    offsets mirror ``arrow/writer.cc:71-262``).
+
+    ``valid`` (per-ROW mask) makes the list itself OPTIONAL: a null slot
+    is one level position with def 0, an empty list def 1, elements def 2
+    — the ``column_writer-test.cc:387-460`` OPTIONAL-REPEATED shape. Null
+    rows must carry length 0. ``element_valid`` (one bool per SLOT) makes
+    elements OPTIONAL; ``values`` are then SLOT-aligned (entries at null
+    slots ignored) and each null element costs one more def level."""
 
     def __init__(self, name: str, phys: str, values, lengths,
-                 use_dictionary: bool = False):
+                 use_dictionary: bool = False, valid=None,
+                 element_valid=None):
         self.name = name
         self.phys = phys
         self.values = values
         self.lengths = lengths
         self.use_dictionary = use_dictionary
+        self.valid = valid
+        self.element_valid = element_valid
 
 
-class _Column:
-    def __init__(self, name: str, phys: str, values, valid=None,
-                 use_dictionary: bool = False, lengths=None):
-        _phys_id(phys)  # validates
-        if _is_fixed_bytes(phys):
-            if use_dictionary:
-                raise ValueError(f"column {name}: dictionary encoding is "
-                                 "out of scope for FLBA/INT96 (PLAIN only, "
-                                 "like the reference's fixed-width pages)")
-            if lengths is not None:
-                raise ValueError(f"column {name}: list<FLBA/INT96> out of "
-                                 "writer scope")
-            width = _phys_id(phys)[1]
-            for v in values:
-                if len(v) != width:
-                    raise ValueError(f"column {name}: FLBA/INT96 value of "
-                                     f"{len(v)} bytes, expected {width}")
+class StructColumn:
+    """Spec for a flat ``struct<...>`` column (``schema.h:106-303`` group
+    nodes; struct round-trips ``arrow/arrow-reader-writer-test.cc:595+``).
+
+    ``fields``: flat leaf tuples ``(fname, phys, values[, fvalid[,
+    use_dictionary]])`` — each becomes one leaf chunk with path
+    ``name.fname``. ``valid`` makes the struct OPTIONAL: a struct-null row
+    contributes def 0 to every leaf (field values at those slots are
+    ignored). Nested structs/lists inside are out of scope (fail loudly
+    at spec parse). Annotations (utf8/decimal/temporal) are keyed by the
+    dotted path ``name.fname``."""
+
+    def __init__(self, name: str, fields: list, valid=None):
         self.name = name
+        self.fields = list(fields)
+        self.valid = valid
+
+
+class MapColumn:
+    """Spec for a ``map<key, value>`` column (MAP converted type; 3-level
+    ``key_value`` group, ``schema.h:43-77`` / ``arrow/schema.cc`` map
+    path). Two parallel REPEATED leaves share one ``lengths`` array:
+    ``keys`` (REQUIRED — parquet map keys cannot be null) and ``values``
+    (OPTIONAL when ``value_valid`` is given, slot-aligned like
+    ``ListColumn.element_valid``). ``valid`` makes the map itself
+    OPTIONAL (null map vs empty map, like ListColumn). Annotation keys:
+    ``name.key`` / ``name.value``."""
+
+    def __init__(self, name: str, key_phys: str, keys, value_phys: str,
+                 values, lengths, valid=None, value_valid=None,
+                 key_use_dictionary: bool = False,
+                 value_use_dictionary: bool = False):
+        self.name = name
+        self.key_phys = key_phys
+        self.keys = keys
+        self.value_phys = value_phys
+        self.values = values
+        self.lengths = lengths
+        self.valid = valid
+        self.value_valid = value_valid
+        self.key_use_dictionary = key_use_dictionary
+        self.value_use_dictionary = value_use_dictionary
+
+
+class _Leaf:
+    """One schema LEAF in page-writable form: dense (non-null) values plus
+    precomputed repetition/definition levels and the row->slot / row->dense
+    offset maps. Every supported shape — flat REQUIRED/OPTIONAL, lists
+    (OPTIONAL slots / OPTIONAL elements), struct fields, map key/value —
+    reduces to this model, which is exactly the reference
+    TypedColumnWriter's view of a leaf (``column_writer.cc``: a leaf
+    writer receives def/rep arrays plus the value stream, whatever the
+    schema tree above looks like)."""
+
+    def __init__(self, path: list, phys: str, dense, *, n_rows: int,
+                 use_dictionary: bool = False, max_rep: int = 0,
+                 max_def: int = 0, rep=None, deflv=None,
+                 lvl_ofs=None, dense_ofs=None):
+        self.path = list(path)
+        self.name = ".".join(p for p in self.path
+                             if p not in ("list", "element", "key_value"))
         self.phys = phys
-        self.valid = None if valid is None \
-            else np.asarray(valid, dtype=bool)
-        self.lengths = None if lengths is None \
-            else np.ascontiguousarray(lengths, dtype=np.int64)
+        self.dense = dense
+        self.n_rows = n_rows
         self.use_dictionary = use_dictionary
-        if self.lengths is not None:
-            # list column: one slot per ROW; dense holds every element.
-            if self.valid is not None:
-                raise ValueError("list columns take lengths, not valid")
-            if (self.lengths < 0).any():
-                raise ValueError(f"column {name}: negative list length")
-            self.n_slots = len(self.lengths)
-            n_elems = len(values) if phys == "byte_array" \
-                else len(np.asarray(values))
-            if n_elems != int(self.lengths.sum()):
-                raise ValueError(
-                    f"column {name}: {n_elems} elements but lengths sum "
-                    f"to {int(self.lengths.sum())}")
-            if phys == "byte_array":
-                self.dense = values if isinstance(values, ba.ByteArrayView) \
-                    else ba.as_view(values)
-            else:
-                self.dense = _coerce_dense(values, phys, name)
-            # row -> first dense element (same role the null map plays for
-            # flat OPTIONAL columns: page slicing via dense_range)
-            self.dense_ofs = np.zeros(self.n_slots + 1, dtype=np.int64)
-            np.cumsum(self.lengths, out=self.dense_ofs[1:])
-            # row -> first LEVEL slot (empty rows still own one def=0 slot)
-            self.lvl_ofs = np.zeros(self.n_slots + 1, dtype=np.int64)
-            np.cumsum(np.maximum(self.lengths, 1), out=self.lvl_ofs[1:])
-            return
-        self.n_slots = len(values) if self.valid is None else len(self.valid)
-        if self.valid is not None and len(values) != self.n_slots:
-            raise ValueError("values must be slot-aligned (one per row, "
-                             "nulls included) when valid is given")
-        # dense values (nulls removed) — the page payload form — plus the
-        # slot->dense offset map for page/row-group slicing
-        if self.valid is None:
-            self.dense = _coerce_dense(values, phys, name)
-            self.dense_ofs = None
-        else:
-            self.dense_ofs = np.zeros(self.n_slots + 1, dtype=np.int64)
-            np.cumsum(self.valid, out=self.dense_ofs[1:])
-            if phys == "byte_array":
-                self.dense = ba.take(ba.as_view(values),
-                                     np.flatnonzero(self.valid))
-            elif _is_fixed_bytes(phys):
-                # keep a PYTHON list: np.asarray would coerce to '|S<N>'
-                # and silently strip trailing NUL bytes on extraction
-                self.dense = [v for v, ok in zip(values, self.valid) if ok]
-            else:
-                self.dense = _coerce_dense(
-                    np.asarray(values)[self.valid], phys, name)
+        self.max_rep = max_rep
+        self.max_def = max_def
+        self.rep = rep          # int8, one per level slot (None: max_rep=0)
+        self.deflv = deflv      # int8, one per level slot (None: max_def=0)
+        self.lvl_ofs = lvl_ofs      # row -> first level slot (None: 1/row)
+        self.dense_ofs = dense_ofs  # row -> first dense value (None: =row)
 
-    @property
-    def is_list(self) -> bool:
-        return self.lengths is not None
-
-    @property
-    def path(self) -> list[str]:
-        return [self.name, "list", "element"] if self.is_list \
-            else [self.name]
+    def _lvl_range(self, lo: int, hi: int) -> tuple[int, int]:
+        if self.lvl_ofs is None:
+            return lo, hi
+        return int(self.lvl_ofs[lo]), int(self.lvl_ofs[hi])
 
     def dense_range(self, lo: int, hi: int) -> tuple[int, int]:
         if self.dense_ofs is None:
@@ -405,22 +456,206 @@ class _Column:
 
     def num_values(self, lo: int, hi: int) -> int:
         """ColumnMetaData.num_values / page-header num_values: LEVEL slots
-        in the row range (= rows for flat columns, level positions for
-        list columns — empty lists still carry one marker slot)."""
-        if self.is_list:
-            return int(self.lvl_ofs[hi] - self.lvl_ofs[lo])
-        return hi - lo
+        in the row range (= rows for flat and struct leaves, level
+        positions for repeated leaves — empty/null rows still carry one
+        marker slot)."""
+        llo, lhi = self._lvl_range(lo, hi)
+        return lhi - llo
 
     def page_levels(self, lo: int, hi: int):
-        """(rep, def) int8 arrays for a list page, None/def for flat."""
-        if self.is_list:
-            return levels_from_lengths(self.lengths[lo:hi])
-        if self.valid is not None:
-            return None, self.valid[lo:hi].astype(np.int8)
-        return None, None
+        """(rep, def) int8 array slices for a page (None where absent)."""
+        llo, lhi = self._lvl_range(lo, hi)
+        r = None if self.rep is None else self.rep[llo:lhi]
+        d = None if self.deflv is None else self.deflv[llo:lhi]
+        return r, d
 
 
-def _write_chunk(buf: bytearray, c: _Column, lo: int, hi: int,
+def _dense_scalar(values, idx, phys: str, name: str):
+    """Extract dense values: ``values`` (slot-aligned when ``idx`` is
+    given) -> the non-null value stream in page-payload form."""
+    if phys == "byte_array":
+        view = values if isinstance(values, ba.ByteArrayView) \
+            else ba.as_view(values)
+        return view if idx is None else ba.take(view, idx)
+    if _is_fixed_bytes(phys):
+        # keep a PYTHON list: np.asarray would coerce to '|S<N>' and
+        # silently strip trailing NUL bytes on extraction
+        vals = list(values) if idx is None else [values[i] for i in idx]
+        width = _phys_id(phys)[1]
+        for v in vals:
+            if len(v) != width:
+                raise ValueError(f"column {name}: FLBA/INT96 value of "
+                                 f"{len(v)} bytes, expected {width}")
+        return vals
+    arr = np.asarray(values)
+    return _coerce_dense(arr if idx is None else arr[idx], phys, name)
+
+
+def _scalar_leaf(path: list, phys: str, values, present, deflv,
+                 max_def: int, use_dictionary: bool) -> _Leaf:
+    """Non-repeated leaf (one level slot per row): flat columns and struct
+    fields. ``present``: bool mask of rows carrying a dense value (None =
+    all); ``deflv``: per-row def levels (None when max_def == 0)."""
+    name = ".".join(path)
+    _phys_id(phys)  # validates
+    if _is_fixed_bytes(phys) and use_dictionary:
+        raise ValueError(f"column {name}: dictionary encoding is out of "
+                         "scope for FLBA/INT96 (PLAIN only, like the "
+                         "reference's fixed-width pages)")
+    if present is None:
+        n_rows = len(values)
+        dense = _dense_scalar(values, None, phys, name)
+        dense_ofs = None
+    else:
+        present = np.asarray(present, dtype=bool)
+        n_rows = len(present)
+        if phys == "byte_array" and isinstance(values, ba.ByteArrayView):
+            n_vals = len(values)
+        else:
+            n_vals = len(values)
+        if n_vals != n_rows:
+            raise ValueError(f"column {name}: values must be slot-aligned "
+                             "(one per row, nulls included) when a "
+                             "validity mask is given")
+        dense = _dense_scalar(values, np.flatnonzero(present), phys, name)
+        dense_ofs = np.zeros(n_rows + 1, dtype=np.int64)
+        np.cumsum(present, out=dense_ofs[1:])
+    if deflv is not None:
+        deflv = np.ascontiguousarray(deflv, dtype=np.int8)
+    return _Leaf(path, phys, dense, n_rows=n_rows,
+                 use_dictionary=use_dictionary, max_def=max_def,
+                 deflv=deflv, dense_ofs=dense_ofs)
+
+
+def _list_leaf(path: list, phys: str, values, lengths, list_valid,
+               elem_valid, use_dictionary: bool) -> _Leaf:
+    """REPEATED leaf (list element / map key / map value). def scheme:
+    null list slot -> 0 (only with ``list_valid``), empty list ->
+    ``opt``, null element -> ``opt``+1 (only with ``elem_valid``),
+    present value -> max_def."""
+    name = ".".join(path)
+    _phys_id(phys)
+    if _is_fixed_bytes(phys):
+        raise ValueError(f"column {name}: list<FLBA/INT96> out of "
+                         "writer scope")
+    lengths = np.ascontiguousarray(lengths, dtype=np.int64)
+    if (lengths < 0).any():
+        raise ValueError(f"column {name}: negative list length")
+    n_rows = len(lengths)
+    opt = 0
+    if list_valid is not None:
+        list_valid = np.asarray(list_valid, dtype=bool)
+        if len(list_valid) != n_rows:
+            raise ValueError(f"column {name}: valid mask length mismatch")
+        if lengths[~list_valid].any():
+            raise ValueError(f"column {name}: null list slots must have "
+                             "length 0")
+        opt = 1
+    n_elem_slots = int(lengths.sum())
+    max_def = opt + 1 + (1 if elem_valid is not None else 0)
+    if elem_valid is not None:
+        elem_valid = np.asarray(elem_valid, dtype=bool)
+        if len(elem_valid) != n_elem_slots:
+            raise ValueError(f"column {name}: element_valid must have one "
+                             f"entry per slot ({n_elem_slots})")
+    n_vals = len(values) if phys == "byte_array" else len(np.asarray(values))
+    if n_vals != n_elem_slots:
+        raise ValueError(f"column {name}: {n_vals} elements but lengths "
+                         f"sum to {n_elem_slots}")
+    # levels: one slot per element, plus one marker slot per empty/null row
+    slots = np.maximum(lengths, 1)
+    total = int(slots.sum())
+    rep = np.ones(total, dtype=np.int8)
+    starts = np.zeros(n_rows, dtype=np.int64)
+    np.cumsum(slots[:-1], out=starts[1:])
+    rep[starts] = 0
+    d = np.full(total, max_def, dtype=np.int8)
+    if elem_valid is not None and not elem_valid.all():
+        real = _real_slot_positions(lengths, slots, starts)
+        d[real[~elem_valid]] = opt + 1
+    empty = lengths == 0
+    if empty.any():
+        marks = starts[empty]
+        d[marks] = opt
+        if opt:
+            d[marks[~list_valid[empty]]] = 0
+    lvl_ofs = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(slots, out=lvl_ofs[1:])
+    elem_cum = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(lengths, out=elem_cum[1:])
+    if elem_valid is None:
+        dense = _dense_scalar(values, None, phys, name)
+        dense_ofs = elem_cum
+    else:
+        dense = _dense_scalar(values, np.flatnonzero(elem_valid),
+                              phys, name)
+        vcum = np.zeros(n_elem_slots + 1, dtype=np.int64)
+        np.cumsum(elem_valid, out=vcum[1:])
+        dense_ofs = vcum[elem_cum]
+    return _Leaf(path, phys, dense, n_rows=n_rows,
+                 use_dictionary=use_dictionary, max_rep=1, max_def=max_def,
+                 rep=rep, deflv=d, lvl_ofs=lvl_ofs, dense_ofs=dense_ofs)
+
+
+def _struct_field_leaf(struct_name: str, svalid, field) -> _Leaf:
+    """One struct field -> leaf with combined struct/field def levels."""
+    fname, phys, values = field[0], field[1], field[2]
+    fvalid = field[3] if len(field) > 3 and field[3] is not None else None
+    use_dict = bool(field[4]) if len(field) > 4 else False
+    path = [struct_name, fname]
+    if svalid is None and fvalid is None:
+        return _scalar_leaf(path, phys, values, None, None, 0, use_dict)
+    if svalid is None:
+        fvalid = np.asarray(fvalid, dtype=bool)
+        return _scalar_leaf(path, phys, values, fvalid,
+                            fvalid.astype(np.int8), 1, use_dict)
+    if fvalid is None:
+        return _scalar_leaf(path, phys, values, svalid,
+                            svalid.astype(np.int8), 1, use_dict)
+    fvalid = np.asarray(fvalid, dtype=bool)
+    present = svalid & fvalid
+    deflv = np.where(svalid, np.where(fvalid, 2, 1), 0).astype(np.int8)
+    return _scalar_leaf(path, phys, values, present, deflv, 2, use_dict)
+
+
+def _leaves_of(spec) -> list:
+    """Top-level column spec -> its leaf chunks in schema DFS order."""
+    if isinstance(spec, ListColumn):
+        return [_list_leaf([spec.name, "list", "element"], spec.phys,
+                           spec.values, spec.lengths, spec.valid,
+                           spec.element_valid, spec.use_dictionary)]
+    if isinstance(spec, StructColumn):
+        svalid = None if spec.valid is None \
+            else np.asarray(spec.valid, dtype=bool)
+        if not spec.fields:
+            raise ValueError(f"struct column {spec.name}: no fields")
+        return [_struct_field_leaf(spec.name, svalid, f)
+                for f in spec.fields]
+    if isinstance(spec, MapColumn):
+        return [
+            _list_leaf([spec.name, "key_value", "key"], spec.key_phys,
+                       spec.keys, spec.lengths, spec.valid, None,
+                       spec.key_use_dictionary),
+            _list_leaf([spec.name, "key_value", "value"], spec.value_phys,
+                       spec.values, spec.lengths, spec.valid,
+                       spec.value_valid, spec.value_use_dictionary)]
+    # flat leaf tuple: (name, phys, values[, valid[, use_dictionary]])
+    name, phys, values = spec[0], spec[1], spec[2]
+    valid = spec[3] if len(spec) > 3 and spec[3] is not None else None
+    use_dict = bool(spec[4]) if len(spec) > 4 else False
+    if valid is None:
+        return [_scalar_leaf([name], phys, values, None, None, 0,
+                             use_dict)]
+    valid = np.asarray(valid, dtype=bool)
+    return [_scalar_leaf([name], phys, values, valid,
+                         valid.astype(np.int8), 1, use_dict)]
+
+
+def _bit_width(max_level: int) -> int:
+    return max(1, int(max_level).bit_length())
+
+
+def _write_chunk(buf: bytearray, c: _Leaf, lo: int, hi: int,
                  page_rows: "int | None", codec: "str | None",
                  write_statistics: bool, delta_encoded: bool = False,
                  data_page_version: int = 1,
@@ -523,8 +758,10 @@ def _write_chunk(buf: bytearray, c: _Column, lo: int, hi: int,
             # V2: rep+def levels UNPREFIXED and outside the compressed
             # region, rep first (reference properties.h:363-377 / format
             # v2 pages; level byte lengths in header fields 6/5)
-            rep_b = b"" if rep_arr is None else rle.encode(rep_arr, 1)
-            def_b = b"" if def_arr is None else rle.encode(def_arr, 1)
+            rep_b = b"" if rep_arr is None \
+                else rle.encode(rep_arr, _bit_width(c.max_rep))
+            def_b = b"" if def_arr is None \
+                else rle.encode(def_arr, _bit_width(c.max_def))
             levels = rep_b + def_b
             vbody = _compress(values_b, codec)
             hdr = _page_header(
@@ -541,9 +778,11 @@ def _write_chunk(buf: bytearray, c: _Column, lo: int, hi: int,
             raw_total += len(hdr) + len(levels) + len(values_b)
         else:
             rep_b = b"" if rep_arr is None \
-                else rle.encode_length_prefixed(rep_arr, 1)
+                else rle.encode_length_prefixed(rep_arr,
+                                                _bit_width(c.max_rep))
             def_b = b"" if def_arr is None \
-                else rle.encode_length_prefixed(def_arr, 1)
+                else rle.encode_length_prefixed(def_arr,
+                                                _bit_width(c.max_def))
             payload = rep_b + def_b + values_b
             body = _compress(payload, codec)
             hdr = _page_header(_PAGE_DATA, len(payload), len(body), 5,
@@ -588,12 +827,9 @@ def _write_chunk(buf: bytearray, c: _Column, lo: int, hi: int,
     if dict_page_offset is not None:
         cmd.append((11, _I64, dict_page_offset))
     if write_statistics:
-        if c.is_list:
-            # def < max_def slots: one marker per empty list
-            null_count = int((c.lengths[lo:hi] == 0).sum())
-        else:
-            null_count = 0 if c.valid is None \
-                else int((~c.valid[lo:hi]).sum())
+        # def < max_def slots: nulls at any nesting depth plus one marker
+        # per empty/null list — level slots minus dense values
+        null_count = c.num_values(lo, hi) - (dhi - dlo)
         st = _chunk_stats(dense, c.phys, null_count)
         if st is not None:
             cmd.append((12, _STRUCT, st))
@@ -652,12 +888,13 @@ def write_file(path: str, columns: list[tuple], num_rows: int,
                          f"(one of {sorted(k for k in _CODEC_IDS if k)})")
     decimal_columns = decimal_columns or {}
     annotations = annotations or {}
-    cols = [_Column(s.name, s.phys, s.values, None, s.use_dictionary,
-                    s.lengths) if isinstance(s, ListColumn)
-            else _Column(*s) for s in columns]
+    spec_list = list(columns)
+    cols: list[_Leaf] = []
+    for s in spec_list:
+        cols.extend(_leaves_of(s))
     for c in cols:
-        if c.n_slots != num_rows:
-            raise ValueError(f"column {c.name}: {c.n_slots} slots, "
+        if c.n_rows != num_rows:
+            raise ValueError(f"column {c.name}: {c.n_rows} slots, "
                              f"expected {num_rows}")
 
     buf = bytearray(MAGIC)
@@ -714,39 +951,29 @@ def write_file(path: str, columns: list[tuple], num_rows: int,
                            (2, _I64, total_bytes),
                            (3, _I64, n_rows_rg)])
 
-    schema = [[(3, _I32, 0), (4, _BINARY, "schema"),
-               (5, _I32, len(cols))]]
-    for c in cols:
-        if c.name in utf8_columns and c.phys != "byte_array":
+    def _leaf_el(phys: str, repetition: int, leaf_name: str,
+                 ann_key: str) -> list:
+        """SchemaElement for one leaf, with utf8/temporal/decimal
+        annotations keyed by ``ann_key`` (the dotted path for nested
+        leaves, the plain column name for flat/list columns)."""
+        if ann_key in utf8_columns and phys != "byte_array":
             raise ValueError(f"utf8 annotation on non-byte_array "
-                             f"column {c.name!r}")
-        tid, tlen = _phys_id(c.phys)
-        tl_field = [(2, _I32, tlen)] if c.phys.startswith("flba:") else []
-        if c.is_list:
-            # standard 3-level list shape (schema.h:43-77): a REQUIRED
-            # group annotated LIST, one REPEATED middle group, the leaf.
-            # Spark/pyarrow/DuckDB all read this as array<element>.
-            schema.append([(3, _I32, 0), (4, _BINARY, c.name),
-                           (5, _I32, 1), (6, _I32, 3)])   # ConvertedType LIST
-            schema.append([(3, _I32, 2), (4, _BINARY, "list"),
-                           (5, _I32, 1)])                 # REPEATED group
-            el = [(1, _I32, tid), *tl_field, (3, _I32, 0),
-                  (4, _BINARY, "element")]
-        else:
-            rep = 1 if c.valid is not None else 0
-            el = [(1, _I32, tid), *tl_field, (3, _I32, rep),
-                  (4, _BINARY, c.name)]
-        if c.name in utf8_columns:
+                             f"column {ann_key!r}")
+        tid, tlen = _phys_id(phys)
+        tl_field = [(2, _I32, tlen)] if phys.startswith("flba:") else []
+        el = [(1, _I32, tid), *tl_field, (3, _I32, repetition),
+              (4, _BINARY, leaf_name)]
+        if ann_key in utf8_columns:
             el.append((6, _I32, 0))  # ConvertedType UTF8
-        if c.name in annotations:
-            ann = annotations[c.name]
+        if ann_key in annotations:
+            ann = annotations[ann_key]
             if ann not in _TIME_ANNOTATIONS:
                 raise ValueError(f"unknown annotation {ann!r} "
                                  f"(one of {sorted(_TIME_ANNOTATIONS)})")
             conv_id, want_phys, utc = _TIME_ANNOTATIONS[ann]
-            if c.phys != want_phys:
+            if phys != want_phys:
                 raise ValueError(f"annotation {ann!r} needs {want_phys} "
-                                 f"storage, column {c.name!r} is {c.phys}")
+                                 f"storage, column {ann_key!r} is {phys}")
             if conv_id is not None:
                 el.append((6, _I32, conv_id))
             if utc is not None:
@@ -757,15 +984,57 @@ def write_file(path: str, columns: list[tuple], num_rows: int,
                 ts = [(1, _TRUE if utc else _FALSE, None),
                       (2, _STRUCT, [(unit_fid, _STRUCT, [])])]
                 el.append((10, _STRUCT, [(8, _STRUCT, ts)]))
-        if c.name in decimal_columns:
-            if not c.phys.startswith("flba:"):
+        if ann_key in decimal_columns:
+            if not phys.startswith("flba:"):
                 raise ValueError(f"decimal annotation on non-FLBA "
-                                 f"column {c.name!r}")
-            precision, scale = decimal_columns[c.name]
+                                 f"column {ann_key!r}")
+            precision, scale = decimal_columns[ann_key]
             # two's-complement big-endian unscaled ints in fixed bytes —
             # the logical.py decimal->FLBA layout (arrow/writer.cc:572+)
             el += [(6, _I32, 5), (7, _I32, scale), (8, _I32, precision)]
-        schema.append(el)
+        return el
+
+    # root num_children counts TOP-LEVEL fields (group nodes count once;
+    # their leaves hang beneath them), schema.h:106-303 tree shape
+    schema = [[(3, _I32, 0), (4, _BINARY, "schema"),
+               (5, _I32, len(spec_list))]]
+    for s in spec_list:
+        if isinstance(s, ListColumn):
+            # standard 3-level list shape (schema.h:43-77): a group
+            # annotated LIST, one REPEATED middle group, the leaf.
+            # Spark/pyarrow/DuckDB all read this as array<element>.
+            outer_rep = 1 if s.valid is not None else 0
+            elem_rep = 1 if s.element_valid is not None else 0
+            schema.append([(3, _I32, outer_rep), (4, _BINARY, s.name),
+                           (5, _I32, 1), (6, _I32, 3)])  # ConvertedType LIST
+            schema.append([(3, _I32, 2), (4, _BINARY, "list"),
+                           (5, _I32, 1)])                # REPEATED group
+            schema.append(_leaf_el(s.phys, elem_rep, "element", s.name))
+        elif isinstance(s, StructColumn):
+            rep = 1 if s.valid is not None else 0
+            schema.append([(3, _I32, rep), (4, _BINARY, s.name),
+                           (5, _I32, len(s.fields))])    # plain group node
+            for f in s.fields:
+                fname, fphys = f[0], f[1]
+                f_rep = 1 if len(f) > 3 and f[3] is not None else 0
+                schema.append(_leaf_el(fphys, f_rep, fname,
+                                       f"{s.name}.{fname}"))
+        elif isinstance(s, MapColumn):
+            # MAP converted type: group(MAP) > repeated key_value
+            # (MAP_KEY_VALUE) > required key + value (schema.h:43-77)
+            rep = 1 if s.valid is not None else 0
+            schema.append([(3, _I32, rep), (4, _BINARY, s.name),
+                           (5, _I32, 1), (6, _I32, 1)])   # ConvertedType MAP
+            schema.append([(3, _I32, 2), (4, _BINARY, "key_value"),
+                           (5, _I32, 2), (6, _I32, 2)])   # MAP_KEY_VALUE
+            schema.append(_leaf_el(s.key_phys, 0, "key", f"{s.name}.key"))
+            val_rep = 1 if s.value_valid is not None else 0
+            schema.append(_leaf_el(s.value_phys, val_rep, "value",
+                                   f"{s.name}.value"))
+        else:
+            name, phys = s[0], s[1]
+            rep = 1 if len(s) > 3 and s[3] is not None else 0
+            schema.append(_leaf_el(phys, rep, name, name))
     fmd = bytearray()
     # column_orders: TYPE_DEFINED_ORDER per leaf — without it readers must
     # ignore min_value/max_value (parquet-format Statistics contract)

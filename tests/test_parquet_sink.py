@@ -87,10 +87,13 @@ def test_sink_task_retry_is_idempotent(spark, tmp_path):
 
 
 def test_specs_from_arrow_nullables_and_rejects():
-    """Arrow-schema bridge: nullable flat columns keep their masks; lists
-    of non-int elements, null list slots, and exotic types fail loudly."""
+    """Arrow-schema bridge: nullable flat columns keep their masks;
+    strings come through as zero-copy views; r7 widens scope to
+    list<scalar> (OPTIONAL slots + nullable elements), structs and maps;
+    genuinely nested shapes still fail loudly."""
     import pyarrow as pa
 
+    from parquet_cpp_spark.kernels import ba
     from parquet_cpp_spark.sources import parquet_writer as pw
     from parquet_cpp_spark.sources.parquet_sink import specs_from_arrow
 
@@ -98,23 +101,39 @@ def test_specs_from_arrow_nullables_and_rejects():
         "i": pa.array([1, None, 3], pa.int64()),
         "s": pa.array(["a", None, "c"]),
         "l": pa.array([[1, 2], [], [3]], pa.list_(pa.int32())),
+        "ls": pa.array([["x"], None, ["y", None]], pa.list_(pa.string())),
+        "st": pa.array([{"a": 1, "b": "u"}, None, {"a": None, "b": "w"}],
+                       pa.struct([("a", pa.int32()), ("b", pa.string())])),
+        "m": pa.array([[("k", 1)], [], None],
+                      pa.map_(pa.string(), pa.int32())),
     })
     specs, utf8, _ann = specs_from_arrow(tbl)
-    assert utf8 == {"s"}
+    assert utf8 == {"s", "ls", "st.b", "m.key"}
     by_name = {getattr(s, "name", None) or s[0]: s for s in specs}
     assert by_name["i"][3].tolist() == [True, False, True]
+    # vectorized string path: a ByteArrayView, not a python list
+    assert isinstance(by_name["s"][2], ba.ByteArrayView)
+    assert by_name["s"][3].tolist() == [True, False, True]
     assert isinstance(by_name["l"], pw.ListColumn)
     assert by_name["l"].lengths.tolist() == [2, 0, 1]
+    ls = by_name["ls"]
+    assert ls.valid.tolist() == [True, False, True]
+    assert ls.element_valid.tolist() == [True, True, False]
+    st = by_name["st"]
+    assert isinstance(st, pw.StructColumn)
+    assert st.valid.tolist() == [True, False, True]
+    assert st.fields[0][3].tolist() == [True, True, False]  # a's mask
+    m = by_name["m"]
+    assert isinstance(m, pw.MapColumn)
+    assert m.lengths.tolist() == [1, 0, 0]
+    assert m.valid.tolist() == [True, True, False]
 
     with pytest.raises(ValueError, match="out of"):
         specs_from_arrow(pa.table(
-            {"x": pa.array([["a"]], pa.list_(pa.string()))}))
-    with pytest.raises(ValueError, match="NULL list"):
-        specs_from_arrow(pa.table(
-            {"x": pa.array([[1], None], pa.list_(pa.int32()))}))
+            {"x": pa.array([[[1]]], pa.list_(pa.list_(pa.int32())))}))
     with pytest.raises(ValueError, match="out of"):
-        specs_from_arrow(pa.table(
-            {"x": pa.array([{"a": 1}], pa.struct([("a", pa.int32())]))}))
+        specs_from_arrow(pa.table({"x": pa.array(
+            [{"a": [1]}], pa.struct([("a", pa.list_(pa.int32()))]))}))
 
 
 def test_sink_on_sf001_documents_tokens(spark, tmp_path):

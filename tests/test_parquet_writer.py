@@ -491,10 +491,13 @@ def test_list_column_spark_jvm_read_back(tmp_path, ):
 
 
 def test_list_column_rejects_out_of_scope(tmp_path):
-    # internal guard: a column can't be both nullable-flat and list
-    with pytest.raises(ValueError, match="lengths, not valid"):
-        pw._Column("t", "int32", np.zeros(1, np.int32),
-                   valid=np.array([True]), lengths=np.array([1]))
+    # a NULL list slot must have a zero extent (r7: lists may be OPTIONAL,
+    # but a null row carrying elements is still malformed)
+    with pytest.raises(ValueError, match="length 0"):
+        pw.write_file(str(tmp_path / "x.parquet"),
+                      [pw.ListColumn("t", "int32", np.zeros(1, np.int32),
+                                     np.array([1]),
+                                     valid=np.array([False]))], 1)
     with pytest.raises(ValueError, match="negative"):
         pw.write_file(str(tmp_path / "y.parquet"),
                       [pw.ListColumn("t", "int32", np.zeros(0, np.int32),
