@@ -1039,6 +1039,97 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _digest(spark.read.parquet(out))
     q["pq_writer_tokens"] = pq_writer_tokens
 
+    def pq_writer_struct(spark: SparkSession, sf: str) -> DataFrame:
+        """NESTED GROUP nodes through the engine's PAR1 writer (r7):
+        an OPTIONAL struct (optional + required fields, combined def
+        levels) and a map<string,int32> (MAP/MAP_KEY_VALUE converted
+        types, two REPEATED leaves sharing one lengths array, nullable
+        values) — the reference's arrow/schema.cc group emission and
+        arrow/writer.cc:305-932 nested bridges, pinned by
+        arrow-reader-writer-test.cc:595-1928. Spark's JVM reader
+        re-assembles the struct/map; the query flattens them to scalar
+        columns so the oracle can recompute each from ``documents``.
+        Any def-level, group-schema, or key_value layout bug breaks the
+        JVM read or flips a flattened value."""
+        import tempfile
+
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from parquet_cpp_spark.sources import parquet_writer as pw
+        docs = pq.read_table(os.path.join(sf, "documents.parquet"),
+                             columns=["doc_id", "source", "text"])
+        ids = docs.column("doc_id").to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        n = len(ids)
+        srcs = [s.encode() for s in
+                np.asarray(docs.column("source").to_pylist())[order]]
+        texts = np.asarray(docs.column("text").to_pylist(),
+                           dtype=object)[order]
+        n_chars = np.fromiter((len(t) for t in texts),
+                              dtype=np.int32, count=n)
+        n_words = np.fromiter((len(t.split(" ")) for t in texts),
+                              dtype=np.int32, count=n)
+        svalid = ids % 5 != 0          # struct-null rows
+        fvalid = ids % 7 != 0          # field-null rows (inside structs)
+        mvalid = ids % 11 != 0         # map-null rows
+        lengths = np.where(mvalid, 2, 0).astype(np.int64)
+        keys = [k for ok in mvalid if ok for k in (b"a", b"b")]
+        mvals = np.column_stack([n_words, ids % 100]) \
+            .astype(np.int32)[mvalid].reshape(-1)
+        vvalid = np.column_stack(
+            [np.ones(n, bool), ids % 3 != 0])[mvalid].reshape(-1)
+        out = os.path.join(tempfile.gettempdir(),
+                           f"pcs_{os.getuid()}_writer_struct_{n}.parquet")
+        pw.write_file(out, [
+            ("doc_id", "int64", ids),
+            pw.StructColumn("meta", [
+                ("n_chars", "int32", n_chars, fvalid, True),
+                ("origin", "byte_array", srcs, None, True),
+            ], valid=svalid),
+            pw.MapColumn("tags", "byte_array", keys, "int32", mvals,
+                         lengths, valid=mvalid, value_valid=vvalid,
+                         key_use_dictionary=True,
+                         value_use_dictionary=True),
+        ], n, row_group_rows=200, page_rows=64, compression="zstd",
+            utf8_columns={"meta.origin", "tags.key"})
+        df = spark.read.parquet(out)
+        return df.select(
+            "doc_id",
+            F.col("meta.n_chars").alias("m_chars"),
+            F.col("meta.origin").alias("m_origin"),
+            F.col("tags").getItem("a").alias("t_a"),
+            F.col("tags").getItem("b").alias("t_b")).orderBy("doc_id")
+    q["pq_writer_struct"] = pq_writer_struct
+
+    def pq_sink_dataset(spark: SparkSession, sf: str) -> DataFrame:
+        """The DISTRIBUTED sink under the driver oracle (r7): executors
+        write the token table as engine PAR1 files (emit_parquet_dataset
+        — per-task atomic rename, selector-driven encodings, manifest-only
+        JVM traffic; the reference's RowGroupSerializer/FileSerializer
+        split, file_writer.cc:60-236), then Spark's JVM reader scans the
+        directory back under the token-table identity oracle. This puts
+        the executor-write path itself — not a driver-side harness —
+        under the DuckDB hash check."""
+        import shutil
+        import tempfile
+
+        from parquet_cpp_spark.sources.parquet_sink import \
+            emit_parquet_dataset
+        src = tokens_src.tokens_from_documents(spark, sf, _parts(sf))
+        df = (src.select("doc_id", "tokens", "n_tok", "source")
+              .repartition(4, "doc_id")
+              .sortWithinPartitions("doc_id"))
+        out = os.path.join(tempfile.gettempdir(),
+                           f"pcs_{os.getuid()}_sink_dataset")
+        # fresh dir: stale files from an earlier run with different data
+        # or partitioning would read back as duplicate rows
+        shutil.rmtree(out, ignore_errors=True)
+        emit_parquet_dataset(df, out, encodings="auto").collect()
+        return _digest(spark.read.parquet(out))
+    q["pq_sink_dataset"] = pq_sink_dataset
+
     # --- multimodal: real pure-numpy decode (PPM/WAV/concat-PPM video) ---
     def media_features(spark: SparkSession, sf: str) -> DataFrame:
         """Feature extraction over persisted real media payloads (binary
@@ -1148,6 +1239,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pq_writer_tokens; like every rotated query it keeps its oracle
         # and runs in test_query_matches_oracle.
         "rt_nested_list",
+        # r7: rt_map and rt_unsigned rotate out to make window room for
+        # pq_writer_struct + pq_sink_dataset. The chunk-format MAP shape
+        # stays pinned by pytest goldens AND maps are now driven
+        # end-to-end through Spark's JVM reader (pq_writer_struct);
+        # unsigned sort order stays pinned by tests/test_chunk.py and
+        # test_types_compression.py. Both keep their oracles and run in
+        # test_query_matches_oracle.
+        "rt_map", "rt_unsigned",
     ]
     ordered = {k: v for k, v in q.items() if k not in rotated_past_cap}
     for k in rotated_past_cap:
@@ -1478,6 +1577,23 @@ def oracle_sql() -> dict[str, str]:
                         THEN CAST(length(text) AS INTEGER) END AS n_chars
             FROM documents ORDER BY doc_id
         """,
+        # nested writer round trip: SQL recomputes each FLATTENED struct
+        # field / map entry from documents; the null pattern encodes the
+        # combined def levels (struct-null beats field-null, map-null
+        # beats value-null) the parquet file must reproduce
+        "pq_writer_struct": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 5 <> 0 AND doc_id % 7 <> 0
+                        THEN CAST(length(text) AS INTEGER) END AS m_chars,
+                   CASE WHEN doc_id % 5 <> 0 THEN source END AS m_origin,
+                   CASE WHEN doc_id % 11 <> 0
+                        THEN CAST(len(string_split(text, ' ')) AS INTEGER)
+                        END AS t_a,
+                   CASE WHEN doc_id % 11 <> 0 AND doc_id % 3 <> 0
+                        THEN CAST(doc_id % 100 AS INTEGER) END AS t_b
+            FROM documents ORDER BY doc_id
+        """,
+        "pq_sink_dataset": identity,
         "media_features": _media_features_oracle_sql(),
         "neardup_cosine": _neardup_cosine_lsh_oracle_sql(),
         "neardup_cosine_dropped": _neardup_cosine_dropped_oracle_sql(

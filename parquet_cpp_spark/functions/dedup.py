@@ -234,11 +234,14 @@ def decontaminate(docs: DataFrame, bench: DataFrame,
     doc_sh = docs.select(F.col(id_col), F.explode(sh).alias("sh"))
     bench_sh = bench.select(F.explode(sh).alias("sh")).distinct()
     if strategy == "auto":
-        # persist around the sizing count so the join below reuses the
-        # deduped shingles instead of re-exploding the bench corpus
-        bench_sh = bench_sh.persist()
-        strategy = "broadcast" if bench_sh.count() <= broadcast_limit \
-            else "shuffle"
+        # size the eval shingle set with ONE pass of approx_count_distinct
+        # (no persist: a cached DataFrame returned to the caller would pin
+        # executor storage for the session's lifetime). The ±2% estimate
+        # only picks the JOIN STRATEGY — both paths produce identical
+        # results (pinned by pytest), so an approximate threshold is safe.
+        est = bench.select(F.explode(sh).alias("sh")).agg(
+            F.approx_count_distinct("sh").alias("n")).collect()[0].n
+        strategy = "broadcast" if est <= broadcast_limit else "shuffle"
     if strategy == "broadcast":
         joined = doc_sh.join(F.broadcast(bench_sh), "sh")
     elif strategy == "shuffle":

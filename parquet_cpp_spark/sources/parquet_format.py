@@ -551,8 +551,23 @@ def lookup_rows(path: str, column: str, key) -> tuple:
     with open(path, "rb") as f:
         m = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
     mv = memoryview(m)
+    try:
+        return _lookup_rows(mv, column, key)
+    finally:
+        # release the view and close the mapping explicitly: a long-lived
+        # executor calls this once per file, and un-GC'd mappings pile up
+        # (and, on some platforms, block file deletion)
+        mv.release()
+        m.close()
+
+
+def _lookup_rows(mv: memoryview, column: str, key) -> tuple:
     meta = read_footer(mv)
-    leaf = next(lf for lf in meta.leaves if lf.name == column)
+    leaf = next((lf for lf in meta.leaves if lf.name == column), None)
+    if leaf is None:
+        raise ValueError(
+            f"no leaf column {column!r}; available leaf paths: "
+            f"{[lf.name for lf in meta.leaves]}")
     if leaf.max_rep > 1:
         raise ValueError("lookup_rows supports max_rep <= 1")
     if leaf.phys == "byte_array" and isinstance(key, str):
@@ -562,7 +577,11 @@ def lookup_rows(path: str, column: str, key) -> tuple:
     pages_decoded = pages_total = 0
     row_base = 0
     for gi, rg in enumerate(meta.row_groups):
-        chunk = next(c for c in rg if c.path == column)
+        chunk = next((c for c in rg if c.path == column), None)
+        if chunk is None:
+            raise ValueError(
+                f"row group {gi} has no chunk for {column!r}; paths: "
+                f"{[c.path for c in rg]}")
         idx = read_page_index(mv, chunk)
         if idx is None:
             raise ValueError("file carries no PageIndex for this column")
