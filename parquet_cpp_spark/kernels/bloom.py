@@ -207,3 +207,65 @@ class BlockSplitBloomFilter:
                                  dtype=np.uint32).copy()
         bf.num_blocks = num_bytes // BYTES_PER_BLOCK
         return bf
+
+
+class StandardBloomFilter(BlockSplitBloomFilter):
+    """The FOOTER-linked bloom the parquet-format spec standardized
+    (BloomFilterHeader algorithm=BLOCK, hash=XXHASH): same Putze
+    split-block bitset and SALT word masks as the reference's filter, but
+
+    - hash = XXH64(seed 0) over the value's PLAIN encoding (4 LE bytes
+      for INT32, 8 for INT64, raw bytes for BYTE_ARRAY) — ``kernels/xxh``,
+      pinned against Spark's JVM XXH64;
+    - block index = fixed-point ``((h >> 32) * num_blocks) >> 32``
+      (num_bytes any multiple of 32, not just powers of two).
+
+    The reference's pre-standard murmur3 variant above stays bit-frozen
+    for the golden ``bloom_filter.bin``; this class is what the PAR1
+    writer embeds and ``parquet_format``/``lookup_rows`` consult."""
+
+    def __init__(self, num_bytes: int = 1024):
+        if num_bytes % BYTES_PER_BLOCK or num_bytes < MIN_BYTES:
+            raise ValueError("num_bytes must be a multiple of 32, >= 32")
+        self.words = np.zeros(num_bytes // 4, dtype=np.uint32)
+        self.num_blocks = num_bytes // BYTES_PER_BLOCK
+
+    def _block_and_masks(self, hashes: np.ndarray):
+        with np.errstate(over="ignore"):
+            block = ((hashes >> np.uint64(32))
+                     * np.uint64(self.num_blocks)) >> np.uint64(32)
+            key = hashes.astype(np.uint32)
+            mul = key[:, None] * SALT[None, :]
+            masks = np.uint32(1) << (mul >> np.uint32(27))
+        return block.astype(np.int64), masks
+
+    def insert_int64(self, keys: np.ndarray) -> None:
+        from . import xxh
+        self.insert_hashes(xxh.xxh64_int64(keys))
+
+    def check_int64(self, keys: np.ndarray) -> np.ndarray:
+        from . import xxh
+        return self.check_hashes(xxh.xxh64_int64(keys))
+
+    def insert_int32(self, keys: np.ndarray) -> None:
+        from . import xxh
+        self.insert_hashes(xxh.xxh64_int32(keys))
+
+    def check_int32(self, keys: np.ndarray) -> np.ndarray:
+        from . import xxh
+        return self.check_hashes(xxh.xxh64_int32(keys))
+
+    def insert_bytes(self, keys) -> None:
+        from . import xxh
+        self.insert_hashes(np.array([xxh.xxh64_bytes(bytes(k))
+                                     for k in keys], dtype=np.uint64))
+
+    def check_bytes(self, keys) -> np.ndarray:
+        from . import xxh
+        return self.check_hashes(np.array([xxh.xxh64_bytes(bytes(k))
+                                           for k in keys], dtype=np.uint64))
+
+    def serialize(self) -> bytes:
+        raise NotImplementedError(
+            "standard blooms serialize as BloomFilterHeader thrift + "
+            "bitset in the parquet file (sources/parquet_writer)")

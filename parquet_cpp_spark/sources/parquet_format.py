@@ -138,6 +138,7 @@ class ColumnChunkMeta:
     total_compressed_size: int
     offset_index: "tuple[int, int] | None" = None   # (offset, length)
     column_index: "tuple[int, int] | None" = None
+    bloom_filter: "tuple[int, int | None] | None" = None  # (offset, length)
 
 
 @dataclass
@@ -211,7 +212,8 @@ def read_footer(mv: memoryview) -> FileMeta:
                 dictionary_page_offset=cm.get(11),
                 total_compressed_size=cm[7],
                 offset_index=(cc[4], cc[5]) if 4 in cc else None,
-                column_index=(cc[6], cc[7]) if 6 in cc else None))
+                column_index=(cc[6], cc[7]) if 6 in cc else None,
+                bloom_filter=(cm[14], cm.get(15)) if 14 in cm else None))
         out.row_groups.append(chunks)
         out.rg_rows.append(rg.get(3, 0))
     return out
@@ -480,6 +482,45 @@ def read_page_index(mv: memoryview,
                      ci.get(5))
 
 
+def read_bloom(mv: memoryview, chunk: ColumnChunkMeta):
+    """Parse a chunk's footer-linked STANDARD bloom filter
+    (BloomFilterHeader thrift + split-block bitset), or None when absent
+    or not the BLOCK/XXHASH/UNCOMPRESSED combination this engine writes.
+    Returns a ``kernels.bloom.StandardBloomFilter`` ready to check."""
+    if chunk.bloom_filter is None:
+        return None
+    import numpy as np
+
+    from ..kernels import bloom as bloom_mod
+    off = chunk.bloom_filter[0]
+    rd = _Compact(mv, off)
+    hdr = rd.struct()
+    num_bytes = hdr.get(1, 0)
+    # unions: {1: BLOCK} / {1: XXHASH} / {1: UNCOMPRESSED} — anything
+    # else is a foreign writer's variant we must not consult
+    if (1 not in hdr.get(2, {}) or 1 not in hdr.get(3, {})
+            or 1 not in hdr.get(4, {}) or num_bytes < 32
+            or num_bytes % 32):
+        return None
+    bitset = mv[rd.pos: rd.pos + num_bytes]
+    if len(bitset) < num_bytes:
+        return None
+    bf = bloom_mod.StandardBloomFilter(num_bytes)
+    bf.words = np.frombuffer(bitset, dtype=np.uint32).copy()
+    return bf
+
+
+def _bloom_may_contain(bf, phys: str, key) -> bool:
+    import numpy as np
+    if bf is None:
+        return True
+    if phys == "byte_array":
+        return bool(bf.check_bytes([key])[0])
+    if phys == "int32":
+        return bool(bf.check_int32(np.array([key], np.int32))[0])
+    return bool(bf.check_int64(np.array([key], np.int64))[0])
+
+
 def _candidate_pages(idx: PageIndex, phys: str, key) -> list[int]:
     """Page indices whose [min, max] may contain ``key``.
 
@@ -586,6 +627,15 @@ def _lookup_rows(mv: memoryview, column: str, key) -> tuple:
         if idx is None:
             raise ValueError("file carries no PageIndex for this column")
         pages_total += len(idx.locations)
+        if chunk.bloom_filter is not None and not _bloom_may_contain(
+                read_bloom(mv, chunk), leaf.phys,
+                key_b if key_b is not None else key):
+            # chunk-level bloom says ABSENT: skip the whole chunk before
+            # touching its dictionary or page bounds (the footer-bloom
+            # fast path; FPP-bounded, no false negatives)
+            row_base += meta.rg_rows[gi] if leaf.max_rep \
+                else chunk.num_values
+            continue
         dictionary = _read_dictionary_page(mv, leaf, chunk)
         candidates = _candidate_pages(idx, leaf.phys,
                                       key_b if key_b is not None else key)

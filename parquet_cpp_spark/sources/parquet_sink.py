@@ -324,7 +324,7 @@ def _manifest_batch(row):
 
 def _write_one_file(tbl, tmp: str, dest: str, row_group_rows, page_rows,
                     compression, delta_columns, encodings,
-                    data_page_version):
+                    data_page_version, bloom_filter_columns=frozenset()):
     """Write one Arrow table as one engine PAR1 file (dot-prefixed temp +
     atomic rename) and return its manifest tuple."""
     import hashlib
@@ -354,13 +354,15 @@ def _write_one_file(tbl, tmp: str, dest: str, row_group_rows, page_rows,
     # with DIFFERENT parameters and re-encode instead of trusting stale
     # files
     params = _params_tag(row_group_rows, page_rows, compression,
-                         delta_columns, encodings, data_page_version)
+                         delta_columns, encodings, data_page_version,
+                         bloom_filter_columns)
     pw.write_file(tmp, specs, tbl.num_rows,
                   row_group_rows=row_group_rows, page_rows=page_rows,
                   compression=compression, utf8_columns=utf8,
                   delta_columns=d_cols,
                   data_page_version=data_page_version,
                   annotations=annotations,
+                  bloom_filter_columns=frozenset(bloom_filter_columns),
                   key_value_metadata={"pcs.n_values": str(n_values),
                                       "pcs.encodings": enc_tag,
                                       "pcs.params": params})
@@ -376,10 +378,16 @@ def _write_one_file(tbl, tmp: str, dest: str, row_group_rows, page_rows,
 
 
 def _params_tag(row_group_rows, page_rows, compression, delta_columns,
-                encodings, data_page_version) -> str:
-    return (f"rg={row_group_rows};pg={page_rows};c={compression};"
-            f"d={','.join(sorted(delta_columns))};e={encodings};"
-            f"v={data_page_version}")
+                encodings, data_page_version,
+                bloom_filter_columns=frozenset()) -> str:
+    tag = (f"rg={row_group_rows};pg={page_rows};c={compression};"
+           f"d={','.join(sorted(delta_columns))};e={encodings};"
+           f"v={data_page_version}")
+    if bloom_filter_columns:
+        # appended only when set: files written before blooms existed
+        # keep their tag and stay resumable
+        tag += f";bf={','.join(sorted(bloom_filter_columns))}"
+    return tag
 
 
 def _manifest_from_existing(dest: str, expected_params: "str | None" = None):
@@ -416,7 +424,9 @@ def emit_parquet_dataset(df, out_dir: str,
                          compression: "str | None" = "zstd",
                          delta_columns: "frozenset | set" = frozenset(),
                          encodings: str = "default",
-                         data_page_version: int = 1):
+                         data_page_version: int = 1,
+                         bloom_filter_columns: "frozenset | set"
+                         = frozenset()):
     """DataFrame-in variant of ``write_parquet_dataset``: each task writes
     its partition's rows as ONE engine-format parquet file named by its
     CONTENT hash (``{prefix}part-{sha16}.parquet``) — a retried task that
@@ -447,7 +457,8 @@ def emit_parquet_dataset(df, out_dir: str,
                             name_prefix + "part-{sha}.parquet")
         row = _write_one_file(tbl, tmp, dest, row_group_rows, page_rows,
                               compression, delta_columns, encodings,
-                              data_page_version)
+                              data_page_version,
+                              frozenset(bloom_filter_columns))
         yield _manifest_batch(row)
 
     return df.mapInArrow(task, MANIFEST_SCHEMA)
@@ -461,7 +472,9 @@ def write_parquet_dataset(spark, src_path: str, out_dir: str,
                           encodings: str = "default",
                           data_page_version: int = 1,
                           resume: bool = False,
-                          slices_per_core: int = 4):
+                          slices_per_core: int = 4,
+                          bloom_filter_columns: "frozenset | set"
+                          = frozenset()):
     """Encode ``src_path`` (parquet file/dir) into a directory of
     ENGINE-written PAR1 files, one per source row group, written by the
     executors themselves. Returns the manifest DataFrame
@@ -498,6 +511,7 @@ def write_parquet_dataset(spark, src_path: str, out_dir: str,
         spark.sparkContext.parallelize(splits, n_parts),
         "file string, rg int")
     delta_cols = frozenset(delta_columns)
+    bloom_cols = frozenset(bloom_filter_columns)
 
     def task(batches):
         import hashlib
@@ -520,7 +534,8 @@ def write_parquet_dataset(spark, src_path: str, out_dir: str,
                     row = _manifest_from_existing(
                         dest, _params_tag(row_group_rows, page_rows,
                                           compression, delta_cols,
-                                          encodings, data_page_version))
+                                          encodings, data_page_version,
+                                          bloom_cols))
                     if row is not None:
                         yield _manifest_batch(row)
                         continue
@@ -532,7 +547,7 @@ def write_parquet_dataset(spark, src_path: str, out_dir: str,
                         f".part-{tag}-{_attempt_tag()}.inprogress"),
                     dest,
                     row_group_rows, page_rows, compression, delta_cols,
-                    encodings, data_page_version)
+                    encodings, data_page_version, bloom_cols)
                 yield _manifest_batch(row)
 
     return splits_df.mapInArrow(task, schema=MANIFEST_SCHEMA)

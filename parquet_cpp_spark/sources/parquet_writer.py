@@ -849,7 +849,10 @@ def write_file(path: str, columns: list[tuple], num_rows: int,
                write_page_index: bool = True,
                decimal_columns: "dict[str, tuple[int, int]] | None" = None,
                annotations: "dict[str, str] | None" = None,
-               key_value_metadata: "dict[str, str] | None" = None) -> None:
+               key_value_metadata: "dict[str, str] | None" = None,
+               bloom_filter_columns: "frozenset[str] | set[str]"
+               = frozenset(),
+               bloom_fpp: float = 0.01) -> None:
     """Write flat columns as a readable PAR1 file.
 
     ``columns``: (name, phys, values[, valid[, use_dictionary]]) tuples.
@@ -880,6 +883,15 @@ def write_file(path: str, columns: list[tuple], num_rows: int,
     data and the footer, linked from each ColumnChunk — so readers can
     skip pages without touching page headers (the parquet analog of the
     chunk format's per-page min/max, ``chunk.py`` page_index).
+    ``bloom_filter_columns`` (leaf names, dotted for nested) embeds a
+    STANDARD parquet-format bloom per column chunk — BloomFilterHeader
+    (algorithm=BLOCK, hash=XXHASH, uncompressed) + split-block bitset
+    sized by ``optimal_num_bytes(exact ndv, bloom_fpp)``, linked via
+    ColumnMetaData bloom_filter_offset/length — so a point lookup can
+    skip a whole CHUNK before touching its PageIndex
+    (``parquet_format.lookup_rows`` consults it; the bloom math is
+    ``kernels/bloom.StandardBloomFilter`` over ``kernels/xxh``'s
+    Spark-pinned XXH64).
     """
     if data_page_version not in (1, 2):
         raise ValueError("data_page_version must be 1 or 2")
@@ -900,6 +912,7 @@ def write_file(path: str, columns: list[tuple], num_rows: int,
     buf = bytearray(MAGIC)
     rg_step = max(1, num_rows if row_group_rows is None else row_group_rows)
     rg_infos = []                 # per rg: [(start, total, cmd, pages)]
+    rg_bounds = []                # per rg: (lo, hi) row range
     for lo in range(0, max(num_rows, 1), rg_step):
         hi = min(lo + rg_step, num_rows)
         per_rg = []
@@ -910,6 +923,7 @@ def write_file(path: str, columns: list[tuple], num_rows: int,
                                        data_page_version,
                                        dict_size_limit))
         rg_infos.append((per_rg, hi - lo))
+        rg_bounds.append((lo, hi))
 
     # PageIndex region: all ColumnIndex structs, then all OffsetIndex
     # structs, between the last data page and the footer (parquet-mr
@@ -933,11 +947,60 @@ def write_file(path: str, columns: list[tuple], num_rows: int,
                 oi_pos[(ri, cj)] = (len(buf), len(b))
                 buf += b
 
+    # Bloom region: one BloomFilterHeader + split-block bitset per
+    # (row group, bloom column) after the PageIndex, before the footer;
+    # ColumnMetaData fields 14/15 link to it (parquet-format bloom spec)
+    bf_pos: dict = {}
+    if bloom_filter_columns:
+        from ..kernels import bloom as bloom_mod
+        for cj, c in enumerate(cols):
+            if c.name not in bloom_filter_columns:
+                continue
+            if c.phys not in ("int32", "int64", "byte_array"):
+                raise ValueError(f"bloom filter on {c.name!r}: phys "
+                                 f"{c.phys} unsupported (int32/int64/"
+                                 "byte_array)")
+            for ri, (lo, hi) in enumerate(rg_bounds):
+                dlo, dhi = c.dense_range(lo, hi)
+                dense = _slice_dense(c.dense, c.phys, dlo, dhi)
+                if c.phys == "byte_array":
+                    vals = ba.to_list(dense) \
+                        if isinstance(dense, ba.ByteArrayView) \
+                        else [bytes(v) for v in dense]
+                    ndv = len(set(vals))
+                    bf = bloom_mod.StandardBloomFilter(
+                        bloom_mod.optimal_num_bytes(max(ndv, 1), bloom_fpp))
+                    bf.insert_bytes(vals)
+                else:
+                    arr = np.asarray(dense)
+                    ndv = len(np.unique(arr))
+                    bf = bloom_mod.StandardBloomFilter(
+                        bloom_mod.optimal_num_bytes(max(ndv, 1), bloom_fpp))
+                    if c.phys == "int32":
+                        bf.insert_int32(arr)
+                    else:
+                        bf.insert_int64(arr)
+                bitset = bf.words.tobytes()
+                hdr = bytearray()
+                # BloomFilterHeader: numBytes + three unions, each a
+                # one-field struct holding an empty struct (BLOCK /
+                # XXHASH / UNCOMPRESSED)
+                _struct(hdr, [(1, _I32, len(bitset)),
+                              (2, _STRUCT, [(1, _STRUCT, [])]),
+                              (3, _STRUCT, [(1, _STRUCT, [])]),
+                              (4, _STRUCT, [(1, _STRUCT, [])])])
+                bf_pos[(ri, cj)] = (len(buf), len(hdr) + len(bitset))
+                buf += hdr
+                buf += bitset
+
     row_groups = []
     for ri, (per_rg, n_rows_rg) in enumerate(rg_infos):
         chunks = []
         total_bytes = 0
         for cj, (start, total, cmd, _pages) in enumerate(per_rg):
+            if (ri, cj) in bf_pos:
+                o, ln = bf_pos[(ri, cj)]
+                cmd = cmd + [(14, _I64, o), (15, _I32, ln)]
             fields = [(2, _I64, start), (3, _STRUCT, cmd)]
             if (ri, cj) in oi_pos:
                 o, ln = oi_pos[(ri, cj)]
