@@ -109,7 +109,16 @@ def decode_byte_array(buf, n_values: int, pos: int = 0) -> tuple[list[bytes], in
     return ba.to_list(view), pos
 
 
-def encode_flba(values: list[bytes], type_length: int) -> bytes:
+def encode_flba(values, type_length: int) -> bytes:
+    """PLAIN FLBA: concatenated fixed-width values. ``values`` is either
+    a list of ``type_length``-byte strings or an (n, type_length) uint8
+    matrix (the vectorized decimal path — one .tobytes(), no per-row
+    Python)."""
+    if isinstance(values, np.ndarray):
+        if values.ndim != 2 or values.shape[1] != type_length \
+                or values.dtype != np.uint8:
+            raise ValueError("FLBA matrix must be (n, type_length) uint8")
+        return np.ascontiguousarray(values).tobytes()
     for v in values:
         if len(v) != type_length:
             raise ValueError("FLBA value length mismatch")

@@ -113,3 +113,40 @@ def time_to_int(values: np.ndarray, unit: str = "us") -> np.ndarray:
 def int_to_time(values: np.ndarray, unit: str = "us") -> np.ndarray:
     ns = np.ascontiguousarray(values, dtype=np.int64) * _UNIT_NS[unit]
     return ns.astype("timedelta64[ns]")
+
+
+def decimal_flba_from_arrow(col) -> tuple[np.ndarray, int, int]:
+    """Arrow decimal128 array -> ((n, W) uint8 big-endian two's-complement
+    matrix, precision, scale), W = ``decimal_byte_width(precision)``.
+
+    The vectorized sink-side form of the reference's decimal coercion
+    (``arrow/writer.cc:572-604``): Arrow stores decimal128 as 16-byte
+    little-endian two's-complement; parquet DECIMAL-FLBA wants big-endian
+    at minimal width. Byte-reverse the raw buffer and keep the low W
+    big-endian bytes — sign-correct because |unscaled| < 10^precision
+    fits W bytes by construction; the dropped prefix is verified to be
+    pure sign extension (fail-loudly, the ``_coerce_dense`` ethos).
+    Null slots (caller masks them) are zero-filled and skip the check.
+    """
+    import pyarrow as pa
+
+    typ = col.type
+    if not pa.types.is_decimal128(typ):
+        raise ValueError(f"decimal_flba_from_arrow: {typ} is not decimal128")
+    precision, scale = typ.precision, typ.scale
+    w = decimal_byte_width(precision)
+    n = len(col)
+    if col.null_count:
+        col = col.fill_null(0)
+    buf = col.buffers()[1]
+    le = np.frombuffer(buf, dtype=np.uint8, count=16 * n,
+                       offset=16 * col.offset).reshape(n, 16)
+    be = le[:, ::-1]
+    if w < 16 and n:
+        sign_fill = np.where(be[:, 16 - w] & 0x80, 0xFF, 0x00) \
+            .astype(np.uint8)
+        if not (be[:, :16 - w] == sign_fill[:, None]).all():
+            raise ValueError(
+                f"decimal128({precision},{scale}) value exceeds the "
+                f"{w}-byte width implied by its precision")
+    return np.ascontiguousarray(be[:, 16 - w:]), precision, scale

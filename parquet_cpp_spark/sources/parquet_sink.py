@@ -98,7 +98,7 @@ _DICT_DEFAULT = ("int32", "int64", "byte_array")
 
 
 def specs_from_arrow(tbl):
-    """Arrow table -> (specs, utf8 annotation keys, temporal annotations).
+    """Arrow table -> (specs, utf8 keys, temporal annotations, decimals).
 
     The bridge between ``mapInArrow`` batches and ``parquet_writer``:
     list columns become ``ListColumn`` (offsets -> lengths, flattened
@@ -107,7 +107,10 @@ def specs_from_arrow(tbl):
     ``MapColumn``, nullable flat columns carry their validity mask,
     strings get the UTF8 annotation (dotted keys — ``s.f``, ``m.key`` —
     for nested leaves), date32/timestamp columns store as annotated
-    int32/int64 (DATE / TIMESTAMP converted types, NTZ-aware). Fails
+    int32/int64 (DATE / TIMESTAMP converted types, NTZ-aware),
+    decimal128 columns store as big-endian FLBA at the minimal width for
+    their precision (the reference's DecimalSize coercion,
+    ``arrow/writer.cc:572-604``) with ``decimals[name] = (p, s)``. Fails
     loudly on shapes the writer doesn't cover (nested lists,
     struct-in-struct, ns/s timestamps)."""
     import numpy as np
@@ -115,14 +118,22 @@ def specs_from_arrow(tbl):
 
     from . import parquet_writer as pw
 
-    specs, utf8, annotations = [], set(), {}
+    specs, utf8, annotations, decimals = [], set(), {}, {}
     for name in tbl.column_names:
         col = tbl.column(name).combine_chunks()
         if isinstance(col, pa.ChunkedArray):   # older pyarrow: 1-chunk CA
             col = col.chunk(0) if col.num_chunks \
                 else pa.array([], type=col.type)
         typ = col.type
-        if pa.types.is_date32(typ) or pa.types.is_timestamp(typ):
+        if pa.types.is_decimal128(typ):
+            from ..logical import decimal_flba_from_arrow
+            valid = None
+            if col.null_count:
+                valid = ~np.asarray(col.is_null())
+            mat, precision, scale = decimal_flba_from_arrow(col)
+            decimals[name] = (precision, scale)
+            specs.append((name, f"flba:{mat.shape[1]}", mat, valid))
+        elif pa.types.is_date32(typ) or pa.types.is_timestamp(typ):
             if pa.types.is_date32(typ):
                 phys, ann = "int32", "date"
                 col = col.cast(pa.int32())
@@ -195,7 +206,7 @@ def specs_from_arrow(tbl):
                 utf8.add(name)
             specs.append((name, phys, vals, valid,
                           phys == "byte_array"))
-    return specs, utf8, annotations
+    return specs, utf8, annotations, decimals
 
 
 def auto_encodings(specs) -> tuple:
@@ -332,7 +343,7 @@ def _write_one_file(tbl, tmp: str, dest: str, row_group_rows, page_rows,
     import numpy as np
 
     from . import parquet_writer as pw
-    specs, utf8, annotations = specs_from_arrow(tbl)
+    specs, utf8, annotations, decimals = specs_from_arrow(tbl)
     d_cols = frozenset(delta_columns)
     if encodings == "auto":
         specs, d_cols = auto_encodings(specs)
@@ -361,7 +372,7 @@ def _write_one_file(tbl, tmp: str, dest: str, row_group_rows, page_rows,
                   compression=compression, utf8_columns=utf8,
                   delta_columns=d_cols,
                   data_page_version=data_page_version,
-                  annotations=annotations,
+                  annotations=annotations, decimal_columns=decimals,
                   bloom_filter_columns=frozenset(bloom_filter_columns),
                   key_value_metadata={"pcs.n_values": str(n_values),
                                       "pcs.encodings": enc_tag,

@@ -478,10 +478,19 @@ def _dense_scalar(values, idx, phys: str, name: str):
             else ba.as_view(values)
         return view if idx is None else ba.take(view, idx)
     if _is_fixed_bytes(phys):
+        width = _phys_id(phys)[1]
+        if isinstance(values, np.ndarray):
+            # vectorized form: (n, width) uint8 matrix (the sink's
+            # decimal path) — row-sliceable, no per-row Python
+            if values.ndim != 2 or values.shape[1] != width \
+                    or values.dtype != np.uint8:
+                raise ValueError(f"column {name}: FLBA matrix must be "
+                                 f"(n, {width}) uint8")
+            return values if idx is None else \
+                np.ascontiguousarray(values[idx])
         # keep a PYTHON list: np.asarray would coerce to '|S<N>' and
         # silently strip trailing NUL bytes on extraction
         vals = list(values) if idx is None else [values[i] for i in idx]
-        width = _phys_id(phys)[1]
         for v in vals:
             if len(v) != width:
                 raise ValueError(f"column {name}: FLBA/INT96 value of "

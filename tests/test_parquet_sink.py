@@ -107,7 +107,7 @@ def test_specs_from_arrow_nullables_and_rejects():
         "m": pa.array([[("k", 1)], [], None],
                       pa.map_(pa.string(), pa.int32())),
     })
-    specs, utf8, _ann = specs_from_arrow(tbl)
+    specs, utf8, _ann, _dec = specs_from_arrow(tbl)
     assert utf8 == {"s", "ls", "st.b", "m.key"}
     by_name = {getattr(s, "name", None) or s[0]: s for s in specs}
     assert by_name["i"][3].tolist() == [True, False, True]
@@ -393,3 +393,53 @@ def test_sink_resume_reencodes_on_changed_params(spark, tmp_path):
     assert all(os.path.getmtime(os.path.join(out, f)) > t
                for f, t in mtimes.items())
     assert all("c=zstd" not in r.encodings for r in m2)  # sanity: tag fmt
+
+
+def test_sink_decimal_columns(spark, tmp_path):
+    """Decimal128 columns ride the sink as big-endian FLBA at the minimal
+    width for their precision (DecimalSize coercion,
+    /root/reference/src/parquet/arrow/writer.cc:572-604): Spark's JVM
+    reader, DuckDB and pyarrow all surface the exact decimal values —
+    nulls, negatives, max-precision 38 included — and the conversion is
+    one vectorized byte-reverse, never per-row Python."""
+    import decimal
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_cpp_spark.sources.parquet_sink import write_parquet_dataset
+
+    d = decimal.Decimal
+    d9 = [d("123.45"), None, d("-9999999.99"), d("0.01"), d("0.00"),
+          d("-0.01")] * 50
+    d38 = [d("12345678901234567890.12345678"), d("-0.00000001"), None,
+           d("99999999999999999999999999.12"), d("7"),
+           d("-321.765")] * 50
+    d18 = [d("922337203685477.5807"), d("-922337203685477.5808"),
+           d("1.0001"), None, d("0"), d("42.4242")] * 50
+    tbl = pa.table({
+        "id": pa.array(range(300), pa.int64()),
+        "d9": pa.array(d9, pa.decimal128(9, 2)),
+        "d18": pa.array(d18, pa.decimal128(19, 4)),
+        "d38": pa.array(d38, pa.decimal128(38, 8)),
+    })
+    src = str(tmp_path / "dec.parquet")
+    pq.write_table(tbl, src, row_group_size=150)
+    out = str(tmp_path / "out")
+    write_parquet_dataset(spark, src, out).collect()
+
+    got = spark.read.parquet(out).orderBy("id").collect()
+    assert [r.d9 for r in got] == d9
+    assert [r.d38 for r in got] == d38
+    assert [r.d18 for r in got] == d18
+    back = pq.read_table(out).sort_by("id")
+    assert back.column("d9").to_pylist() == d9
+    assert str(back.schema.field("d38").type) == "decimal128(38, 8)"
+    s9, s38 = duckdb.connect().execute(
+        f"SELECT sum(d9), sum(d38) FROM read_parquet('{out}/*.parquet')"
+    ).fetchone()
+    with decimal.localcontext() as ctx:
+        ctx.prec = 60            # python Decimal's default 28 would round
+        assert s9 == sum(x for x in d9 if x is not None)
+        assert s38 == sum(x for x in d38 if x is not None)

@@ -673,3 +673,51 @@ def test_key_value_metadata_roundtrip(tmp_path):
         meta = parquet_format.read_footer(memoryview(f.read()))
     assert meta.key_value_metadata == {"pcs.test": "hello",
                                        "other": "world"}
+
+
+def test_flba_matrix_values_round_trip(tmp_path):
+    """FLBA values as an (n, W) uint8 matrix (the sink's vectorized
+    decimal form): identical bytes to the list-of-bytes spelling, row
+    slicing across pages/row groups works, nullable masks drop rows, and
+    a wrong-shape matrix fails loudly."""
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(5)
+    mat = rng.integers(0, 256, size=(600, 4), dtype=np.uint8)
+    as_list = [bytes(r) for r in mat]
+    valid = rng.random(600) > 0.2
+    pa_ = pytest.importorskip("pyarrow")
+    p1 = str(tmp_path / "m.parquet")
+    p2 = str(tmp_path / "l.parquet")
+    for p, vals in ((p1, mat), (p2, as_list)):
+        pw.write_file(p, [("x", "flba:4", vals),
+                          ("xn", "flba:4", vals, valid)], 600,
+                      row_group_rows=250, page_rows=100)
+    with open(p1, "rb") as a, open(p2, "rb") as b:
+        assert a.read() == b.read()
+    t = pq.read_table(p1)
+    assert t.column("x").to_pylist() == as_list
+    assert t.column("xn").to_pylist() == \
+        [v if ok else None for v, ok in zip(as_list, valid)]
+    with pytest.raises(ValueError, match="uint8"):
+        pw.write_file(str(tmp_path / "bad.parquet"),
+                      [("x", "flba:4", mat.astype(np.int32))], 600)
+    with pytest.raises(ValueError, match=r"\(n, 8\) uint8"):
+        pw.write_file(str(tmp_path / "bad2.parquet"),
+                      [("x", "flba:8", mat)], 600)
+
+
+def test_decimal_flba_from_arrow_overflow_guard():
+    """A decimal128 whose unscaled magnitude exceeds the byte width
+    implied by its declared precision must fail loudly, not truncate."""
+    import pyarrow as pa
+
+    from parquet_cpp_spark import logical
+
+    # forge a decimal128(1,0) array carrying 10 (needs 2 digits): build
+    # at precision 2 then cast the TYPE ONLY via pa.Array.from_buffers
+    import decimal
+    src = pa.array([decimal.Decimal(200)], pa.decimal128(3, 0))
+    forged = pa.Array.from_buffers(pa.decimal128(1, 0), 1, src.buffers())
+    with pytest.raises(ValueError, match="exceeds"):
+        logical.decimal_flba_from_arrow(forged)
