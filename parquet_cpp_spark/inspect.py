@@ -132,6 +132,20 @@ def cmd_parquet(path: str, scan: bool) -> None:
             print(f"  {ch.path}: {ch.phys} codec={ch.codec} "
                   f"n={ch.num_values} data@{ch.data_page_offset}"
                   f"{dict_s} bytes={ch.total_compressed_size}")
+            if ch.bloom_filter is not None:
+                # parquet-tools bloom-filter dump analog
+                bf = pf.read_bloom(mv, ch)
+                if bf is None:
+                    print(f"    bloom: @{ch.bloom_filter[0]} "
+                          "(foreign/corrupt variant - not consulted)")
+                else:
+                    import numpy as np
+                    nb = bf.num_blocks * 32
+                    fill = int(np.unpackbits(
+                        bf.words.view(np.uint8)).sum()) / (nb * 8)
+                    print(f"    bloom: @{ch.bloom_filter[0]} {nb}B "
+                          f"({bf.num_blocks} blocks, XXH64/BLOCK, "
+                          f"fill {fill:.1%})")
             idx = pf.read_page_index(mv, ch)
             if idx is None:
                 continue

@@ -493,8 +493,14 @@ def read_bloom(mv: memoryview, chunk: ColumnChunkMeta):
 
     from ..kernels import bloom as bloom_mod
     off = chunk.bloom_filter[0]
-    rd = _Compact(mv, off)
-    hdr = rd.struct()
+    try:
+        rd = _Compact(mv, off)
+        hdr = rd.struct()
+    except Exception:
+        # unparseable header (foreign layout, corrupt region): treat as
+        # "cannot consult" — the lookup falls back to the PageIndex, it
+        # must never crash on a bloom it didn't write
+        return None
     num_bytes = hdr.get(1, 0)
     # unions: {1: BLOCK} / {1: XXHASH} / {1: UNCOMPRESSED} — anything
     # else is a foreign writer's variant we must not consult

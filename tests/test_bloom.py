@@ -202,3 +202,56 @@ def test_sink_bloom_passthrough_and_resume(tmp_path):
                                bloom_filter_columns={"doc_id"}).collect()
     assert {r.file: r.checksum for r in man} == \
         {r.file: r.checksum for r in m2}
+
+
+def test_corrupt_bloom_header_degrades_to_pageindex(tmp_path, capsys):
+    """A smashed bloom header region must never crash or mis-skip:
+    read_bloom returns None (cannot consult), lookup_rows falls back to
+    the PageIndex and still returns exactly the right rows; the inspect
+    dump labels the region instead of raising."""
+    from parquet_cpp_spark import inspect as insp
+    from parquet_cpp_spark.sources import parquet_format as pf
+    from parquet_cpp_spark.sources import parquet_writer as pw
+
+    n = 2000
+    ids = np.arange(n, dtype=np.int64) * 2 + 1
+    path = str(tmp_path / "cb.parquet")
+    pw.write_file(path, [("id", "int64", ids)], n,
+                  row_group_rows=1000, page_rows=200,
+                  bloom_filter_columns={"id"})
+    with open(path, "rb") as f:
+        data = bytearray(f.read())
+    meta = pf.read_footer(memoryview(bytes(data)))
+    off, _ln = meta.row_groups[0][0].bloom_filter
+    data[off:off + 8] = b"\xff" * 8          # garbage thrift header
+    with open(path, "wb") as f:
+        f.write(data)
+
+    mv = memoryview(bytes(data))
+    meta = pf.read_footer(mv)
+    assert pf.read_bloom(mv, meta.row_groups[0][0]) is None
+    # present key: found via PageIndex despite the dead bloom
+    rows, dec, tot = pf.lookup_rows(path, "id", int(ids[123]))
+    assert rows == [123] and dec >= 1
+    # miss key inside the range: bloom can't prune, PageIndex pages decode
+    rows, dec, tot = pf.lookup_rows(path, "id", int(ids[123]) + 1)
+    assert rows == [] and dec >= 1           # conservative, not wrong
+
+    insp.cmd_parquet(path, scan=False)
+    out = capsys.readouterr().out
+    assert "foreign/corrupt variant" in out
+
+
+def test_inspect_dumps_bloom_stats(tmp_path, capsys):
+    """inspect --parquet prints the bloom region (size, blocks, fill
+    rate) for engine-written files — the parquet-tools bloom dump."""
+    from parquet_cpp_spark import inspect as insp
+    from parquet_cpp_spark.sources import parquet_writer as pw
+
+    n = 1000
+    pw.write_file(str(tmp_path / "d.parquet"),
+                  [("id", "int64", np.arange(n, dtype=np.int64))], n,
+                  bloom_filter_columns={"id"})
+    insp.cmd_parquet(str(tmp_path / "d.parquet"), scan=False)
+    out = capsys.readouterr().out
+    assert "XXH64/BLOCK" in out and "fill" in out
