@@ -160,26 +160,56 @@ def specs_from_arrow(tbl):
         elif pa.types.is_list(typ) or pa.types.is_large_list(typ):
             lengths, valid, lo, hi = _repeated_parts(col, name)
             child = col.values.slice(lo, hi - lo)
-            ephys, evals, evalid, eutf8 = _scalar_parts(
-                child, f"{name}.element")
-            if eutf8:
-                utf8.add(name)
-            specs.append(pw.ListColumn(
-                name, ephys, evals, lengths,
-                use_dictionary=ephys in _DICT_DEFAULT,
-                valid=valid, element_valid=evalid))
+            ctyp = child.type
+            if pa.types.is_list(ctyp) or pa.types.is_large_list(ctyp):
+                # list<list<scalar>> -> NestedListColumn (max_rep = 2);
+                # a third list level is out of writer scope
+                ilengths, ivalid, ilo, ihi = _repeated_parts(
+                    child, f"{name}.element")
+                elems = child.values.slice(ilo, ihi - ilo)
+                ephys, evals, evalid, eutf8 = _scalar_parts(
+                    elems, f"{name}.element.element")
+                if eutf8:
+                    utf8.add(name)
+                specs.append(pw.NestedListColumn(
+                    name, ephys, evals, lengths, ilengths,
+                    use_dictionary=ephys in _DICT_DEFAULT,
+                    valid=valid, inner_valid=ivalid,
+                    element_valid=evalid))
+            else:
+                ephys, evals, evalid, eutf8 = _scalar_parts(
+                    child, f"{name}.element")
+                if eutf8:
+                    utf8.add(name)
+                specs.append(pw.ListColumn(
+                    name, ephys, evals, lengths,
+                    use_dictionary=ephys in _DICT_DEFAULT,
+                    valid=valid, element_valid=evalid))
         elif pa.types.is_struct(typ):
-            svalid = ~np.asarray(col.is_null()) if col.null_count else None
-            fields = []
-            for i in range(typ.num_fields):
-                fld = typ.field(i)
-                fphys, fvals, fvalid, futf8 = _scalar_parts(
-                    col.field(i), f"{name}.{fld.name}")
-                if futf8:
-                    utf8.add(f"{name}.{fld.name}")
-                fields.append((fld.name, fphys, fvals, fvalid,
-                               fphys in _DICT_DEFAULT))
-            specs.append(pw.StructColumn(name, fields, valid=svalid))
+            def _struct_spec(scol, dotted):
+                svalid = ~np.asarray(scol.is_null()) \
+                    if scol.null_count else None
+                fields = []
+                styp = scol.type
+                for i in range(styp.num_fields):
+                    fld = styp.field(i)
+                    fcol = scol.field(i)
+                    fdotted = f"{dotted}.{fld.name}"
+                    if pa.types.is_struct(fld.type):
+                        # struct-in-struct: recursive group node; field
+                        # arrays stay top-level-row aligned in Arrow
+                        fields.append((fld.name,
+                                       _struct_spec(fcol, fdotted)))
+                        continue
+                    fphys, fvals, fvalid, futf8 = _scalar_parts(
+                        fcol, fdotted)
+                    if futf8:
+                        utf8.add(fdotted)
+                    fields.append((fld.name, fphys, fvals, fvalid,
+                                   fphys in _DICT_DEFAULT))
+                return pw.StructColumn(dotted.rsplit(".", 1)[-1], fields,
+                                       valid=svalid)
+            specs.append(_struct_spec(col, name))
         elif pa.types.is_map(typ):
             lengths, valid, lo, hi = _repeated_parts(col, name)
             keys = col.keys.slice(lo, hi - lo)
@@ -254,14 +284,27 @@ def auto_encodings(specs) -> tuple:
                 s.name, s.phys, s.values, s.lengths,
                 use_dictionary=bool(pick), valid=s.valid,
                 element_valid=s.element_valid))
+        elif isinstance(s, pw.NestedListColumn):
+            pick = _choose(s.name, s.phys, s.values, s.element_valid)
+            out.append(pw.NestedListColumn(
+                s.name, s.phys, s.values, s.outer_lengths,
+                s.inner_lengths, use_dictionary=bool(pick),
+                valid=s.valid, inner_valid=s.inner_valid,
+                element_valid=s.element_valid))
         elif isinstance(s, pw.StructColumn):
-            fields = []
-            for f in s.fields:
-                fname, phys, vals = f[0], f[1], f[2]
-                fvalid = f[3] if len(f) > 3 else None
-                pick = _choose(f"{s.name}.{fname}", phys, vals, fvalid)
-                fields.append((fname, phys, vals, fvalid, bool(pick)))
-            out.append(pw.StructColumn(s.name, fields, valid=s.valid))
+            def _choose_struct(sc, dotted):
+                fields = []
+                for f in sc.fields:
+                    if pw._is_nested_struct_field(f):
+                        fields.append((f[0], _choose_struct(
+                            f[1], f"{dotted}.{f[0]}")))
+                        continue
+                    fname, phys, vals = f[0], f[1], f[2]
+                    fvalid = f[3] if len(f) > 3 else None
+                    pick = _choose(f"{dotted}.{fname}", phys, vals, fvalid)
+                    fields.append((fname, phys, vals, fvalid, bool(pick)))
+                return pw.StructColumn(sc.name, fields, valid=sc.valid)
+            out.append(_choose_struct(s, s.name))
         elif isinstance(s, pw.MapColumn):
             kpick = _choose(f"{s.name}.key", s.key_phys, s.keys, None)
             vpick = _choose(f"{s.name}.value", s.value_phys, s.values,
@@ -286,13 +329,20 @@ def _encodings_tag(specs, delta_cols) -> str:
     """Human/manifest-readable per-column encoding summary."""
     from . import parquet_writer as pw
     leaves = []
+
+    def _struct_leaves(prefix, sc):
+        for f in sc.fields:
+            if pw._is_nested_struct_field(f):
+                _struct_leaves(f"{prefix}.{f[0]}", f[1])
+            else:
+                leaves.append((f"{prefix}.{f[0]}",
+                               bool(f[4]) if len(f) > 4 else False))
+
     for s in specs:
-        if isinstance(s, pw.ListColumn):
+        if isinstance(s, (pw.ListColumn, pw.NestedListColumn)):
             leaves.append((s.name, s.use_dictionary))
         elif isinstance(s, pw.StructColumn):
-            leaves += [(f"{s.name}.{f[0]}",
-                        bool(f[4]) if len(f) > 4 else False)
-                       for f in s.fields]
+            _struct_leaves(s.name, s)
         elif isinstance(s, pw.MapColumn):
             leaves += [(f"{s.name}.key", s.key_use_dictionary),
                        (f"{s.name}.value", s.value_use_dictionary)]
@@ -348,13 +398,19 @@ def _write_one_file(tbl, tmp: str, dest: str, row_group_rows, page_rows,
     if encodings == "auto":
         specs, d_cols = auto_encodings(specs)
 
+    def _n_leaves(sc) -> int:
+        return sum(_n_leaves(f[1]) if pw._is_nested_struct_field(f)
+                   else 1 for f in sc.fields)
+
     def _spec_values(s) -> int:
         if isinstance(s, pw.ListColumn):
             return int(np.asarray(s.lengths).sum())
+        if isinstance(s, pw.NestedListColumn):
+            return int(np.asarray(s.inner_lengths).sum())
         if isinstance(s, pw.MapColumn):
             return 2 * int(np.asarray(s.lengths).sum())
         if isinstance(s, pw.StructColumn):
-            return tbl.num_rows * len(s.fields)
+            return tbl.num_rows * _n_leaves(s)
         return tbl.num_rows
 
     n_values = sum(_spec_values(s) for s in specs)

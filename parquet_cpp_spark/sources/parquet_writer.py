@@ -29,7 +29,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..kernels import ba, delta, dictionary, plain, rle
-from ..levels import _real_slot_positions
+from ..levels import _real_slot_positions, levels_from_nested_lengths
 
 MAGIC = b"PAR1"
 
@@ -361,17 +361,48 @@ class ListColumn:
         self.element_valid = element_valid
 
 
+class NestedListColumn:
+    """Spec for a ``list<list<element>>`` column (max_rep = 2 — the
+    chunk format's list-of-list shape, now in the PAR1 writer; levels
+    mirror the reference's recursive list walker,
+    ``arrow/writer.cc:71-262``, two LIST annotations deep).
+
+    ``outer_lengths[i]``: inner lists in row i; ``inner_lengths``: element
+    counts per inner list (flattened, ``outer_lengths.sum()`` entries);
+    ``values``: flattened element slots (``inner_lengths.sum()``).
+    ``valid`` (per row) / ``inner_valid`` (per inner list) /
+    ``element_valid`` (per element slot) make each layer OPTIONAL — every
+    optional layer adds one def level (max_def up to 5). Null slots at
+    any layer must carry zero extent."""
+
+    def __init__(self, name: str, phys: str, values, outer_lengths,
+                 inner_lengths, use_dictionary: bool = False, valid=None,
+                 inner_valid=None, element_valid=None):
+        self.name = name
+        self.phys = phys
+        self.values = values
+        self.outer_lengths = outer_lengths
+        self.inner_lengths = inner_lengths
+        self.use_dictionary = use_dictionary
+        self.valid = valid
+        self.inner_valid = inner_valid
+        self.element_valid = element_valid
+
+
 class StructColumn:
-    """Spec for a flat ``struct<...>`` column (``schema.h:106-303`` group
+    """Spec for a ``struct<...>`` column (``schema.h:106-303`` group
     nodes; struct round-trips ``arrow/arrow-reader-writer-test.cc:595+``).
 
     ``fields``: flat leaf tuples ``(fname, phys, values[, fvalid[,
     use_dictionary]])`` — each becomes one leaf chunk with path
-    ``name.fname``. ``valid`` makes the struct OPTIONAL: a struct-null row
-    contributes def 0 to every leaf (field values at those slots are
-    ignored). Nested structs/lists inside are out of scope (fail loudly
-    at spec parse). Annotations (utf8/decimal/temporal) are keyed by the
-    dotted path ``name.fname``."""
+    ``name.fname`` — or nested ``(fname, StructColumn)`` pairs
+    (struct-in-struct at any depth; the inner spec's ``name`` is ignored,
+    its values/masks stay TOP-LEVEL-row aligned, entries under a null
+    ancestor ignored). ``valid`` makes the struct OPTIONAL: a struct-null
+    row contributes def 0 to every leaf below it; each optional ancestor
+    adds one def level. Lists inside structs are out of scope (fail
+    loudly at spec parse). Annotations (utf8/decimal/temporal) are keyed
+    by the dotted path ``name.fname`` (full path for nested)."""
 
     def __init__(self, name: str, fields: list, valid=None):
         self.name = name
@@ -606,25 +637,143 @@ def _list_leaf(path: list, phys: str, values, lengths, list_valid,
                  rep=rep, deflv=d, lvl_ofs=lvl_ofs, dense_ofs=dense_ofs)
 
 
-def _struct_field_leaf(struct_name: str, svalid, field) -> _Leaf:
-    """One struct field -> leaf with combined struct/field def levels."""
-    fname, phys, values = field[0], field[1], field[2]
-    fvalid = field[3] if len(field) > 3 and field[3] is not None else None
-    use_dict = bool(field[4]) if len(field) > 4 else False
-    path = [struct_name, fname]
-    if svalid is None and fvalid is None:
-        return _scalar_leaf(path, phys, values, None, None, 0, use_dict)
-    if svalid is None:
-        fvalid = np.asarray(fvalid, dtype=bool)
-        return _scalar_leaf(path, phys, values, fvalid,
-                            fvalid.astype(np.int8), 1, use_dict)
-    if fvalid is None:
-        return _scalar_leaf(path, phys, values, svalid,
-                            svalid.astype(np.int8), 1, use_dict)
-    fvalid = np.asarray(fvalid, dtype=bool)
-    present = svalid & fvalid
-    deflv = np.where(svalid, np.where(fvalid, 2, 1), 0).astype(np.int8)
-    return _scalar_leaf(path, phys, values, present, deflv, 2, use_dict)
+def _nested_list_leaf(path: list, phys: str, values, outer_lengths,
+                      inner_lengths, valid, inner_valid, elem_valid,
+                      use_dictionary: bool) -> _Leaf:
+    """list<list<element>> leaf: max_rep = 2. def scheme (each optional
+    layer adds a level): null outer slot -> 0, empty outer -> opt_o,
+    null inner slot -> opt_o+1, empty inner -> opt_o+1+opt_i, null
+    element -> opt_o+1+opt_i+1, value -> max_def."""
+    name = ".".join(path)
+    _phys_id(phys)
+    if _is_fixed_bytes(phys):
+        raise ValueError(f"column {name}: list<FLBA/INT96> out of "
+                         "writer scope")
+    outer = np.ascontiguousarray(outer_lengths, dtype=np.int64)
+    inner = np.ascontiguousarray(inner_lengths, dtype=np.int64)
+    if (outer < 0).any() or (inner < 0).any():
+        raise ValueError(f"column {name}: negative list length")
+    if int(outer.sum()) != len(inner):
+        raise ValueError(f"column {name}: outer_lengths sum "
+                         f"{int(outer.sum())} != {len(inner)} inner lists")
+    n_rows = len(outer)
+    opt_o = opt_i = opt_e = 0
+    if valid is not None:
+        valid = np.asarray(valid, dtype=bool)
+        if outer[~valid].any():
+            raise ValueError(f"column {name}: null outer slots must have "
+                             "length 0")
+        opt_o = 1
+    if inner_valid is not None:
+        inner_valid = np.asarray(inner_valid, dtype=bool)
+        if len(inner_valid) != len(inner):
+            raise ValueError(f"column {name}: inner_valid must have one "
+                             f"entry per inner list ({len(inner)})")
+        if inner[~inner_valid].any():
+            raise ValueError(f"column {name}: null inner slots must have "
+                             "length 0")
+        opt_i = 1
+    n_elem_slots = int(inner.sum())
+    if elem_valid is not None:
+        elem_valid = np.asarray(elem_valid, dtype=bool)
+        if len(elem_valid) != n_elem_slots:
+            raise ValueError(f"column {name}: element_valid must have one "
+                             f"entry per slot ({n_elem_slots})")
+        opt_e = 1
+    n_vals = len(values) if phys == "byte_array" else len(np.asarray(values))
+    if n_vals != n_elem_slots:
+        raise ValueError(f"column {name}: {n_vals} elements but "
+                         f"inner_lengths sum to {n_elem_slots}")
+    max_def = opt_o + opt_i + opt_e + 2
+
+    # base levels for the required/required shape (levels.py list-of-list
+    # contract: base def 0 = outer marker, 1 = inner marker, 2 = value),
+    # then remap each disjoint slot class onto the optional-aware scheme
+    rep, base = levels_from_nested_lengths(outer, inner)
+    d = np.empty(len(base), dtype=np.int8)
+    vpos = base == 2                       # element slots, element order
+    if opt_e:
+        d[vpos] = np.where(elem_valid, max_def, opt_o + opt_i + 2)
+    else:
+        d[vpos] = max_def
+    ipos = np.flatnonzero(base == 1)       # empty-inner markers, in order
+    if len(ipos):
+        empty_inner = np.flatnonzero(inner == 0)
+        if opt_i:
+            d[ipos] = np.where(inner_valid[empty_inner],
+                               opt_o + 1 + opt_i, opt_o + 1)
+        else:
+            d[ipos] = opt_o + 1
+    opos = np.flatnonzero(base == 0)       # empty-outer markers, row order
+    if len(opos):
+        if opt_o:
+            d[opos] = np.where(valid[outer == 0], opt_o, 0)
+        else:
+            d[opos] = 0
+
+    # row -> level slot / dense value offset maps
+    inner_slots = np.maximum(inner, 1)
+    row_of_inner = np.repeat(np.arange(n_rows, dtype=np.int64), outer)
+    row_slots = np.zeros(n_rows, dtype=np.int64)
+    np.add.at(row_slots, row_of_inner, inner_slots)
+    row_slots[outer == 0] = 1
+    lvl_ofs = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(row_slots, out=lvl_ofs[1:])
+    row_elems = np.zeros(n_rows, dtype=np.int64)
+    np.add.at(row_elems, row_of_inner, inner)
+    elem_cum = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(row_elems, out=elem_cum[1:])
+    if elem_valid is None:
+        dense = _dense_scalar(values, None, phys, name)
+        dense_ofs = elem_cum
+    else:
+        dense = _dense_scalar(values, np.flatnonzero(elem_valid),
+                              phys, name)
+        vcum = np.zeros(n_elem_slots + 1, dtype=np.int64)
+        np.cumsum(elem_valid, out=vcum[1:])
+        dense_ofs = vcum[elem_cum]
+    return _Leaf(path, phys, dense, n_rows=n_rows,
+                 use_dictionary=use_dictionary, max_rep=2, max_def=max_def,
+                 rep=rep, deflv=d, lvl_ofs=lvl_ofs, dense_ofs=dense_ofs)
+
+
+def _is_nested_struct_field(f) -> bool:
+    return len(f) == 2 and isinstance(f[1], StructColumn)
+
+
+def _struct_leaves(path: list, anc_masks: list, fields: list) -> list:
+    """Recursive struct flattening (struct-in-struct at any depth):
+    ``anc_masks`` holds one per-row bool mask per OPTIONAL ancestor group,
+    outermost first. A leaf's def level per row counts how many leading
+    ancestors (then the field itself) are defined — the
+    ``SchemaDescriptor`` def accumulation, ``schema.h:106-303``."""
+    if not fields:
+        raise ValueError(f"struct column {'.'.join(path)}: no fields")
+    leaves = []
+    for f in fields:
+        if _is_nested_struct_field(f):
+            sub = f[1]
+            masks = anc_masks + ([np.asarray(sub.valid, dtype=bool)]
+                                 if sub.valid is not None else [])
+            leaves += _struct_leaves(path + [f[0]], masks, sub.fields)
+            continue
+        fname, phys, values = f[0], f[1], f[2]
+        fvalid = f[3] if len(f) > 3 and f[3] is not None else None
+        use_dict = bool(f[4]) if len(f) > 4 else False
+        masks = anc_masks + ([np.asarray(fvalid, dtype=bool)]
+                             if fvalid is not None else [])
+        if not masks:
+            leaves.append(_scalar_leaf(path + [fname], phys, values,
+                                       None, None, 0, use_dict))
+            continue
+        defined = np.ones(len(masks[0]), dtype=bool)
+        deflv = np.zeros(len(masks[0]), dtype=np.int8)
+        for m in masks:
+            defined &= m
+            deflv += defined
+        leaves.append(_scalar_leaf(path + [fname], phys, values, defined,
+                                   deflv, len(masks), use_dict))
+    return leaves
 
 
 def _leaves_of(spec) -> list:
@@ -633,13 +782,16 @@ def _leaves_of(spec) -> list:
         return [_list_leaf([spec.name, "list", "element"], spec.phys,
                            spec.values, spec.lengths, spec.valid,
                            spec.element_valid, spec.use_dictionary)]
+    if isinstance(spec, NestedListColumn):
+        return [_nested_list_leaf(
+            [spec.name, "list", "element", "list", "element"], spec.phys,
+            spec.values, spec.outer_lengths, spec.inner_lengths,
+            spec.valid, spec.inner_valid, spec.element_valid,
+            spec.use_dictionary)]
     if isinstance(spec, StructColumn):
-        svalid = None if spec.valid is None \
-            else np.asarray(spec.valid, dtype=bool)
-        if not spec.fields:
-            raise ValueError(f"struct column {spec.name}: no fields")
-        return [_struct_field_leaf(spec.name, svalid, f)
-                for f in spec.fields]
+        anc = [] if spec.valid is None \
+            else [np.asarray(spec.valid, dtype=bool)]
+        return _struct_leaves([spec.name], anc, spec.fields)
     if isinstance(spec, MapColumn):
         return [
             _list_leaf([spec.name, "key_value", "key"], spec.key_phys,
@@ -1082,15 +1234,35 @@ def write_file(path: str, columns: list[tuple], num_rows: int,
             schema.append([(3, _I32, 2), (4, _BINARY, "list"),
                            (5, _I32, 1)])                # REPEATED group
             schema.append(_leaf_el(s.phys, elem_rep, "element", s.name))
+        elif isinstance(s, NestedListColumn):
+            # two LIST annotations deep: group(LIST) > repeated list >
+            # group element(LIST) > repeated list > leaf element
+            outer_rep = 1 if s.valid is not None else 0
+            inner_rep = 1 if s.inner_valid is not None else 0
+            elem_rep = 1 if s.element_valid is not None else 0
+            schema.append([(3, _I32, outer_rep), (4, _BINARY, s.name),
+                           (5, _I32, 1), (6, _I32, 3)])  # ConvertedType LIST
+            schema.append([(3, _I32, 2), (4, _BINARY, "list"),
+                           (5, _I32, 1)])
+            schema.append([(3, _I32, inner_rep), (4, _BINARY, "element"),
+                           (5, _I32, 1), (6, _I32, 3)])  # inner LIST group
+            schema.append([(3, _I32, 2), (4, _BINARY, "list"),
+                           (5, _I32, 1)])
+            schema.append(_leaf_el(s.phys, elem_rep, "element", s.name))
         elif isinstance(s, StructColumn):
-            rep = 1 if s.valid is not None else 0
-            schema.append([(3, _I32, rep), (4, _BINARY, s.name),
-                           (5, _I32, len(s.fields))])    # plain group node
-            for f in s.fields:
-                fname, fphys = f[0], f[1]
-                f_rep = 1 if len(f) > 3 and f[3] is not None else 0
-                schema.append(_leaf_el(fphys, f_rep, fname,
-                                       f"{s.name}.{fname}"))
+            def _emit_struct(sc: StructColumn, gname: str, dotted: str):
+                rep = 1 if sc.valid is not None else 0
+                schema.append([(3, _I32, rep), (4, _BINARY, gname),
+                               (5, _I32, len(sc.fields))])  # group node
+                for f in sc.fields:
+                    if _is_nested_struct_field(f):
+                        _emit_struct(f[1], f[0], f"{dotted}.{f[0]}")
+                        continue
+                    fname, fphys = f[0], f[1]
+                    f_rep = 1 if len(f) > 3 and f[3] is not None else 0
+                    schema.append(_leaf_el(fphys, f_rep, fname,
+                                           f"{dotted}.{fname}"))
+            _emit_struct(s, s.name, s.name)
         elif isinstance(s, MapColumn):
             # MAP converted type: group(MAP) > repeated key_value
             # (MAP_KEY_VALUE) > required key + value (schema.h:43-77)

@@ -174,6 +174,135 @@ def test_optional_list_of_strings(tmp_path, spark):
 
 
 # ---------------------------------------------------------------------------
+# list<list<>> (max_rep = 2) and struct-in-struct
+# ---------------------------------------------------------------------------
+
+def test_nested_list_roundtrip_three_readers(tmp_path, spark):
+    """list<list<int32>> with every layer OPTIONAL (null row / null inner
+    list / null element, max_def = 5), dict + plain, V1 and V2 pages:
+    pyarrow, DuckDB and Spark's JVM reader see identical rows
+    (arrow/writer.cc:71-262 recursive list walker, two LIST levels)."""
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(23)
+    n = 300
+    outer = rng.integers(0, 4, n)
+    valid = rng.random(n) > 0.2
+    outer[~valid] = 0
+    n_inner = int(outer.sum())
+    inner = rng.integers(0, 3, n_inner)
+    ivalid = rng.random(n_inner) > 0.2
+    inner[~ivalid] = 0
+    total = int(inner.sum())
+    ev = rng.random(total) > 0.15
+    vals = rng.integers(0, 100, total).astype(np.int32)
+
+    def expect():
+        out, j, k = [], 0, 0
+        for i in range(n):
+            if not valid[i]:
+                out.append(None)
+                continue
+            row = []
+            for _ in range(int(outer[i])):
+                if not ivalid[j]:
+                    row.append(None)
+                else:
+                    il = []
+                    for _ in range(int(inner[j])):
+                        il.append(int(vals[k]) if ev[k] else None)
+                        k += 1
+                    row.append(il)
+                j += 1
+            out.append(row)
+        return out
+
+    exp = expect()
+    for ver, use_dict in ((1, True), (2, False)):
+        path = str(tmp_path / f"nl{ver}.parquet")
+        pw.write_file(path, [pw.NestedListColumn(
+            "g", "int32", vals, outer, inner, use_dictionary=use_dict,
+            valid=valid, inner_valid=ivalid, element_valid=ev)], n,
+            row_group_rows=120, page_rows=50, data_page_version=ver,
+            compression="snappy")
+        assert [r["g"] for r in pq.read_table(path).to_pylist()] == exp
+        assert [r[0] for r in _duck(path)] == exp
+        got = [None if g is None else
+               [None if x is None else list(x) for x in g]
+               for g in (r.g for r in spark.read.parquet(path).collect())]
+        assert got == exp
+
+
+def test_nested_list_required_layers(tmp_path):
+    """All-REQUIRED list<list<string>> (max_def = 2, def levels track only
+    emptiness): empty outer and empty inner lists round-trip."""
+    import pyarrow.parquet as pq
+
+    outer = np.array([2, 0, 1, 3])
+    inner = np.array([1, 0, 2, 0, 0, 1])
+    vals = [b"a", b"b", b"c", b"d"]
+    path = str(tmp_path / "r.parquet")
+    pw.write_file(path, [pw.NestedListColumn(
+        "g", "byte_array", vals, outer, inner, use_dictionary=True)], 4,
+        utf8_columns={"g"})
+    exp = [[["a"], []], [], [["b", "c"]], [[], [], ["d"]]]
+    assert [r["g"] for r in pq.read_table(path).to_pylist()] == exp
+    assert [r[0] for r in _duck(path)] == exp
+
+
+def test_struct_in_struct_roundtrip_three_readers(tmp_path, spark):
+    """struct<lang, q: struct<score, n>> — OPTIONAL groups at both
+    depths: a null outer struct zeroes every leaf, a null inner struct
+    zeroes only its own leaves (SchemaDescriptor def accumulation,
+    schema.h:106-303; round-trips arrow-reader-writer-test.cc:595+)."""
+    import pyarrow.parquet as pq
+
+    n = 500
+    rng = np.random.default_rng(31)
+    ovalid = rng.random(n) > 0.2
+    qvalid = rng.random(n) > 0.3
+    nvalid = rng.random(n) > 0.25
+    langs = [b"lang-%d" % (i % 7) for i in range(n)]
+    scores = rng.random(n)
+    ns = rng.integers(0, 99, n).astype(np.int32)
+    path = str(tmp_path / "ss.parquet")
+    pw.write_file(path, [pw.StructColumn("meta", [
+        ("lang", "byte_array", langs, None, True),
+        ("q", pw.StructColumn("q", [
+            ("score", "double", scores),
+            ("n", "int32", ns, nvalid, True),
+        ], valid=qvalid)),
+    ], valid=ovalid)], n, utf8_columns={"meta.lang"},
+        row_group_rows=200, page_rows=80)
+
+    def expect(i):
+        if not ovalid[i]:
+            return None
+        q = ({"score": scores[i],
+              "n": int(ns[i]) if nvalid[i] else None}
+             if qvalid[i] else None)
+        return {"lang": langs[i].decode(), "q": q}
+
+    exp = [expect(i) for i in range(n)]
+    assert [r["meta"] for r in pq.read_table(path).to_pylist()] == exp
+    assert [r[0] for r in _duck(path)] == exp
+    got = spark.read.parquet(path).collect()
+    for i, r in enumerate(got):
+        e = exp[i]
+        if e is None:
+            assert r.meta is None
+        else:
+            d = r.meta.asDict(recursive=True)
+            assert d == e
+
+    # engine's own reader: inner-leaf def levels accumulate 3 ancestors
+    own = pf.read_file(path)
+    nv, ndef, _ = own["meta.q.n"]
+    want = np.where(ovalid, 1 + np.where(qvalid, 1 + nvalid, 0), 0)
+    assert ndef.tolist() == want.astype(int).tolist()
+
+
+# ---------------------------------------------------------------------------
 # Map columns
 # ---------------------------------------------------------------------------
 
@@ -315,3 +444,41 @@ def test_sink_nested_dataset(tmp_path, spark):
     # DuckDB can scan the same directory
     assert _duck(out + "/*.parquet",
                  "select count(*) from '{p}'") == [(600,)]
+
+
+def test_sink_deep_nested_dataset(tmp_path, spark):
+    """emit_parquet_dataset with array<array<int>> and struct-in-struct
+    columns: specs_from_arrow builds NestedListColumn / recursive
+    StructColumn specs on the executors and Spark's JVM reader scans the
+    result back identically."""
+    from pyspark.sql import functions as F
+
+    from parquet_cpp_spark.sources.parquet_sink import emit_parquet_dataset
+
+    df = (spark.range(400)
+          .withColumn("grams", F.when(
+              F.col("id") % 13 != 0,
+              F.array(F.array((F.col("id") % 5).cast("int"),
+                              (F.col("id") % 7).cast("int")),
+                      F.when(F.col("id") % 3 != 0,
+                             F.array((F.col("id") % 11).cast("int"))),
+                      F.array().cast("array<int>"))))
+          .withColumn("meta", F.struct(
+              F.concat(F.lit("L"), F.col("id") % 4).alias("lang"),
+              F.when(F.col("id") % 6 != 0, F.struct(
+                  (F.col("id") % 9).cast("double").alias("score"),
+                  F.when(F.col("id") % 2 == 0, F.col("id") % 17)
+                   .cast("int").alias("n"))).alias("q"))))
+    out = str(tmp_path / "deep_out")
+    man = emit_parquet_dataset(df.repartition(2), out,
+                               encodings="auto").collect()
+    assert len(man) == 2
+    assert all("meta.q.score=" in r.encodings and "grams=" in r.encodings
+               for r in man)
+    back = spark.read.parquet(out)
+    a = {r.id: (r.grams, r.meta) for r in df.collect()}
+    b = {r.id: (r.grams, r.meta) for r in back.collect()}
+    assert a == b
+    assert _duck(out + "/*.parquet",
+                 "select count(*), count(grams), count(meta.q.n) "
+                 "from '{p}'") == [(400, 369, 133)]

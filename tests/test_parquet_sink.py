@@ -128,9 +128,18 @@ def test_specs_from_arrow_nullables_and_rejects():
     assert m.lengths.tolist() == [1, 0, 0]
     assert m.valid.tolist() == [True, True, False]
 
+    # list<list<scalar>> is now a NestedListColumn spec (max_rep = 2);
+    # a third list level stays out of writer scope
+    nl, _u, _a, _d = specs_from_arrow(pa.table(
+        {"x": pa.array([[[1]], [[2, 3], []]],
+                       pa.list_(pa.list_(pa.int32())))}))
+    assert isinstance(nl[0], pw.NestedListColumn)
+    assert nl[0].outer_lengths.tolist() == [1, 2]
+    assert nl[0].inner_lengths.tolist() == [1, 2, 0]
     with pytest.raises(ValueError, match="out of"):
         specs_from_arrow(pa.table(
-            {"x": pa.array([[[1]]], pa.list_(pa.list_(pa.int32())))}))
+            {"x": pa.array([[[[1]]]],
+                           pa.list_(pa.list_(pa.list_(pa.int32()))))}))
     with pytest.raises(ValueError, match="out of"):
         specs_from_arrow(pa.table({"x": pa.array(
             [{"a": [1]}], pa.struct([("a", pa.list_(pa.int32()))]))}))
