@@ -176,6 +176,23 @@ def specs_from_arrow(tbl):
                     use_dictionary=ephys in _DICT_DEFAULT,
                     valid=valid, inner_valid=ivalid,
                     element_valid=evalid))
+            elif pa.types.is_struct(ctyp):
+                # list<struct<scalars>> -> ListStructColumn: one REPEATED
+                # leaf per field, values/masks per element slot
+                evalid = ~np.asarray(child.is_null()) \
+                    if child.null_count else None
+                fields = []
+                for i in range(ctyp.num_fields):
+                    fld = ctyp.field(i)
+                    fphys, fvals, fvalid, futf8 = _scalar_parts(
+                        child.field(i), f"{name}.{fld.name}")
+                    if futf8:
+                        utf8.add(f"{name}.{fld.name}")
+                    fields.append((fld.name, fphys, fvals, fvalid,
+                                   fphys in _DICT_DEFAULT))
+                specs.append(pw.ListStructColumn(
+                    name, fields, lengths, valid=valid,
+                    element_valid=evalid))
             else:
                 ephys, evals, evalid, eutf8 = _scalar_parts(
                     child, f"{name}.element")
@@ -200,6 +217,30 @@ def specs_from_arrow(tbl):
                         # arrays stay top-level-row aligned in Arrow
                         fields.append((fld.name,
                                        _struct_spec(fcol, fdotted)))
+                        continue
+                    if pa.types.is_list(fld.type) or \
+                            pa.types.is_large_list(fld.type):
+                        # list<scalar> inside a struct: lengths stay
+                        # row-aligned; elements under a null struct row
+                        # are dropped (the writer requires length 0
+                        # below a null ancestor)
+                        flengths, flvalid, flo, fhi = _repeated_parts(
+                            fcol, fdotted)
+                        fchild = fcol.values.slice(flo, fhi - flo)
+                        if svalid is not None and \
+                                flengths[~svalid].any():
+                            keep = np.repeat(svalid, flengths)
+                            fchild = fchild.filter(
+                                pa.array(keep, pa.bool_()))
+                            flengths = np.where(svalid, flengths, 0)
+                        fphys, fvals, fevalid, futf8 = _scalar_parts(
+                            fchild, f"{fdotted}.element")
+                        if futf8:
+                            utf8.add(fdotted)
+                        fields.append((fld.name, pw.ListColumn(
+                            fld.name, fphys, fvals, flengths,
+                            use_dictionary=fphys in _DICT_DEFAULT,
+                            valid=flvalid, element_valid=fevalid)))
                         continue
                     fphys, fvals, fvalid, futf8 = _scalar_parts(
                         fcol, fdotted)
@@ -299,12 +340,31 @@ def auto_encodings(specs) -> tuple:
                         fields.append((f[0], _choose_struct(
                             f[1], f"{dotted}.{f[0]}")))
                         continue
+                    if pw._is_list_field(f):
+                        lc = f[1]
+                        pick = _choose(f"{dotted}.{f[0]}", lc.phys,
+                                       lc.values, lc.element_valid)
+                        fields.append((f[0], pw.ListColumn(
+                            lc.name, lc.phys, lc.values, lc.lengths,
+                            use_dictionary=bool(pick), valid=lc.valid,
+                            element_valid=lc.element_valid)))
+                        continue
                     fname, phys, vals = f[0], f[1], f[2]
                     fvalid = f[3] if len(f) > 3 else None
                     pick = _choose(f"{dotted}.{fname}", phys, vals, fvalid)
                     fields.append((fname, phys, vals, fvalid, bool(pick)))
                 return pw.StructColumn(sc.name, fields, valid=sc.valid)
             out.append(_choose_struct(s, s.name))
+        elif isinstance(s, pw.ListStructColumn):
+            fields = []
+            for f in s.fields:
+                fname, phys, vals = f[0], f[1], f[2]
+                fvalid = f[3] if len(f) > 3 else None
+                pick = _choose(f"{s.name}.{fname}", phys, vals, fvalid)
+                fields.append((fname, phys, vals, fvalid, bool(pick)))
+            out.append(pw.ListStructColumn(
+                s.name, fields, s.lengths, valid=s.valid,
+                element_valid=s.element_valid))
         elif isinstance(s, pw.MapColumn):
             kpick = _choose(f"{s.name}.key", s.key_phys, s.keys, None)
             vpick = _choose(f"{s.name}.value", s.value_phys, s.values,
@@ -334,6 +394,8 @@ def _encodings_tag(specs, delta_cols) -> str:
         for f in sc.fields:
             if pw._is_nested_struct_field(f):
                 _struct_leaves(f"{prefix}.{f[0]}", f[1])
+            elif pw._is_list_field(f):
+                leaves.append((f"{prefix}.{f[0]}", f[1].use_dictionary))
             else:
                 leaves.append((f"{prefix}.{f[0]}",
                                bool(f[4]) if len(f) > 4 else False))
@@ -341,6 +403,10 @@ def _encodings_tag(specs, delta_cols) -> str:
     for s in specs:
         if isinstance(s, (pw.ListColumn, pw.NestedListColumn)):
             leaves.append((s.name, s.use_dictionary))
+        elif isinstance(s, pw.ListStructColumn):
+            leaves += [(f"{s.name}.{f[0]}",
+                        bool(f[4]) if len(f) > 4 else False)
+                       for f in s.fields]
         elif isinstance(s, pw.StructColumn):
             _struct_leaves(s.name, s)
         elif isinstance(s, pw.MapColumn):
@@ -398,19 +464,28 @@ def _write_one_file(tbl, tmp: str, dest: str, row_group_rows, page_rows,
     if encodings == "auto":
         specs, d_cols = auto_encodings(specs)
 
-    def _n_leaves(sc) -> int:
-        return sum(_n_leaves(f[1]) if pw._is_nested_struct_field(f)
-                   else 1 for f in sc.fields)
+    def _struct_values(sc) -> int:
+        n = 0
+        for f in sc.fields:
+            if pw._is_nested_struct_field(f):
+                n += _struct_values(f[1])
+            elif pw._is_list_field(f):
+                n += int(np.asarray(f[1].lengths).sum())
+            else:
+                n += tbl.num_rows
+        return n
 
     def _spec_values(s) -> int:
         if isinstance(s, pw.ListColumn):
             return int(np.asarray(s.lengths).sum())
         if isinstance(s, pw.NestedListColumn):
             return int(np.asarray(s.inner_lengths).sum())
+        if isinstance(s, pw.ListStructColumn):
+            return int(np.asarray(s.lengths).sum()) * len(s.fields)
         if isinstance(s, pw.MapColumn):
             return 2 * int(np.asarray(s.lengths).sum())
         if isinstance(s, pw.StructColumn):
-            return tbl.num_rows * _n_leaves(s)
+            return _struct_values(s)
         return tbl.num_rows
 
     n_values = sum(_spec_values(s) for s in specs)

@@ -436,6 +436,30 @@ class MapColumn:
         self.value_use_dictionary = value_use_dictionary
 
 
+class ListStructColumn:
+    """Spec for a ``list<struct<scalar fields>>`` column (max_rep 1): one
+    REPEATED leaf per struct field, all sharing one ``lengths`` array —
+    the MapColumn two-parallel-leaves pattern generalized to N fields
+    (reference: the recursive group walker ``arrow/writer.cc:305-932``
+    emits exactly this leaf set for list-of-struct).
+
+    ``fields``: flat leaf tuples ``(fname, phys, values[, fvalid[,
+    use_dictionary]])`` with values/fvalid PER ELEMENT SLOT
+    (``lengths.sum()`` entries). ``element_valid`` (per slot) makes the
+    struct element group OPTIONAL (a null struct inside the list — its
+    field values at those slots are ignored); ``valid`` (per row) makes
+    the list itself OPTIONAL. Deeper nesting inside the element is out
+    of writer scope. Annotation keys: ``name.fname``."""
+
+    def __init__(self, name: str, fields: list, lengths, valid=None,
+                 element_valid=None):
+        self.name = name
+        self.fields = list(fields)
+        self.lengths = lengths
+        self.valid = valid
+        self.element_valid = element_valid
+
+
 class _Leaf:
     """One schema LEAF in page-writable form: dense (non-null) values plus
     precomputed repetition/definition levels and the row->slot / row->dense
@@ -568,11 +592,14 @@ def _scalar_leaf(path: list, phys: str, values, present, deflv,
 
 
 def _list_leaf(path: list, phys: str, values, lengths, list_valid,
-               elem_valid, use_dictionary: bool) -> _Leaf:
-    """REPEATED leaf (list element / map key / map value). def scheme:
-    null list slot -> 0 (only with ``list_valid``), empty list ->
-    ``opt``, null element -> ``opt``+1 (only with ``elem_valid``),
-    present value -> max_def."""
+               elem_valid, use_dictionary: bool, anc_masks=()) -> _Leaf:
+    """REPEATED leaf (list element / map key / map value / list inside a
+    struct). def scheme with A = len(anc_masks) optional struct
+    ancestors: ancestor cut at depth a -> a, null list slot -> A (0
+    without ancestors; only with ``list_valid``), empty list -> ``opt``
+    (= A + opt_l), null element -> ``opt``+1 (only with ``elem_valid``),
+    present value -> max_def. Rows under a null ancestor must carry
+    length 0."""
     name = ".".join(path)
     _phys_id(phys)
     if _is_fixed_bytes(phys):
@@ -582,7 +609,19 @@ def _list_leaf(path: list, phys: str, values, lengths, list_valid,
     if (lengths < 0).any():
         raise ValueError(f"column {name}: negative list length")
     n_rows = len(lengths)
-    opt = 0
+    A = len(anc_masks)
+    anc_def = None
+    if A:
+        # def contribution of optional struct ancestors, outermost first
+        anc_ok = np.ones(n_rows, dtype=bool)
+        anc_def = np.zeros(n_rows, dtype=np.int8)
+        for m in anc_masks:
+            anc_ok &= np.asarray(m, dtype=bool)
+            anc_def += anc_ok
+        if lengths[~anc_ok].any():
+            raise ValueError(f"column {name}: rows under a null struct "
+                             "ancestor must have length 0")
+    opt = A
     if list_valid is not None:
         list_valid = np.asarray(list_valid, dtype=bool)
         if len(list_valid) != n_rows:
@@ -590,7 +629,7 @@ def _list_leaf(path: list, phys: str, values, lengths, list_valid,
         if lengths[~list_valid].any():
             raise ValueError(f"column {name}: null list slots must have "
                              "length 0")
-        opt = 1
+        opt += 1
     n_elem_slots = int(lengths.sum())
     max_def = opt + 1 + (1 if elem_valid is not None else 0)
     if elem_valid is not None:
@@ -617,8 +656,11 @@ def _list_leaf(path: list, phys: str, values, lengths, list_valid,
     if empty.any():
         marks = starts[empty]
         d[marks] = opt
-        if opt:
-            d[marks[~list_valid[empty]]] = 0
+        if list_valid is not None:
+            d[marks[~list_valid[empty]]] = A
+        if anc_def is not None:
+            cut = ~anc_ok[empty]
+            d[marks[cut]] = anc_def[empty][cut]
     lvl_ofs = np.zeros(n_rows + 1, dtype=np.int64)
     np.cumsum(slots, out=lvl_ofs[1:])
     elem_cum = np.zeros(n_rows + 1, dtype=np.int64)
@@ -631,6 +673,99 @@ def _list_leaf(path: list, phys: str, values, lengths, list_valid,
                               phys, name)
         vcum = np.zeros(n_elem_slots + 1, dtype=np.int64)
         np.cumsum(elem_valid, out=vcum[1:])
+        dense_ofs = vcum[elem_cum]
+    return _Leaf(path, phys, dense, n_rows=n_rows,
+                 use_dictionary=use_dictionary, max_rep=1, max_def=max_def,
+                 rep=rep, deflv=d, lvl_ofs=lvl_ofs, dense_ofs=dense_ofs)
+
+
+def _list_struct_field_leaf(path: list, phys: str, values, lengths,
+                            list_valid, struct_valid, field_valid,
+                            use_dictionary: bool) -> _Leaf:
+    """One field of a ``list<struct<...>>`` column as a REPEATED leaf.
+    def scheme: null list slot -> 0 (with ``list_valid``), empty list ->
+    opt_l, null struct element -> opt_l+1 (with ``struct_valid``, per
+    element slot), struct present but field null -> opt_l+1+opt_s (with
+    ``field_valid``), value -> max_def. Field values at null-struct
+    slots are ignored (excluded from the dense stream)."""
+    name = ".".join(path)
+    _phys_id(phys)
+    if _is_fixed_bytes(phys):
+        raise ValueError(f"column {name}: list<FLBA/INT96> out of "
+                         "writer scope")
+    lengths = np.ascontiguousarray(lengths, dtype=np.int64)
+    if (lengths < 0).any():
+        raise ValueError(f"column {name}: negative list length")
+    n_rows = len(lengths)
+    opt_l = 0
+    if list_valid is not None:
+        list_valid = np.asarray(list_valid, dtype=bool)
+        if len(list_valid) != n_rows:
+            raise ValueError(f"column {name}: valid mask length mismatch")
+        if lengths[~list_valid].any():
+            raise ValueError(f"column {name}: null list slots must have "
+                             "length 0")
+        opt_l = 1
+    n_elem_slots = int(lengths.sum())
+    opt_s = opt_f = 0
+    if struct_valid is not None:
+        struct_valid = np.asarray(struct_valid, dtype=bool)
+        if len(struct_valid) != n_elem_slots:
+            raise ValueError(f"column {name}: element_valid must have "
+                             f"one entry per slot ({n_elem_slots})")
+        opt_s = 1
+    if field_valid is not None:
+        field_valid = np.asarray(field_valid, dtype=bool)
+        if len(field_valid) != n_elem_slots:
+            raise ValueError(f"column {name}: field valid mask must have "
+                             f"one entry per slot ({n_elem_slots})")
+        opt_f = 1
+    n_vals = len(values) if phys == "byte_array" else len(np.asarray(values))
+    if n_vals != n_elem_slots:
+        raise ValueError(f"column {name}: {n_vals} elements but lengths "
+                         f"sum to {n_elem_slots}")
+    max_def = opt_l + 1 + opt_s + opt_f
+    slots = np.maximum(lengths, 1)
+    total = int(slots.sum())
+    rep = np.ones(total, dtype=np.int8)
+    starts = np.zeros(n_rows, dtype=np.int64)
+    np.cumsum(slots[:-1], out=starts[1:])
+    rep[starts] = 0
+    d = np.full(total, max_def, dtype=np.int8)
+    real = None
+    if (opt_s and not struct_valid.all()) or \
+            (opt_f and not field_valid.all()):
+        real = _real_slot_positions(lengths, slots, starts)
+    # field-null first, struct-null second: a null struct overrides its
+    # fields' masks (their values at those slots are meaningless)
+    if opt_f and real is not None:
+        d[real[~field_valid]] = opt_l + 1 + opt_s
+    if opt_s and real is not None:
+        d[real[~struct_valid]] = opt_l + 1
+    empty = lengths == 0
+    if empty.any():
+        marks = starts[empty]
+        d[marks] = opt_l
+        if opt_l:
+            d[marks[~list_valid[empty]]] = 0
+    lvl_ofs = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(slots, out=lvl_ofs[1:])
+    elem_cum = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(lengths, out=elem_cum[1:])
+    present = None
+    if opt_s:
+        present = struct_valid.copy()
+        if opt_f:
+            present &= field_valid
+    elif opt_f:
+        present = field_valid
+    if present is None:
+        dense = _dense_scalar(values, None, phys, name)
+        dense_ofs = elem_cum
+    else:
+        dense = _dense_scalar(values, np.flatnonzero(present), phys, name)
+        vcum = np.zeros(n_elem_slots + 1, dtype=np.int64)
+        np.cumsum(present, out=vcum[1:])
         dense_ofs = vcum[elem_cum]
     return _Leaf(path, phys, dense, n_rows=n_rows,
                  use_dictionary=use_dictionary, max_rep=1, max_def=max_def,
@@ -741,6 +876,10 @@ def _is_nested_struct_field(f) -> bool:
     return len(f) == 2 and isinstance(f[1], StructColumn)
 
 
+def _is_list_field(f) -> bool:
+    return len(f) == 2 and isinstance(f[1], ListColumn)
+
+
 def _struct_leaves(path: list, anc_masks: list, fields: list) -> list:
     """Recursive struct flattening (struct-in-struct at any depth):
     ``anc_masks`` holds one per-row bool mask per OPTIONAL ancestor group,
@@ -756,6 +895,17 @@ def _struct_leaves(path: list, anc_masks: list, fields: list) -> list:
             masks = anc_masks + ([np.asarray(sub.valid, dtype=bool)]
                                  if sub.valid is not None else [])
             leaves += _struct_leaves(path + [f[0]], masks, sub.fields)
+            continue
+        if _is_list_field(f):
+            # list<scalar> inside a struct: REPEATED leaf whose def
+            # levels start below the optional struct ancestors (the
+            # inner ListColumn's name is ignored; lengths/valid stay
+            # top-level-row aligned)
+            lc = f[1]
+            leaves.append(_list_leaf(
+                path + [f[0], "list", "element"], lc.phys, lc.values,
+                lc.lengths, lc.valid, lc.element_valid,
+                lc.use_dictionary, anc_masks=anc_masks))
             continue
         fname, phys, values = f[0], f[1], f[2]
         fvalid = f[3] if len(f) > 3 and f[3] is not None else None
@@ -792,6 +942,22 @@ def _leaves_of(spec) -> list:
         anc = [] if spec.valid is None \
             else [np.asarray(spec.valid, dtype=bool)]
         return _struct_leaves([spec.name], anc, spec.fields)
+    if isinstance(spec, ListStructColumn):
+        if not spec.fields:
+            raise ValueError(f"column {spec.name}: no struct fields")
+        leaves = []
+        for f in spec.fields:
+            if len(f) == 2:
+                raise ValueError(f"column {spec.name}.{f[0]}: nesting "
+                                 "inside a list<struct> element is out "
+                                 "of writer scope")
+            fvalid = f[3] if len(f) > 3 and f[3] is not None else None
+            use_dict = bool(f[4]) if len(f) > 4 else False
+            leaves.append(_list_struct_field_leaf(
+                [spec.name, "list", "element", f[0]], f[1], f[2],
+                spec.lengths, spec.valid, spec.element_valid, fvalid,
+                use_dict))
+        return leaves
     if isinstance(spec, MapColumn):
         return [
             _list_leaf([spec.name, "key_value", "key"], spec.key_phys,
@@ -1258,11 +1424,38 @@ def write_file(path: str, columns: list[tuple], num_rows: int,
                     if _is_nested_struct_field(f):
                         _emit_struct(f[1], f[0], f"{dotted}.{f[0]}")
                         continue
+                    if _is_list_field(f):
+                        lc = f[1]
+                        l_rep = 1 if lc.valid is not None else 0
+                        e_rep = 1 if lc.element_valid is not None else 0
+                        schema.append([(3, _I32, l_rep), (4, _BINARY,
+                                       f[0]), (5, _I32, 1),
+                                       (6, _I32, 3)])  # LIST
+                        schema.append([(3, _I32, 2), (4, _BINARY, "list"),
+                                       (5, _I32, 1)])
+                        schema.append(_leaf_el(lc.phys, e_rep, "element",
+                                               f"{dotted}.{f[0]}"))
+                        continue
                     fname, fphys = f[0], f[1]
                     f_rep = 1 if len(f) > 3 and f[3] is not None else 0
                     schema.append(_leaf_el(fphys, f_rep, fname,
                                            f"{dotted}.{fname}"))
             _emit_struct(s, s.name, s.name)
+        elif isinstance(s, ListStructColumn):
+            # group(LIST) > repeated list > group element (the struct) >
+            # one leaf per field — arrow/schema.cc list-of-struct shape
+            outer_rep = 1 if s.valid is not None else 0
+            elem_rep = 1 if s.element_valid is not None else 0
+            schema.append([(3, _I32, outer_rep), (4, _BINARY, s.name),
+                           (5, _I32, 1), (6, _I32, 3)])  # ConvertedType LIST
+            schema.append([(3, _I32, 2), (4, _BINARY, "list"),
+                           (5, _I32, 1)])
+            schema.append([(3, _I32, elem_rep), (4, _BINARY, "element"),
+                           (5, _I32, len(s.fields))])    # struct group
+            for f in s.fields:
+                f_rep = 1 if len(f) > 3 and f[3] is not None else 0
+                schema.append(_leaf_el(f[1], f_rep, f[0],
+                                       f"{s.name}.{f[0]}"))
         elif isinstance(s, MapColumn):
             # MAP converted type: group(MAP) > repeated key_value
             # (MAP_KEY_VALUE) > required key + value (schema.h:43-77)

@@ -303,6 +303,111 @@ def test_struct_in_struct_roundtrip_three_readers(tmp_path, spark):
 
 
 # ---------------------------------------------------------------------------
+# list<struct> and struct-with-list
+# ---------------------------------------------------------------------------
+
+def test_list_of_struct_roundtrip_three_readers(tmp_path, spark):
+    """list<struct<a:int32, b:string>> with null lists, empty lists, null
+    struct elements and null fields (max_def = 4), dict + plain across V1
+    and V2 pages: pyarrow, DuckDB and Spark's JVM reader all see
+    identical rows — the MapColumn parallel-leaf pattern generalized
+    (arrow/writer.cc:305-932 list-of-struct leaf set)."""
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(41)
+    n = 300
+    lengths = rng.integers(0, 5, n)
+    valid = rng.random(n) > 0.2
+    lengths[~valid] = 0
+    total = int(lengths.sum())
+    evalid = rng.random(total) > 0.15       # null struct elements
+    avalid = rng.random(total) > 0.25       # null field a
+    avals = rng.integers(0, 40, total).astype(np.int32)
+    bvals = [b"w-%d" % (i % 13) for i in range(total)]
+
+    def expect():
+        out, k = [], 0
+        for i in range(n):
+            if not valid[i]:
+                out.append(None)
+                continue
+            row = []
+            for _ in range(int(lengths[i])):
+                if not evalid[k]:
+                    row.append(None)
+                else:
+                    row.append({"a": int(avals[k]) if avalid[k] else None,
+                                "b": bvals[k].decode()})
+                k += 1
+            out.append(row)
+        return out
+
+    exp = expect()
+    for ver in (1, 2):
+        path = str(tmp_path / f"los{ver}.parquet")
+        pw.write_file(path, [pw.ListStructColumn("items", [
+            ("a", "int32", avals, avalid, True),
+            ("b", "byte_array", bvals, None, ver == 1),
+        ], lengths, valid=valid, element_valid=evalid)], n,
+            utf8_columns={"items.b"}, row_group_rows=120, page_rows=50,
+            data_page_version=ver, compression="zstd")
+        assert [r["items"] for r in pq.read_table(path).to_pylist()] == exp
+        assert [r[0] for r in _duck(path)] == exp
+        got = []
+        for r in spark.read.parquet(path).collect():
+            if r.items is None:
+                got.append(None)
+            else:
+                got.append([None if e is None else e.asDict()
+                            for e in r.items])
+        assert got == exp
+
+    # engine's own reader: both leaves share rep levels; def classes are
+    # 0 null-list / 1 empty / 2 null-struct / 3 field-null / 4 value
+    own = pf.read_file(path)
+    a_vals, a_def, a_rep = own["items.list.element.a"]
+    assert len(a_vals) == int((evalid & avalid).sum())
+    assert int((a_def == 2).sum()) == int((~evalid).sum())
+
+
+def test_struct_with_list_field_roundtrip(tmp_path, spark):
+    """struct<x:int32, tags:list<string>>: the REPEATED leaf's def levels
+    start below the optional struct ancestor (null struct -> 0, null
+    list -> 1, empty -> 2, value -> 3); three readers agree."""
+    import pyarrow.parquet as pq
+
+    svalid = np.array([1, 0, 1, 1, 1], bool)
+    xs = np.array([1, 0, 3, 4, 5], np.int32)
+    tl = np.array([2, 0, 0, 1, 0])
+    tv = np.array([1, 1, 0, 1, 1], bool)   # row 2: null list in a valid struct
+    tvals = [b"t1", b"t2", b"t3"]
+    path = str(tmp_path / "swl.parquet")
+    pw.write_file(path, [pw.StructColumn("meta", [
+        ("x", "int32", xs),
+        ("tags", pw.ListColumn("tags", "byte_array", tvals, tl,
+                               use_dictionary=True, valid=tv)),
+    ], valid=svalid)], 5, utf8_columns={"meta.tags"})
+    exp = [{"x": 1, "tags": ["t1", "t2"]}, None,
+           {"x": 3, "tags": None}, {"x": 4, "tags": ["t3"]},
+           {"x": 5, "tags": []}]
+    assert [r["meta"] for r in pq.read_table(path).to_pylist()] == exp
+    assert [r[0] for r in _duck(path)] == exp
+    got = spark.read.parquet(path).collect()
+    for i, r in enumerate(got):
+        if exp[i] is None:
+            assert r.meta is None
+        else:
+            d = r.meta.asDict()
+            d["tags"] = None if d["tags"] is None else list(d["tags"])
+            assert d == exp[i]
+
+    own = pf.read_file(path)
+    _tv, tdef, trep = own["meta.tags.list.element"]
+    assert tdef.tolist() == [3, 3, 0, 1, 3, 2]
+    assert trep.tolist() == [0, 1, 0, 0, 0, 0]
+
+
+# ---------------------------------------------------------------------------
 # Map columns
 # ---------------------------------------------------------------------------
 
@@ -456,6 +561,17 @@ def test_sink_deep_nested_dataset(tmp_path, spark):
     from parquet_cpp_spark.sources.parquet_sink import emit_parquet_dataset
 
     df = (spark.range(400)
+          .withColumn("spans", F.when(
+              F.col("id") % 17 != 0,
+              F.array(F.struct(
+                  F.concat(F.lit("w"), F.col("id") % 23).alias("w"),
+                  F.when(F.col("id") % 5 != 0, F.col("id") % 29)
+                   .cast("int").alias("n")))))
+          .withColumn("prof", F.struct(
+              (F.col("id") % 3).cast("int").alias("x"),
+              F.when(F.col("id") % 7 != 0,
+                     F.array(F.concat(F.lit("t"), F.col("id") % 4)))
+               .alias("tags")))
           .withColumn("grams", F.when(
               F.col("id") % 13 != 0,
               F.array(F.array((F.col("id") % 5).cast("int"),
@@ -474,10 +590,11 @@ def test_sink_deep_nested_dataset(tmp_path, spark):
                                encodings="auto").collect()
     assert len(man) == 2
     assert all("meta.q.score=" in r.encodings and "grams=" in r.encodings
+               and "spans.w=" in r.encodings and "prof.tags=" in r.encodings
                for r in man)
     back = spark.read.parquet(out)
-    a = {r.id: (r.grams, r.meta) for r in df.collect()}
-    b = {r.id: (r.grams, r.meta) for r in back.collect()}
+    a = {r.id: (r.grams, r.meta, r.spans, r.prof) for r in df.collect()}
+    b = {r.id: (r.grams, r.meta, r.spans, r.prof) for r in back.collect()}
     assert a == b
     assert _duck(out + "/*.parquet",
                  "select count(*), count(grams), count(meta.q.n) "

@@ -140,9 +140,20 @@ def test_specs_from_arrow_nullables_and_rejects():
         specs_from_arrow(pa.table(
             {"x": pa.array([[[[1]]]],
                            pa.list_(pa.list_(pa.list_(pa.int32()))))}))
+    # struct containing a list and list<struct> are now supported specs
+    sl, _u, _a, _d = specs_from_arrow(pa.table({"x": pa.array(
+        [{"a": [1, 2]}, {"a": None}],
+        pa.struct([("a", pa.list_(pa.int32()))]))}))
+    assert isinstance(sl[0], pw.StructColumn)
+    assert isinstance(sl[0].fields[0][1], pw.ListColumn)
+    ls2, _u, _a, _d = specs_from_arrow(pa.table({"x": pa.array(
+        [[{"a": 1}], []], pa.list_(pa.struct([("a", pa.int32())])))}))
+    assert isinstance(ls2[0], pw.ListStructColumn)
+    # a list nested inside a list<struct> element stays out of scope
     with pytest.raises(ValueError, match="out of"):
         specs_from_arrow(pa.table({"x": pa.array(
-            [{"a": [1]}], pa.struct([("a", pa.list_(pa.int32()))]))}))
+            [[{"a": [1]}]],
+            pa.list_(pa.struct([("a", pa.list_(pa.int32()))])))}))
 
 
 def test_sink_on_sf001_documents_tokens(spark, tmp_path):
