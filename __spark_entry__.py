@@ -1130,6 +1130,158 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _digest(spark.read.parquet(out))
     q["pq_sink_dataset"] = pq_sink_dataset
 
+    def pq_writer_nested(spark: SparkSession, sf: str) -> DataFrame:
+        """DEEP nesting through the engine's PAR1 writer (r7, second
+        wave): list<list<int32>> (max_rep 2, nullable inner lists),
+        list<struct<w,n>> (parallel REPEATED leaves, null struct
+        elements), struct-in-struct (def accumulation across optional
+        ancestors) and a list inside a struct — the reference's
+        recursive Arrow writer bridges (arrow/writer.cc:71-932,
+        schema.cc group emission). Spark's JVM reader re-assembles all
+        four; the query flattens them to scalars the oracle recomputes
+        from ``documents``. Bounded driver-side construction BY DESIGN
+        (like pq_writer_struct: the harness builds the nested arrays;
+        the distributed write path is pq_sink_dataset's job)."""
+        import tempfile
+
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from parquet_cpp_spark.sources import parquet_writer as pw
+        docs = pq.read_table(os.path.join(sf, "documents.parquet"),
+                             columns=["doc_id", "source", "text"])
+        ids = docs.column("doc_id").to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        n = len(ids)
+        srcs = [s.encode() for s in
+                np.asarray(docs.column("source").to_pylist())[order]]
+        texts = np.asarray(docs.column("text").to_pylist(),
+                           dtype=object)[order]
+        c7 = np.fromiter((len(t) % 7 for t in texts),
+                         dtype=np.int32, count=n)
+        n_chars = np.fromiter((len(t) for t in texts),
+                              dtype=np.float64, count=n)
+        i13 = (ids % 13).astype(np.int32)
+        i17 = (ids % 17).astype(np.int32)
+
+        # grams: list<list<int32>> — null row / 1-2 inner lists / null
+        # inner list (every def class the NestedListColumn spec has,
+        # minus element nulls which pytest covers)
+        gvalid = ids % 5 != 0
+        two = gvalid & (ids % 3 != 0)
+        g_outer = np.where(gvalid, np.where(ids % 3 != 0, 2, 1), 0)
+        g_inner, g_ivalid, g_vals = [], [], []
+        for i in range(n):
+            if not gvalid[i]:
+                continue
+            g_inner.append(2)
+            g_ivalid.append(True)
+            g_vals += [c7[i], i13[i]]
+            if two[i]:
+                if ids[i] % 7 == 0:
+                    g_inner.append(0)
+                    g_ivalid.append(False)
+                else:
+                    g_inner.append(1)
+                    g_ivalid.append(True)
+                    g_vals.append(i17[i])
+
+        # spans: list<struct<w:string, n:int32>> — null row / null
+        # struct element / null field
+        spvalid = ids % 11 != 0
+        sp_lengths = np.where(spvalid, 2, 0)
+        sp_evalid, sp_w, sp_nv, sp_nvalid = [], [], [], []
+        for i in range(n):
+            if not spvalid[i]:
+                continue
+            sp_evalid.append(True)
+            sp_w.append(srcs[i])
+            sp_nv.append(c7[i])
+            sp_nvalid.append(True)
+            if ids[i] % 13 == 0:
+                sp_evalid.append(False)
+                sp_w.append(b"")
+                sp_nv.append(0)
+                sp_nvalid.append(True)
+            else:
+                sp_evalid.append(True)
+                sp_w.append(b"k%d" % (ids[i] % 4))
+                sp_nv.append(i17[i])
+                sp_nvalid.append(ids[i] % 2 != 0)
+
+        # meta: struct<lang, q: struct<score, cnt>> — optional at both
+        # depths plus an optional inner leaf
+        mvalid = ids % 7 != 0
+        qvalid = ids % 3 != 0
+        cntvalid = ids % 2 != 0
+
+        # prof: struct<x, tags: list<string>> — list under an optional
+        # struct ancestor (null struct / null list / 1-2 elements)
+        pvalid = ids % 13 != 0
+        tvalid = ids % 5 != 0
+        p_lengths = np.where(pvalid & tvalid,
+                             np.where(ids % 2 == 0, 1, 2), 0)
+        p_tags = []
+        for i in range(n):
+            if pvalid[i] and tvalid[i]:
+                p_tags.append(srcs[i])
+                if ids[i] % 2 != 0:
+                    p_tags.append(b"z")
+
+        out = os.path.join(tempfile.gettempdir(),
+                           f"pcs_{os.getuid()}_writer_nested_{n}.parquet")
+        pw.write_file(out, [
+            ("doc_id", "int64", ids),
+            pw.NestedListColumn(
+                "grams", "int32", np.asarray(g_vals, np.int32), g_outer,
+                np.asarray(g_inner, np.int64), use_dictionary=True,
+                valid=gvalid, inner_valid=np.asarray(g_ivalid, bool)),
+            pw.ListStructColumn("spans", [
+                ("w", "byte_array", sp_w, None, True),
+                ("n", "int32", np.asarray(sp_nv, np.int32),
+                 np.asarray(sp_nvalid, bool), True),
+            ], sp_lengths, valid=spvalid,
+                element_valid=np.asarray(sp_evalid, bool)),
+            pw.StructColumn("meta", [
+                ("lang", "byte_array", srcs, None, True),
+                ("q", pw.StructColumn("q", [
+                    ("score", "double", n_chars),
+                    ("cnt", "int32", i13, cntvalid, True),
+                ], valid=qvalid)),
+            ], valid=mvalid),
+            pw.StructColumn("prof", [
+                ("x", "int32", (ids % 9).astype(np.int32)),
+                ("tags", pw.ListColumn(
+                    "tags", "byte_array", p_tags, p_lengths,
+                    use_dictionary=True, valid=tvalid)),
+            ], valid=pvalid),
+        ], n, row_group_rows=200, page_rows=64, compression="zstd",
+            utf8_columns={"spans.w", "meta.lang", "prof.tags"})
+        df = spark.read.parquet(out)
+        # F.get, not getItem: ANSI mode (Spark 4 default) makes getItem
+        # throw on out-of-bounds; get returns NULL like the oracle's CASE
+        g = F.col("grams")
+        return df.select(
+            "doc_id",
+            F.get(F.get(g, 0), 0).alias("g00"),
+            F.get(F.get(g, 0), 1).alias("g01"),
+            F.get(F.get(g, 1), 0).alias("g10"),
+            F.when(g.isNotNull(), F.size("grams")).alias("g_n"),
+            F.get(F.col("spans"), 0).getField("w").alias("s0_w"),
+            F.get(F.col("spans"), 0).getField("n").alias("s0_n"),
+            F.get(F.col("spans"), 1).getField("w").alias("s1_w"),
+            F.get(F.col("spans"), 1).getField("n").alias("s1_n"),
+            F.col("meta.lang").alias("m_lang"),
+            F.col("meta.q.score").alias("m_score"),
+            F.col("meta.q.cnt").alias("m_cnt"),
+            F.col("prof.x").alias("p_x"),
+            F.get(F.col("prof.tags"), 0).alias("p_t0"),
+            F.when(F.col("prof.tags").isNotNull(),
+                   F.size("prof.tags")).alias("p_tn"),
+        ).orderBy("doc_id")
+    q["pq_writer_nested"] = pq_writer_nested
+
     # --- multimodal: real pure-numpy decode (PPM/WAV/concat-PPM video) ---
     def media_features(spark: SparkSession, sf: str) -> DataFrame:
         """Feature extraction over persisted real media payloads (binary
@@ -1594,6 +1746,45 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY doc_id
         """,
         "pq_sink_dataset": identity,
+        # deep-nested writer round trip: SQL recomputes every flattened
+        # leaf from documents; each CASE chain mirrors one def-level
+        # accumulation path (null ancestors beat null fields/lists)
+        "pq_writer_nested": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 5 <> 0
+                        THEN CAST(length(text) % 7 AS INTEGER) END AS g00,
+                   CASE WHEN doc_id % 5 <> 0
+                        THEN CAST(doc_id % 13 AS INTEGER) END AS g01,
+                   CASE WHEN doc_id % 5 <> 0 AND doc_id % 3 <> 0
+                             AND doc_id % 7 <> 0
+                        THEN CAST(doc_id % 17 AS INTEGER) END AS g10,
+                   CASE WHEN doc_id % 5 <> 0
+                        THEN CAST(CASE WHEN doc_id % 3 <> 0 THEN 2
+                                       ELSE 1 END AS INTEGER) END AS g_n,
+                   CASE WHEN doc_id % 11 <> 0 THEN source END AS s0_w,
+                   CASE WHEN doc_id % 11 <> 0
+                        THEN CAST(length(text) % 7 AS INTEGER) END AS s0_n,
+                   CASE WHEN doc_id % 11 <> 0 AND doc_id % 13 <> 0
+                        THEN 'k' || CAST(doc_id % 4 AS VARCHAR)
+                        END AS s1_w,
+                   CASE WHEN doc_id % 11 <> 0 AND doc_id % 13 <> 0
+                             AND doc_id % 2 <> 0
+                        THEN CAST(doc_id % 17 AS INTEGER) END AS s1_n,
+                   CASE WHEN doc_id % 7 <> 0 THEN source END AS m_lang,
+                   CASE WHEN doc_id % 7 <> 0 AND doc_id % 3 <> 0
+                        THEN CAST(length(text) AS DOUBLE) END AS m_score,
+                   CASE WHEN doc_id % 7 <> 0 AND doc_id % 3 <> 0
+                             AND doc_id % 2 <> 0
+                        THEN CAST(doc_id % 13 AS INTEGER) END AS m_cnt,
+                   CASE WHEN doc_id % 13 <> 0
+                        THEN CAST(doc_id % 9 AS INTEGER) END AS p_x,
+                   CASE WHEN doc_id % 13 <> 0 AND doc_id % 5 <> 0
+                        THEN source END AS p_t0,
+                   CASE WHEN doc_id % 13 <> 0 AND doc_id % 5 <> 0
+                        THEN CAST(CASE WHEN doc_id % 2 = 0 THEN 1
+                                       ELSE 2 END AS INTEGER) END AS p_tn
+            FROM documents ORDER BY doc_id
+        """,
         "media_features": _media_features_oracle_sql(),
         "neardup_cosine": _neardup_cosine_lsh_oracle_sql(),
         "neardup_cosine_dropped": _neardup_cosine_dropped_oracle_sql(
