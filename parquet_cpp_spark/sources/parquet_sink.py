@@ -76,6 +76,54 @@ def _scalar_parts(col, name: str):
                      "parquet_sink scope")
 
 
+def _leaf_parts(col, name: str, annotations: dict, decimals: dict,
+                allow_flba: bool = True):
+    """``_scalar_parts`` plus temporal/decimal handling for ANY leaf
+    position (flat columns, struct fields at any depth, list/map
+    elements): date32/timestamp store as annotated ints keyed by the
+    dotted leaf name ``name`` (NTZ-aware, same rules as flat columns);
+    decimal128 becomes minimal-width BE FLBA when the leaf shape allows
+    it (``allow_flba=False`` under REPEATED leaves — the writer fails
+    loudly on list<FLBA>, so the error surfaces at spec parse)."""
+    import numpy as np
+    import pyarrow as pa
+
+    typ = col.type
+    if pa.types.is_decimal128(typ):
+        if not allow_flba:
+            raise ValueError(f"column {name}: decimal under a repeated "
+                             "leaf is out of writer scope (list<FLBA>)")
+        from ..logical import decimal_flba_from_arrow
+        valid = None
+        if col.null_count:
+            valid = ~np.asarray(col.is_null())
+        mat, precision, scale = decimal_flba_from_arrow(col)
+        decimals[name] = (precision, scale)
+        return f"flba:{mat.shape[1]}", mat, valid, False
+    if pa.types.is_date32(typ) or pa.types.is_timestamp(typ):
+        if pa.types.is_date32(typ):
+            phys, ann = "int32", "date"
+            col = col.cast(pa.int32())
+        else:
+            unit = typ.unit
+            if unit not in ("ms", "us"):
+                raise ValueError(f"column {name}: timestamp[{unit}] "
+                                 "out of scope (ms/us only)")
+            phys = "int64"
+            # tz-aware arrow timestamps are UTC instants; tz-NAIVE ones
+            # must stay NTZ (see specs_from_arrow docstring)
+            ann = f"timestamp_{unit}" if typ.tz is not None \
+                else f"timestamp_ntz_{unit}"
+            col = col.cast(pa.timestamp(unit)).cast(pa.int64())
+        annotations[name] = ann
+        valid = None
+        if col.null_count:
+            valid = ~np.asarray(col.is_null())
+            col = col.fill_null(0)
+        return phys, col.to_numpy(zero_copy_only=False), valid, False
+    return _scalar_parts(col, name)
+
+
 def _repeated_parts(col, name: str):
     """Arrow list/map array -> (lengths, valid, element range) with the
     null-slot contract enforced: a null slot must have a zero extent (the
@@ -103,16 +151,21 @@ def specs_from_arrow(tbl):
     The bridge between ``mapInArrow`` batches and ``parquet_writer``:
     list columns become ``ListColumn`` (offsets -> lengths, flattened
     values; OPTIONAL slots and nullable elements carried as masks),
-    structs of scalar fields become ``StructColumn``, maps become
-    ``MapColumn``, nullable flat columns carry their validity mask,
-    strings get the UTF8 annotation (dotted keys — ``s.f``, ``m.key`` —
-    for nested leaves), date32/timestamp columns store as annotated
-    int32/int64 (DATE / TIMESTAMP converted types, NTZ-aware),
-    decimal128 columns store as big-endian FLBA at the minimal width for
-    their precision (the reference's DecimalSize coercion,
-    ``arrow/writer.cc:572-604``) with ``decimals[name] = (p, s)``. Fails
-    loudly on shapes the writer doesn't cover (nested lists,
-    struct-in-struct, ns/s timestamps)."""
+    ``list<list<scalar>>`` becomes ``NestedListColumn``,
+    ``list<struct<scalars>>`` becomes ``ListStructColumn``, structs
+    become ``StructColumn`` (struct-in-struct recursively; list fields
+    as nested ``ListColumn`` specs with elements under null ancestors
+    dropped), maps become ``MapColumn``, nullable flat columns carry
+    their validity mask, strings get the UTF8 annotation (dotted keys —
+    ``s.f``, ``m.key`` — for nested leaves), date32/timestamp leaves AT
+    ANY POSITION store as annotated int32/int64 (DATE / TIMESTAMP
+    converted types, NTZ-aware), decimal128 leaves store as big-endian
+    FLBA at the minimal width for their precision (the reference's
+    DecimalSize coercion, ``arrow/writer.cc:572-604``) with
+    ``decimals[key] = (p, s)`` — decimals only outside repeated leaves
+    (no list<FLBA>). Fails loudly on shapes the writer doesn't cover
+    (3-deep lists, nesting inside list<struct> elements, ns/s
+    timestamps)."""
     import numpy as np
     import pyarrow as pa
 
@@ -125,39 +178,7 @@ def specs_from_arrow(tbl):
             col = col.chunk(0) if col.num_chunks \
                 else pa.array([], type=col.type)
         typ = col.type
-        if pa.types.is_decimal128(typ):
-            from ..logical import decimal_flba_from_arrow
-            valid = None
-            if col.null_count:
-                valid = ~np.asarray(col.is_null())
-            mat, precision, scale = decimal_flba_from_arrow(col)
-            decimals[name] = (precision, scale)
-            specs.append((name, f"flba:{mat.shape[1]}", mat, valid))
-        elif pa.types.is_date32(typ) or pa.types.is_timestamp(typ):
-            if pa.types.is_date32(typ):
-                phys, ann = "int32", "date"
-                col = col.cast(pa.int32())
-            else:
-                unit = typ.unit
-                if unit not in ("ms", "us"):
-                    raise ValueError(f"column {name}: timestamp[{unit}] "
-                                     "out of scope (ms/us only)")
-                phys = "int64"
-                # tz-aware arrow timestamps are UTC instants; tz-NAIVE
-                # ones must stay NTZ — writing the legacy converted type
-                # for those would silently turn wall-clock values into
-                # UTC instants (readers shift them by session timezone)
-                ann = f"timestamp_{unit}" if typ.tz is not None \
-                    else f"timestamp_ntz_{unit}"
-                col = col.cast(pa.timestamp(unit)).cast(pa.int64())
-            annotations[name] = ann
-            valid = None
-            if col.null_count:
-                valid = ~np.asarray(col.is_null())
-                col = col.fill_null(0)
-            specs.append((name, phys,
-                          col.to_numpy(zero_copy_only=False), valid))
-        elif pa.types.is_list(typ) or pa.types.is_large_list(typ):
+        if pa.types.is_list(typ) or pa.types.is_large_list(typ):
             lengths, valid, lo, hi = _repeated_parts(col, name)
             child = col.values.slice(lo, hi - lo)
             ctyp = child.type
@@ -167,8 +188,9 @@ def specs_from_arrow(tbl):
                 ilengths, ivalid, ilo, ihi = _repeated_parts(
                     child, f"{name}.element")
                 elems = child.values.slice(ilo, ihi - ilo)
-                ephys, evals, evalid, eutf8 = _scalar_parts(
-                    elems, f"{name}.element.element")
+                ephys, evals, evalid, eutf8 = _leaf_parts(
+                    elems, name, annotations, decimals,
+                    allow_flba=False)
                 if eutf8:
                     utf8.add(name)
                 specs.append(pw.NestedListColumn(
@@ -184,8 +206,9 @@ def specs_from_arrow(tbl):
                 fields = []
                 for i in range(ctyp.num_fields):
                     fld = ctyp.field(i)
-                    fphys, fvals, fvalid, futf8 = _scalar_parts(
-                        child.field(i), f"{name}.{fld.name}")
+                    fphys, fvals, fvalid, futf8 = _leaf_parts(
+                        child.field(i), f"{name}.{fld.name}",
+                        annotations, decimals, allow_flba=False)
                     if futf8:
                         utf8.add(f"{name}.{fld.name}")
                     fields.append((fld.name, fphys, fvals, fvalid,
@@ -194,8 +217,9 @@ def specs_from_arrow(tbl):
                     name, fields, lengths, valid=valid,
                     element_valid=evalid))
             else:
-                ephys, evals, evalid, eutf8 = _scalar_parts(
-                    child, f"{name}.element")
+                ephys, evals, evalid, eutf8 = _leaf_parts(
+                    child, name, annotations, decimals,
+                    allow_flba=False)
                 if eutf8:
                     utf8.add(name)
                 specs.append(pw.ListColumn(
@@ -233,8 +257,9 @@ def specs_from_arrow(tbl):
                             fchild = fchild.filter(
                                 pa.array(keep, pa.bool_()))
                             flengths = np.where(svalid, flengths, 0)
-                        fphys, fvals, fevalid, futf8 = _scalar_parts(
-                            fchild, f"{fdotted}.element")
+                        fphys, fvals, fevalid, futf8 = _leaf_parts(
+                            fchild, fdotted, annotations, decimals,
+                            allow_flba=False)
                         if futf8:
                             utf8.add(fdotted)
                         fields.append((fld.name, pw.ListColumn(
@@ -242,8 +267,8 @@ def specs_from_arrow(tbl):
                             use_dictionary=fphys in _DICT_DEFAULT,
                             valid=flvalid, element_valid=fevalid)))
                         continue
-                    fphys, fvals, fvalid, futf8 = _scalar_parts(
-                        fcol, fdotted)
+                    fphys, fvals, fvalid, futf8 = _leaf_parts(
+                        fcol, fdotted, annotations, decimals)
                     if futf8:
                         utf8.add(fdotted)
                     fields.append((fld.name, fphys, fvals, fvalid,
@@ -260,8 +285,9 @@ def specs_from_arrow(tbl):
                                  "be null")
             kphys, kvals, _kvalid, kutf8 = _scalar_parts(keys,
                                                          f"{name}.key")
-            vphys, vvals, vvalid, vutf8 = _scalar_parts(items,
-                                                        f"{name}.value")
+            vphys, vvals, vvalid, vutf8 = _leaf_parts(
+                items, f"{name}.value", annotations, decimals,
+                allow_flba=False)
             if kutf8:
                 utf8.add(f"{name}.key")
             if vutf8:
@@ -272,7 +298,8 @@ def specs_from_arrow(tbl):
                 key_use_dictionary=kphys in _DICT_DEFAULT,
                 value_use_dictionary=vphys in _DICT_DEFAULT))
         else:
-            phys, vals, valid, is_utf8 = _scalar_parts(col, name)
+            phys, vals, valid, is_utf8 = _leaf_parts(
+                col, name, annotations, decimals)
             if is_utf8:
                 utf8.add(name)
             specs.append((name, phys, vals, valid,

@@ -551,6 +551,57 @@ def test_sink_nested_dataset(tmp_path, spark):
                  "select count(*) from '{p}'") == [(600,)]
 
 
+def test_sink_temporal_decimal_in_nested(tmp_path, spark):
+    """date32 / timestamp (tz + NTZ) / decimal128 leaves INSIDE structs
+    and timestamps inside lists through the sink: annotations and
+    decimal FLBA widths are keyed by the dotted leaf path, and Spark's
+    JVM reader surfaces real temporal/decimal types at every depth."""
+    import datetime as dt
+    from decimal import Decimal
+
+    import pyarrow as pa
+
+    from parquet_cpp_spark.sources.parquet_sink import (
+        _write_one_file, specs_from_arrow)
+
+    tbl = pa.table({
+        "id": pa.array([0, 1, 2], pa.int64()),
+        "meta": pa.array([
+            {"ts": dt.datetime(2024, 1, 1, 12), "d": dt.date(2024, 1, 1),
+             "amt": Decimal("12.34")},
+            None,
+            {"ts": None, "d": dt.date(2025, 6, 30),
+             "amt": Decimal("-0.07")},
+        ], pa.struct([("ts", pa.timestamp("us")), ("d", pa.date32()),
+                      ("amt", pa.decimal128(9, 2))])),
+        "times": pa.array([[dt.datetime(2024, 2, 2)], [], None],
+                          pa.list_(pa.timestamp("ms"))),
+    })
+    _specs, _u, ann, dec = specs_from_arrow(tbl)
+    assert ann == {"meta.ts": "timestamp_ntz_us", "meta.d": "date",
+                   "times": "timestamp_ntz_ms"}
+    assert dec == {"meta.amt": (9, 2)}
+    path = str(tmp_path / "td.parquet")
+    _write_one_file(tbl, path + ".tmp", path, 100, 50, None,
+                    frozenset(), "auto", 1)
+    rows = sorted(spark.read.parquet(path).collect(),
+                  key=lambda r: r.id)
+    assert rows[0].meta.d == dt.date(2024, 1, 1)
+    assert rows[0].meta.amt == Decimal("12.34")
+    assert rows[0].meta.ts == dt.datetime(2024, 1, 1, 12)
+    assert rows[0].times == [dt.datetime(2024, 2, 2)]
+    assert rows[1].meta is None and rows[1].times == []
+    assert rows[2].meta.ts is None
+    assert rows[2].meta.amt == Decimal("-0.07")
+    assert rows[2].times is None
+    assert _duck(path, "select meta.amt from '{p}' order by id") == \
+        [(Decimal("12.34"),), (None,), (Decimal("-0.07"),)]
+    # decimal under a repeated leaf fails loudly at spec parse
+    with pytest.raises(ValueError, match="repeated"):
+        specs_from_arrow(pa.table({"x": pa.array(
+            [[Decimal("1.00")]], pa.list_(pa.decimal128(9, 2)))}))
+
+
 def test_sink_deep_nested_dataset(tmp_path, spark):
     """emit_parquet_dataset with array<array<int>> and struct-in-struct
     columns: specs_from_arrow builds NestedListColumn / recursive
