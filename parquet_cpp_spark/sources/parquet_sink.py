@@ -25,7 +25,10 @@ date32 / timestamp[ms|us] (stored as annotated ints),
 ``list<scalar>`` columns (OPTIONAL slots and nullable elements included),
 structs of scalar fields, and ``map<scalar, scalar>`` columns — all via
 rep/def levels with strings extracted zero-copy from the Arrow buffers.
-Anything else fails loudly. ``encodings='auto'`` applies the engine's
+Any DEEPER nesting (lists/structs/maps stacked to arbitrary depth) falls
+back to the general vectorized rep/def walker
+(``arrow_nested.ArrowColumn``); only leaf types neither path supports
+fail loudly. ``encodings='auto'`` applies the engine's
 codec selector per column per file; ``resume=True`` rebuilds manifest
 rows for already-committed files from their footer metadata instead of
 re-encoding (checkpoint resume for the parquet output).
@@ -163,20 +166,22 @@ def specs_from_arrow(tbl):
     FLBA at the minimal width for their precision (the reference's
     DecimalSize coercion, ``arrow/writer.cc:572-604``) with
     ``decimals[key] = (p, s)`` — decimals only outside repeated leaves
-    (no list<FLBA>). Fails loudly on shapes the writer doesn't cover
-    (3-deep lists, nesting inside list<struct> elements, ns/s
-    timestamps)."""
+    on the fast paths (no list<FLBA>). Shapes the specialized paths
+    don't cover (3-deep lists, nesting inside list<struct> elements,
+    nested map values, ...) fall back to ``arrow_nested.ArrowColumn``,
+    the general vectorized walker; genuinely unsupported leaf types
+    (ns/s timestamps, arbitrary extension types) still fail loudly."""
     import numpy as np
     import pyarrow as pa
 
     from . import parquet_writer as pw
 
     specs, utf8, annotations, decimals = [], set(), {}, {}
-    for name in tbl.column_names:
-        col = tbl.column(name).combine_chunks()
-        if isinstance(col, pa.ChunkedArray):   # older pyarrow: 1-chunk CA
-            col = col.chunk(0) if col.num_chunks \
-                else pa.array([], type=col.type)
+
+    def _spec(col, name):
+        """Specialized fast-path spec for one column. Raises ValueError
+        on shapes these paths don't express — the caller falls back to
+        the general rep/def walker (``arrow_nested.ArrowColumn``)."""
         typ = col.type
         if pa.types.is_list(typ) or pa.types.is_large_list(typ):
             lengths, valid, lo, hi = _repeated_parts(col, name)
@@ -193,11 +198,11 @@ def specs_from_arrow(tbl):
                     allow_flba=False)
                 if eutf8:
                     utf8.add(name)
-                specs.append(pw.NestedListColumn(
+                return pw.NestedListColumn(
                     name, ephys, evals, lengths, ilengths,
                     use_dictionary=ephys in _DICT_DEFAULT,
                     valid=valid, inner_valid=ivalid,
-                    element_valid=evalid))
+                    element_valid=evalid)
             elif pa.types.is_struct(ctyp):
                 # list<struct<scalars>> -> ListStructColumn: one REPEATED
                 # leaf per field, values/masks per element slot
@@ -213,19 +218,19 @@ def specs_from_arrow(tbl):
                         utf8.add(f"{name}.{fld.name}")
                     fields.append((fld.name, fphys, fvals, fvalid,
                                    fphys in _DICT_DEFAULT))
-                specs.append(pw.ListStructColumn(
+                return pw.ListStructColumn(
                     name, fields, lengths, valid=valid,
-                    element_valid=evalid))
+                    element_valid=evalid)
             else:
                 ephys, evals, evalid, eutf8 = _leaf_parts(
                     child, name, annotations, decimals,
                     allow_flba=False)
                 if eutf8:
                     utf8.add(name)
-                specs.append(pw.ListColumn(
+                return pw.ListColumn(
                     name, ephys, evals, lengths,
                     use_dictionary=ephys in _DICT_DEFAULT,
-                    valid=valid, element_valid=evalid))
+                    valid=valid, element_valid=evalid)
         elif pa.types.is_struct(typ):
             def _struct_spec(scol, dotted):
                 svalid = ~np.asarray(scol.is_null()) \
@@ -275,7 +280,7 @@ def specs_from_arrow(tbl):
                                    fphys in _DICT_DEFAULT))
                 return pw.StructColumn(dotted.rsplit(".", 1)[-1], fields,
                                        valid=svalid)
-            specs.append(_struct_spec(col, name))
+            return _struct_spec(col, name)
         elif pa.types.is_map(typ):
             lengths, valid, lo, hi = _repeated_parts(col, name)
             keys = col.keys.slice(lo, hi - lo)
@@ -292,18 +297,42 @@ def specs_from_arrow(tbl):
                 utf8.add(f"{name}.key")
             if vutf8:
                 utf8.add(f"{name}.value")
-            specs.append(pw.MapColumn(
+            return pw.MapColumn(
                 name, kphys, kvals, vphys, vvals, lengths,
                 valid=valid, value_valid=vvalid,
                 key_use_dictionary=kphys in _DICT_DEFAULT,
-                value_use_dictionary=vphys in _DICT_DEFAULT))
+                value_use_dictionary=vphys in _DICT_DEFAULT)
         else:
             phys, vals, valid, is_utf8 = _leaf_parts(
                 col, name, annotations, decimals)
             if is_utf8:
                 utf8.add(name)
-            specs.append((name, phys, vals, valid,
-                          phys == "byte_array"))
+            return (name, phys, vals, valid, phys == "byte_array")
+
+    for name in tbl.column_names:
+        col = tbl.column(name).combine_chunks()
+        if isinstance(col, pa.ChunkedArray):   # older pyarrow: 1-chunk CA
+            col = col.chunk(0) if col.num_chunks \
+                else pa.array([], type=col.type)
+        snap = (set(utf8), dict(annotations), dict(decimals))
+        try:
+            specs.append(_spec(col, name))
+        except ValueError:
+            # shape (or layout contract) outside the specialized fast
+            # paths — deeper nesting, nested list<struct> elements,
+            # nested map values, null list slots with extents: hand the
+            # whole column to the general rep/def walker, which harvests
+            # its own annotation keys (write_file merges them). Roll
+            # back any half-recorded keys from the failed attempt first;
+            # a column NO path supports re-raises from the walker.
+            from .arrow_nested import ArrowColumn
+            utf8.clear()
+            utf8.update(snap[0])
+            annotations.clear()
+            annotations.update(snap[1])
+            decimals.clear()
+            decimals.update(snap[2])
+            specs.append(ArrowColumn(name, col))
     return specs, utf8, annotations, decimals
 
 
@@ -346,7 +375,16 @@ def auto_encodings(specs) -> tuple:
 
     out, delta_cols = [], set()
     for s in specs:
-        if isinstance(s, pw.ListColumn):
+        if hasattr(s, "pcs_leaves"):
+            # general-walker column: run the selector over each leaf's
+            # dense (null-free) value stream and flip the leaf's own
+            # dictionary flag in place — the walker owns its leaves
+            for leaf in s.pcs_leaves():
+                pick = _choose(leaf.name, leaf.phys, leaf.dense, None)
+                if pick is not None:
+                    leaf.use_dictionary = bool(pick)
+            out.append(s)
+        elif isinstance(s, pw.ListColumn):
             pick = _choose(s.name, s.phys, s.values, s.element_valid)
             out.append(pw.ListColumn(
                 s.name, s.phys, s.values, s.lengths,
@@ -428,7 +466,10 @@ def _encodings_tag(specs, delta_cols) -> str:
                                bool(f[4]) if len(f) > 4 else False))
 
     for s in specs:
-        if isinstance(s, (pw.ListColumn, pw.NestedListColumn)):
+        if hasattr(s, "pcs_leaves"):
+            leaves += [(leaf.name, leaf.use_dictionary)
+                       for leaf in s.pcs_leaves()]
+        elif isinstance(s, (pw.ListColumn, pw.NestedListColumn)):
             leaves.append((s.name, s.use_dictionary))
         elif isinstance(s, pw.ListStructColumn):
             leaves += [(f"{s.name}.{f[0]}",
@@ -503,6 +544,8 @@ def _write_one_file(tbl, tmp: str, dest: str, row_group_rows, page_rows,
         return n
 
     def _spec_values(s) -> int:
+        if hasattr(s, "pcs_n_values"):
+            return s.pcs_n_values()
         if isinstance(s, pw.ListColumn):
             return int(np.asarray(s.lengths).sum())
         if isinstance(s, pw.NestedListColumn):

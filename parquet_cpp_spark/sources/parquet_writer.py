@@ -928,6 +928,10 @@ def _struct_leaves(path: list, anc_masks: list, fields: list) -> list:
 
 def _leaves_of(spec) -> list:
     """Top-level column spec -> its leaf chunks in schema DFS order."""
+    if hasattr(spec, "pcs_leaves"):
+        # general-walker spec (sources.arrow_nested.ArrowColumn or any
+        # duck-typed equivalent): the spec owns its leaf construction
+        return spec.pcs_leaves()
     if isinstance(spec, ListColumn):
         return [_list_leaf([spec.name, "list", "element"], spec.phys,
                            spec.values, spec.lengths, spec.valid,
@@ -1225,11 +1229,19 @@ def write_file(path: str, columns: list[tuple], num_rows: int,
     if compression not in _CODEC_IDS:
         raise ValueError(f"unsupported compression {compression!r} "
                          f"(one of {sorted(k for k in _CODEC_IDS if k)})")
-    decimal_columns = decimal_columns or {}
-    annotations = annotations or {}
+    decimal_columns = dict(decimal_columns or {})
+    annotations = dict(annotations or {})
+    utf8_columns = set(utf8_columns)
     spec_list = list(columns)
     cols: list[_Leaf] = []
     for s in spec_list:
+        if hasattr(s, "pcs_annotations"):
+            # general-walker specs harvest utf8/temporal/decimal keys at
+            # construction; merge them so callers need not re-plumb them
+            s_utf8, s_ann, s_dec = s.pcs_annotations()
+            utf8_columns |= s_utf8
+            annotations.update(s_ann)
+            decimal_columns.update(s_dec)
         cols.extend(_leaves_of(s))
     for c in cols:
         if c.n_rows != num_rows:
@@ -1389,7 +1401,11 @@ def write_file(path: str, columns: list[tuple], num_rows: int,
     schema = [[(3, _I32, 0), (4, _BINARY, "schema"),
                (5, _I32, len(spec_list))]]
     for s in spec_list:
-        if isinstance(s, ListColumn):
+        if hasattr(s, "pcs_schema"):
+            # general-walker spec: it emits its own schema subtree (group
+            # skeletons + leaves through _leaf_el for the annotations)
+            schema.extend(s.pcs_schema(_leaf_el))
+        elif isinstance(s, ListColumn):
             # standard 3-level list shape (schema.h:43-77): a group
             # annotated LIST, one REPEATED middle group, the leaf.
             # Spark/pyarrow/DuckDB all read this as array<element>.

@@ -596,10 +596,21 @@ def test_sink_temporal_decimal_in_nested(tmp_path, spark):
     assert rows[2].times is None
     assert _duck(path, "select meta.amt from '{p}' order by id") == \
         [(Decimal("12.34"),), (None,), (Decimal("-0.07"),)]
-    # decimal under a repeated leaf fails loudly at spec parse
-    with pytest.raises(ValueError, match="repeated"):
-        specs_from_arrow(pa.table({"x": pa.array(
-            [[Decimal("1.00")]], pa.list_(pa.decimal128(9, 2)))}))
+    # decimal under a repeated leaf: outside the specialized fast paths,
+    # handled by the general walker fallback (arrow_nested.ArrowColumn)
+    from parquet_cpp_spark.sources.arrow_nested import ArrowColumn
+    ld, _u, _a, _d = specs_from_arrow(pa.table({"x": pa.array(
+        [[Decimal("1.00")]], pa.list_(pa.decimal128(9, 2)))}))
+    assert isinstance(ld[0], ArrowColumn)
+    tbl2 = pa.table({"id": pa.array([0, 1, 2], pa.int32()),
+                     "x": pa.array([[Decimal("1.00"), Decimal("-2.25")],
+                                    None, []],
+                                   pa.list_(pa.decimal128(9, 2)))})
+    path2 = str(tmp_path / "ldec.parquet")
+    _write_one_file(tbl2, path2 + ".tmp", path2, 100, 50, None,
+                    frozenset(), "auto", 1)
+    assert _duck(path2, "select x from '{p}' order by id") == \
+        [([Decimal("1.00"), Decimal("-2.25")],), (None,), ([],)]
 
 
 def test_sink_deep_nested_dataset(tmp_path, spark):

@@ -95,6 +95,7 @@ def test_specs_from_arrow_nullables_and_rejects():
 
     from parquet_cpp_spark.kernels import ba
     from parquet_cpp_spark.sources import parquet_writer as pw
+    from parquet_cpp_spark.sources.arrow_nested import ArrowColumn
     from parquet_cpp_spark.sources.parquet_sink import specs_from_arrow
 
     tbl = pa.table({
@@ -136,10 +137,11 @@ def test_specs_from_arrow_nullables_and_rejects():
     assert isinstance(nl[0], pw.NestedListColumn)
     assert nl[0].outer_lengths.tolist() == [1, 2]
     assert nl[0].inner_lengths.tolist() == [1, 2, 0]
-    with pytest.raises(ValueError, match="out of"):
-        specs_from_arrow(pa.table(
-            {"x": pa.array([[[[1]]]],
-                           pa.list_(pa.list_(pa.list_(pa.int32()))))}))
+    # a third list level falls back to the general rep/def walker
+    deep, _u, _a, _d = specs_from_arrow(pa.table(
+        {"x": pa.array([[[[1]]]],
+                       pa.list_(pa.list_(pa.list_(pa.int32()))))}))
+    assert isinstance(deep[0], ArrowColumn)
     # struct containing a list and list<struct> are now supported specs
     sl, _u, _a, _d = specs_from_arrow(pa.table({"x": pa.array(
         [{"a": [1, 2]}, {"a": None}],
@@ -149,11 +151,11 @@ def test_specs_from_arrow_nullables_and_rejects():
     ls2, _u, _a, _d = specs_from_arrow(pa.table({"x": pa.array(
         [[{"a": 1}], []], pa.list_(pa.struct([("a", pa.int32())])))}))
     assert isinstance(ls2[0], pw.ListStructColumn)
-    # a list nested inside a list<struct> element stays out of scope
-    with pytest.raises(ValueError, match="out of"):
-        specs_from_arrow(pa.table({"x": pa.array(
-            [[{"a": [1]}]],
-            pa.list_(pa.struct([("a", pa.list_(pa.int32()))])))}))
+    # a list nested inside a list<struct> element falls back to the walker
+    lsl, _u, _a, _d = specs_from_arrow(pa.table({"x": pa.array(
+        [[{"a": [1]}]],
+        pa.list_(pa.struct([("a", pa.list_(pa.int32()))])))}))
+    assert isinstance(lsl[0], ArrowColumn)
 
 
 def test_sink_on_sf001_documents_tokens(spark, tmp_path):
