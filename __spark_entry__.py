@@ -1282,6 +1282,115 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("doc_id")
     q["pq_writer_nested"] = pq_writer_nested
 
+    def pq_writer_any_depth(spark: SparkSession, sf: str) -> DataFrame:
+        """ANY-depth nesting through the sink's GENERAL walker fallback
+        (r7, third wave): three column shapes the specialized fast paths
+        reject — list<list<list<int32>>> (3-deep), map<string,
+        list<int32>> (nested map value, incl. a NULL value), and
+        list<struct<a:int32, t:list<string>>> (a list inside a
+        list<struct> element) — go through ``specs_from_arrow`` →
+        ``arrow_nested.ArrowColumn`` (the vectorized analog of the
+        reference's recursive path builder,
+        ``arrow/path_internal.cc``/``arrow/schema.cc``) and out as one
+        engine PAR1 file. Spark's JVM reader re-assembles the trees; the
+        query flattens them to scalars the oracle recomputes from
+        ``documents``. Bounded driver-side construction BY DESIGN (the
+        harness builds the nested arrays; distributed writes are
+        pq_sink_dataset's job)."""
+        import tempfile
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from parquet_cpp_spark.sources.parquet_sink import _write_one_file
+        docs = pq.read_table(os.path.join(sf, "documents.parquet"),
+                             columns=["doc_id", "source"])
+        raw = docs.column("doc_id").to_numpy()
+        order = np.argsort(raw)
+        ids = raw[order]
+        srcs = np.asarray(docs.column("source").to_pylist(),
+                          dtype=object)[order]
+        n = len(ids)
+        g3, ml, lsl = [], [], []
+        for k in range(n):
+            i = int(ids[k])
+            # g3: null row / empty outer / [mid0, [[]]] where mid0 is
+            # null or [[i%7], [i%11, i%13]] — every cut class at depth 3
+            if i % 5 == 0:
+                g3.append(None)
+            elif i % 4 == 0:
+                g3.append([])
+            else:
+                mid0 = None if i % 3 == 0 else [[i % 7], [i % 11, i % 13]]
+                g3.append([mid0, [[]]])
+            # ml: null map / 'a'->list / 'b'->empty list / 'c'->NULL value
+            if i % 7 == 0:
+                ml.append(None)
+            else:
+                m = [("a", [i % 9, i % 5])]
+                if i % 2 == 0:
+                    m.append(("b", []))
+                if i % 3 == 0:
+                    m.append(("c", None))
+                ml.append(m)
+            # lsl: null row / [full struct, null-struct | struct with
+            # null field + null-or-1-elem inner list]
+            if i % 11 == 0:
+                lsl.append(None)
+            else:
+                e0 = {"a": i % 17, "t": [srcs[k]]}
+                if i % 13 == 0:
+                    e1 = None
+                else:
+                    e1 = {"a": i % 19 if i % 2 == 0 else None,
+                          "t": None if i % 3 == 0 else ["k%d" % (i % 4)]}
+                lsl.append([e0, e1])
+        tbl = pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "g3": pa.array(g3, pa.list_(pa.list_(pa.list_(pa.int32())))),
+            "ml": pa.array(ml, pa.map_(pa.string(), pa.list_(pa.int32()))),
+            "lsl": pa.array(lsl, pa.list_(pa.struct(
+                [("a", pa.int32()), ("t", pa.list_(pa.string()))]))),
+        })
+        out = os.path.join(tempfile.gettempdir(),
+                           f"pcs_{os.getuid()}_writer_anydepth_{n}.parquet")
+        _write_one_file(tbl, out + ".tmp", out, 200, 64, "zstd",
+                        frozenset(), "auto", 1)
+        df = spark.read.parquet(out)
+        g = F.col("g3")
+        e1 = F.get(F.col("lsl"), 1)
+        return df.select(
+            "doc_id",
+            F.when(g.isNotNull(), F.size(g)).alias("g_n"),
+            F.get(F.get(F.get(g, 0), 0), 0).alias("g000"),
+            F.get(F.get(F.get(g, 0), 1), 0).alias("g010"),
+            F.get(F.get(F.get(g, 0), 1), 1).alias("g011"),
+            F.when(F.get(g, 1).isNotNull(),
+                   F.size(F.get(g, 1))).alias("g1_n"),
+            F.when(F.get(F.get(g, 1), 0).isNotNull(),
+                   F.size(F.get(F.get(g, 1), 0))).alias("g10_n"),
+            F.when(F.col("ml").isNotNull(),
+                   F.concat_ws(",", F.array_sort(F.map_keys("ml"))))
+            .alias("m_keys"),
+            F.get(F.try_element_at("ml", F.lit("a")), 0).alias("m_a0"),
+            F.get(F.try_element_at("ml", F.lit("a")), 1).alias("m_a1"),
+            F.when(F.try_element_at("ml", F.lit("b")).isNotNull(),
+                   F.size(F.try_element_at("ml", F.lit("b"))))
+            .alias("m_b_n"),
+            F.when(F.col("lsl").isNotNull(),
+                   F.size("lsl")).alias("l_n"),
+            F.get(F.col("lsl"), 0).getField("a").alias("l_a0"),
+            F.get(F.get(F.col("lsl"), 0).getField("t"), 0).alias("l_t00"),
+            F.when(F.col("lsl").isNotNull(),
+                   e1.isNull()).alias("l_e1null"),
+            e1.getField("a").alias("l_a1"),
+            F.get(e1.getField("t"), 0).alias("l_t10"),
+            F.when(e1.getField("t").isNotNull(),
+                   F.size(e1.getField("t"))).alias("l_t1n"),
+        ).orderBy("doc_id")
+    q["pq_writer_any_depth"] = pq_writer_any_depth
+
     # --- multimodal: real pure-numpy decode (PPM/WAV/concat-PPM video) ---
     def media_features(spark: SparkSession, sf: str) -> DataFrame:
         """Feature extraction over persisted real media payloads (binary
@@ -1783,6 +1892,56 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN doc_id % 13 <> 0 AND doc_id % 5 <> 0
                         THEN CAST(CASE WHEN doc_id % 2 = 0 THEN 1
                                        ELSE 2 END AS INTEGER) END AS p_tn
+            FROM documents ORDER BY doc_id
+        """,
+        "pq_writer_any_depth": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 5 = 0 THEN NULL
+                        WHEN doc_id % 4 = 0 THEN CAST(0 AS INTEGER)
+                        ELSE CAST(2 AS INTEGER) END AS g_n,
+                   CASE WHEN doc_id % 5 <> 0 AND doc_id % 4 <> 0
+                             AND doc_id % 3 <> 0
+                        THEN CAST(doc_id % 7 AS INTEGER) END AS g000,
+                   CASE WHEN doc_id % 5 <> 0 AND doc_id % 4 <> 0
+                             AND doc_id % 3 <> 0
+                        THEN CAST(doc_id % 11 AS INTEGER) END AS g010,
+                   CASE WHEN doc_id % 5 <> 0 AND doc_id % 4 <> 0
+                             AND doc_id % 3 <> 0
+                        THEN CAST(doc_id % 13 AS INTEGER) END AS g011,
+                   CASE WHEN doc_id % 5 <> 0 AND doc_id % 4 <> 0
+                        THEN CAST(1 AS INTEGER) END AS g1_n,
+                   CASE WHEN doc_id % 5 <> 0 AND doc_id % 4 <> 0
+                        THEN CAST(0 AS INTEGER) END AS g10_n,
+                   CASE WHEN doc_id % 7 <> 0
+                        THEN 'a'
+                             || CASE WHEN doc_id % 2 = 0
+                                     THEN ',b' ELSE '' END
+                             || CASE WHEN doc_id % 3 = 0
+                                     THEN ',c' ELSE '' END
+                        END AS m_keys,
+                   CASE WHEN doc_id % 7 <> 0
+                        THEN CAST(doc_id % 9 AS INTEGER) END AS m_a0,
+                   CASE WHEN doc_id % 7 <> 0
+                        THEN CAST(doc_id % 5 AS INTEGER) END AS m_a1,
+                   CASE WHEN doc_id % 7 <> 0 AND doc_id % 2 = 0
+                        THEN CAST(0 AS INTEGER) END AS m_b_n,
+                   CASE WHEN doc_id % 11 <> 0
+                        THEN CAST(2 AS INTEGER) END AS l_n,
+                   CASE WHEN doc_id % 11 <> 0
+                        THEN CAST(doc_id % 17 AS INTEGER) END AS l_a0,
+                   CASE WHEN doc_id % 11 <> 0 THEN source END AS l_t00,
+                   CASE WHEN doc_id % 11 <> 0
+                        THEN (doc_id % 13 = 0) END AS l_e1null,
+                   CASE WHEN doc_id % 11 <> 0 AND doc_id % 13 <> 0
+                             AND doc_id % 2 = 0
+                        THEN CAST(doc_id % 19 AS INTEGER) END AS l_a1,
+                   CASE WHEN doc_id % 11 <> 0 AND doc_id % 13 <> 0
+                             AND doc_id % 3 <> 0
+                        THEN 'k' || CAST(doc_id % 4 AS VARCHAR)
+                        END AS l_t10,
+                   CASE WHEN doc_id % 11 <> 0 AND doc_id % 13 <> 0
+                             AND doc_id % 3 <> 0
+                        THEN CAST(1 AS INTEGER) END AS l_t1n
             FROM documents ORDER BY doc_id
         """,
         "media_features": _media_features_oracle_sql(),
