@@ -148,6 +148,10 @@ class FileMeta:
     row_groups: list[list[ColumnChunkMeta]] = field(default_factory=list)
     rg_rows: list[int] = field(default_factory=list)   # rows per row group
     key_value_metadata: dict[str, str] = field(default_factory=dict)
+    # raw SchemaElement thrift dicts (preorder, root included) — the
+    # record assembler (sources/record_assembly.py) rebuilds the full
+    # group tree from these; leaf-only consumers can ignore them
+    schema_raw: list = field(default_factory=list)
 
 
 def _parse_schema(elements: list[dict]) -> list[LeafColumn]:
@@ -192,7 +196,7 @@ def read_footer(mv: memoryview) -> FileMeta:
     meta_len = int.from_bytes(mv[-8:-4], "little")
     fmd = _Compact(mv, len(mv) - 8 - meta_len).struct()
     leaves = _parse_schema(fmd[2])
-    out = FileMeta(num_rows=fmd[3], leaves=leaves)
+    out = FileMeta(num_rows=fmd[3], leaves=leaves, schema_raw=fmd[2])
     for kv in fmd.get(5, []):
         # errors='replace': pyarrow permits arbitrary BYTES keys/values
         # (e.g. raw ARROW:schema payloads); a non-UTF-8 entry must not
