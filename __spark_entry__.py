@@ -1282,21 +1282,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("doc_id")
     q["pq_writer_nested"] = pq_writer_nested
 
-    def pq_writer_any_depth(spark: SparkSession, sf: str) -> DataFrame:
-        """ANY-depth nesting through the sink's GENERAL walker fallback
-        (r7, third wave): three column shapes the specialized fast paths
-        reject — list<list<list<int32>>> (3-deep), map<string,
-        list<int32>> (nested map value, incl. a NULL value), and
-        list<struct<a:int32, t:list<string>>> (a list inside a
-        list<struct> element) — go through ``specs_from_arrow`` →
-        ``arrow_nested.ArrowColumn`` (the vectorized analog of the
-        reference's recursive path builder,
-        ``arrow/path_internal.cc``/``arrow/schema.cc``) and out as one
-        engine PAR1 file. Spark's JVM reader re-assembles the trees; the
-        query flattens them to scalars the oracle recomputes from
-        ``documents``. Bounded driver-side construction BY DESIGN (the
-        harness builds the nested arrays; distributed writes are
-        pq_sink_dataset's job)."""
+    def _write_any_depth_file(sf: str, tag: str) -> str:
+        """Build the any-depth nested table (deterministic from
+        ``documents`` doc_ids) and write it as ONE engine PAR1 file via
+        the sink's walker fallback; returns the file path. Shared by
+        pq_writer_any_depth (Spark JVM read-back) and pq_read_assembly
+        (engine record-assembly read-back)."""
         import tempfile
 
         import numpy as np
@@ -1354,9 +1345,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 [("a", pa.int32()), ("t", pa.list_(pa.string()))]))),
         })
         out = os.path.join(tempfile.gettempdir(),
-                           f"pcs_{os.getuid()}_writer_anydepth_{n}.parquet")
+                           f"pcs_{os.getuid()}_{tag}_{n}.parquet")
         _write_one_file(tbl, out + ".tmp", out, 200, 64, "zstd",
                         frozenset(), "auto", 1)
+        return out
+
+    def pq_writer_any_depth(spark: SparkSession, sf: str) -> DataFrame:
+        """ANY-depth nesting through the sink's GENERAL walker fallback
+        (r7, third wave): three column shapes the specialized fast paths
+        reject — list<list<list<int32>>> (3-deep), map<string,
+        list<int32>> (nested map value, incl. a NULL value), and
+        list<struct<a:int32, t:list<string>>> (a list inside a
+        list<struct> element) — go through ``specs_from_arrow`` →
+        ``arrow_nested.ArrowColumn`` (the vectorized analog of the
+        reference's recursive path builder,
+        ``arrow/path_internal.cc``/``arrow/schema.cc``) and out as one
+        engine PAR1 file. Spark's JVM reader re-assembles the trees; the
+        query flattens them to scalars the oracle recomputes from
+        ``documents``. Bounded driver-side construction BY DESIGN (the
+        harness builds the nested arrays; distributed writes are
+        pq_sink_dataset's job)."""
+        out = _write_any_depth_file(sf, "writer_anydepth")
         df = spark.read.parquet(out)
         g = F.col("g3")
         e1 = F.get(F.col("lsl"), 1)
@@ -1390,6 +1399,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                    F.size(e1.getField("t"))).alias("l_t1n"),
         ).orderBy("doc_id")
     q["pq_writer_any_depth"] = pq_writer_any_depth
+
+    def pq_read_assembly(spark: SparkSession, sf: str) -> DataFrame:
+        """Dremel record ASSEMBLY under the oracle: the same any-depth
+        nested file as pq_writer_any_depth, but read back by the
+        ENGINE'S OWN reader (``sources/record_assembly.assemble_file``
+        — rep/def levels to whole nested Arrow trees, the reference's
+        ``arrow/reader.cc`` read path; no pyarrow.parquet, no Spark JVM
+        reader anywhere in the decode). The assembled trees are
+        flattened to the identical 18 scalars and compared against the
+        same documents-derived oracle. Bounded driver-side loop BY
+        DESIGN: the harness walks 500 assembled rows; the distributed
+        read path is pq_sink_dataset/point_lookup's job."""
+        from parquet_cpp_spark.sources.record_assembly import \
+            assemble_file
+
+        out = _write_any_depth_file(sf, "read_assembly")
+        tbl = assemble_file(out)
+        rows = []
+        ids = tbl.column("doc_id").to_pylist()
+        g3s = tbl.column("g3").to_pylist()
+        mls = tbl.column("ml").to_pylist()
+        lsls = tbl.column("lsl").to_pylist()
+
+        def _get(seq, *idx):
+            cur = seq
+            for i in idx:
+                if cur is None or not isinstance(cur, (list, tuple)) \
+                        or i >= len(cur):
+                    return None
+                cur = cur[i]
+            return cur
+
+        for did, g3, ml, lsl in zip(ids, g3s, mls, lsls):
+            md = dict(ml) if ml is not None else None
+            e1 = _get(lsl, 1)
+            t1 = e1.get("t") if isinstance(e1, dict) else None
+            rows.append((
+                did,
+                len(g3) if g3 is not None else None,
+                _get(g3, 0, 0, 0), _get(g3, 0, 1, 0), _get(g3, 0, 1, 1),
+                len(g3[1]) if _get(g3, 1) is not None else None,
+                len(g3[1][0]) if _get(g3, 1, 0) is not None else None,
+                ",".join(sorted(md)) if md is not None else None,
+                _get(md.get("a"), 0) if md is not None else None,
+                _get(md.get("a"), 1) if md is not None else None,
+                len(md["b"]) if md is not None
+                and md.get("b") is not None else None,
+                len(lsl) if lsl is not None else None,
+                _get(lsl, 0) and lsl[0].get("a"),
+                _get(lsl[0].get("t"), 0) if _get(lsl, 0) else None,
+                (e1 is None) if lsl is not None else None,
+                e1.get("a") if isinstance(e1, dict) else None,
+                _get(t1, 0),
+                len(t1) if t1 is not None else None,
+            ))
+        sdf = spark.createDataFrame(
+            rows,
+            schema="doc_id bigint, g_n int, g000 int, g010 int, "
+                   "g011 int, g1_n int, g10_n int, m_keys string, "
+                   "m_a0 int, m_a1 int, m_b_n int, l_n int, l_a0 int, "
+                   "l_t00 string, l_e1null boolean, l_a1 int, "
+                   "l_t10 string, l_t1n int")
+        return sdf.orderBy("doc_id")
+    q["pq_read_assembly"] = pq_read_assembly
 
     # --- multimodal: real pure-numpy decode (PPM/WAV/concat-PPM video) ---
     def media_features(spark: SparkSession, sf: str) -> DataFrame:
@@ -2114,4 +2187,7 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rank <= 10
         """,
     }
+    # the engine's record-assembly read of the any-depth file flattens
+    # to the IDENTICAL scalars as the Spark-JVM read — same oracle
+    o["pq_read_assembly"] = o["pq_writer_any_depth"]
     return o
