@@ -421,19 +421,31 @@ def _build(node: _Node, leaf_data: dict, starts: dict, d_base: int,
         null_count=null_count, children=children)
 
 
-def assemble_file(path: str):
+def assemble_file(path: str, columns=None):
     """Engine-read parquet file -> fully re-assembled ``pyarrow.Table``
     (nested lists/structs/maps reconstructed from rep/def levels; no
-    pyarrow.parquet involved anywhere)."""
+    pyarrow.parquet involved anywhere). ``columns`` prunes to the named
+    top-level columns — chunks of pruned columns are never read or
+    decompressed."""
     import pyarrow as pa
 
     with open(path, "rb") as f:
         mv = memoryview(f.read())
     meta = fmt.read_footer(mv)
+    tree = _schema_tree(meta.schema_raw)
+    if columns is not None:
+        missing = set(columns) - {t.name for t in tree}
+        if missing:
+            raise ValueError(f"columns not in file: {sorted(missing)} "
+                             f"(have {[t.name for t in tree]})")
+        tree = [t for t in tree if t.name in set(columns)]
+    needed = {lp for t in tree for lp in _leaves_under(t)}
     by_path = {lf.name: lf for lf in meta.leaves}
     streams: dict[str, list] = {}
     for rg in meta.row_groups:
         for chunk in rg:
+            if chunk.path not in needed:   # column pruning: untouched
+                continue                   # chunks are never decoded
             streams.setdefault(chunk.path, []).append(
                 fmt.read_column(mv, by_path[chunk.path], chunk))
     leaf_data = {}
@@ -446,7 +458,6 @@ def assemble_file(path: str):
             np.concatenate(defs) if defs else None,
             np.concatenate(reps) if reps else None,
             by_path[lp])
-    tree = _schema_tree(meta.schema_raw)
     names, arrays = [], []
     for top in tree:
         leaves = _leaves_under(top)
@@ -459,3 +470,91 @@ def assemble_file(path: str):
         names.append(top.name)
         arrays.append(_build(top, leaf_data, starts, 0, 0))
     return pa.table(dict(zip(names, arrays)))
+
+
+def _node_arrow_field(node: _Node):
+    """Schema-only mirror of _build's type construction (same defaults,
+    so declared and assembled types match exactly)."""
+    import pyarrow as pa
+    if node.leaf is not None:
+        return pa.field(node.name, _leaf_arrow_type(node))
+    one_rep_child = (len(node.children) == 1 and node.children[0].rep == 2)
+    is_map = node.conv == _CONV_MAP or (
+        one_rep_child and (node.children[0].conv == _CONV_MKV
+                           or (node.conv is None
+                               and len(node.children[0].children) == 2)))
+    if is_map:
+        kv = node.children[0]
+        return pa.field(node.name, pa.map_(
+            _node_arrow_field(kv.children[0]).type,
+            _node_arrow_field(kv.children[1]).type))
+    if node.conv == _CONV_LIST or (node.conv is None and one_rep_child):
+        elem = node.children[0].children[0]
+        return pa.field(node.name, pa.list_(_node_arrow_field(elem).type))
+    return pa.field(node.name, pa.struct(
+        [_node_arrow_field(c) for c in node.children]))
+
+
+def file_schema(path: str, columns=None):
+    """Footer-only Arrow schema of an engine-readable parquet file
+    (exactly the types ``assemble_file`` produces)."""
+    import pyarrow as pa
+
+    with open(path, "rb") as f:
+        mv = memoryview(f.read())
+    tree = _schema_tree(fmt.read_footer(mv).schema_raw)
+    if columns is not None:
+        missing = set(columns) - {t.name for t in tree}
+        if missing:
+            raise ValueError(f"columns not in file: {sorted(missing)} "
+                             f"(have {[t.name for t in tree]})")
+        tree = [t for t in tree if t.name in set(columns)]
+    return pa.schema([_node_arrow_field(t) for t in tree])
+
+
+def read_parquet_dataset(spark, src: str, columns=None):
+    """Distributed ENGINE-NATIVE scan of a parquet dataset directory:
+    executors assemble whole nested Arrow batches from rep/def levels
+    (``assemble_file``) — no Spark JVM parquet reader, no
+    pyarrow.parquet, anywhere in the decode. The symmetric pair of
+    ``parquet_sink.write_parquet_dataset`` (executors write engine
+    parquet, executors read it back).
+
+    Scale shape: one file per task slot via ``parallelize`` with an
+    explicit slice count (no shuffle stage); only file PATHS cross the
+    JVM going out and Arrow record batches come back through the
+    mapInArrow channel; ``columns`` prunes untouched column chunks at
+    the byte level (never decompressed). Mirrors the reference's
+    multi-threaded column-parallel reads (``file_reader.cc:63-135``,
+    ``arrow/reader.cc`` FileReader) with Spark tasks as the thread
+    pool."""
+    import glob as _glob
+    import os as _os
+
+    from ..shipping import ensure_shipped
+    ensure_shipped(spark)
+
+    files = sorted(
+        f for f in _glob.glob(_os.path.join(src, "*.parquet"))
+        if not _os.path.basename(f).startswith("."))
+    if not files:
+        raise ValueError(f"no parquet files under {src!r}")
+    aschema = file_schema(files[0], columns=columns)
+    from pyspark.sql.pandas.types import from_arrow_schema
+    sschema = from_arrow_schema(aschema)
+    cores = spark.sparkContext.defaultParallelism
+    n_parts = min(len(files), max(1, cores))
+    paths_df = spark.createDataFrame(
+        spark.sparkContext.parallelize([(f,) for f in files], n_parts),
+        "path string")
+    cols = list(columns) if columns is not None else None
+
+    def task(batches):
+        for batch in batches:
+            for p in batch.column("path").to_pylist():
+                tbl = assemble_file(p, columns=cols)
+                if cols is not None:
+                    tbl = tbl.select(cols)   # caller's column order
+                yield from tbl.to_batches()
+
+    return paths_df.mapInArrow(task, schema=sschema)

@@ -160,15 +160,19 @@ def test_reference_golden_files(fname):
     _assert_equal(pq.read_table(path), assemble_file(path))
 
 
-def test_spark_jvm_written(tmp_path):
+@pytest.fixture(scope="module")
+def spark():
+    from parquet_cpp_spark.session import get_spark
+    return get_spark(master="local[4]", app_name="pcs-assembly",
+                     shuffle_partitions=4)
+
+
+def test_spark_jvm_written(tmp_path, spark):
     """Foreign writer #3: Spark's JVM parquet writer (snappy, dict) —
     the engine assembles the exact rows back, nested arrays included."""
     from pyspark.sql import functions as F
 
-    from parquet_cpp_spark.session import get_spark
     import pyarrow.parquet as pq
-    spark = get_spark(master="local[2]", app_name="pcs-assembly",
-                      shuffle_partitions=2)
     out_dir = str(tmp_path / "sp")
     (spark.range(50)
      .withColumn("tokens", F.sequence(F.lit(0), F.col("id") % 7))
@@ -181,3 +185,64 @@ def test_spark_jvm_written(tmp_path):
     part = [f for f in os.listdir(out_dir) if f.endswith(".parquet")][0]
     path = os.path.join(out_dir, part)
     _assert_equal(pq.read_table(path), assemble_file(path))
+
+
+def test_read_parquet_dataset_distributed(tmp_path, spark):
+    """Distributed ENGINE-NATIVE scan: executors assemble Arrow batches
+    from rep/def levels (read_parquet_dataset) over a dataset the
+    ENGINE's distributed sink wrote — engine writes, engine reads,
+    and the result row-hashes identically to Spark's JVM reader on the
+    same directory. Column pruning yields only the asked-for columns
+    and one task per file."""
+    from pyspark.sql import functions as F
+
+    from parquet_cpp_spark.sources.parquet_sink import \
+        write_parquet_dataset
+    from parquet_cpp_spark.sources.record_assembly import \
+        file_schema, read_parquet_dataset
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    (spark.range(800)
+     .withColumn("doc_id", F.col("id"))
+     .withColumn("tokens",
+                 F.sequence(F.lit(0), (F.col("id") % 13).cast("int")))
+     .withColumn("n_tok", (F.col("id") % 13 + 1).cast("int"))
+     .withColumn("source", F.concat(F.lit("s"), F.col("id") % 3))
+     .withColumn("meta", F.struct(
+         (F.col("id") % 7).cast("int").alias("a"),
+         F.when(F.col("id") % 3 != 0,
+                F.col("id").cast("double")).alias("b")))
+     .drop("id").repartition(4)
+     .write.mode("overwrite").parquet(src))
+    # the manifest is lazy: materialize it to run the distributed write
+    assert write_parquet_dataset(spark, src, out).count() >= 4
+
+    def csum(df):
+        h = F.xxhash64("doc_id", "tokens", "n_tok", "source", "meta") \
+            .cast("decimal(38,0)")
+        return df.agg(F.sum(h).alias("h"),
+                      F.count("*").alias("n")).collect()[0]
+
+    eng = read_parquet_dataset(spark, out)
+    a, b = csum(eng), csum(spark.read.parquet(out))
+    assert (a.h, a.n) == (b.h, b.n) and a.n == 800
+    # one task per file, no shuffle stage
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert eng.rdd.getNumPartitions() <= len(files)
+    # schema-only inference matches the assembled types
+    import pyarrow as pa
+    sch = file_schema(os.path.join(out, sorted(files)[0]))
+    assert sch.field("tokens").type == pa.list_(pa.int32())
+    assert sch.field("meta").type == pa.struct(
+        [pa.field("a", pa.int32()), pa.field("b", pa.float64())])
+    # pruned read: only the asked-for columns, same rows
+    pruned = read_parquet_dataset(spark, out, columns=["doc_id", "n_tok"])
+    assert pruned.columns == ["doc_id", "n_tok"]
+    assert pruned.count() == 800
+    got = pruned.agg(F.sum("n_tok").alias("s")).collect()[0].s
+    want = (spark.read.parquet(out)
+            .agg(F.sum("n_tok").alias("s")).collect()[0].s)
+    assert got == want
+    with pytest.raises(ValueError, match="columns not in file"):
+        read_parquet_dataset(spark, out, columns=["nope"]).count()
