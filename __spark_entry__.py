@@ -1130,6 +1130,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _digest(spark.read.parquet(out))
     q["pq_sink_dataset"] = pq_sink_dataset
 
+    def pq_engine_scan(spark: SparkSession, sf: str) -> DataFrame:
+        """The FULL engine loop distributed in BOTH directions (r7):
+        executors write the token table as engine PAR1 files
+        (emit_parquet_dataset), then OTHER executors scan the directory
+        back with the engine's own reader — read_parquet_dataset
+        assembles Arrow batches from rep/def levels per task (the
+        reference's FileReader column-parallel reads,
+        file_reader.cc:63-135 + arrow/reader.cc, with Spark tasks as
+        the thread pool); no Spark JVM parquet reader and no
+        pyarrow.parquet anywhere in the decode. The result must hash
+        identically to the token-table identity oracle."""
+        import shutil
+        import tempfile
+
+        from parquet_cpp_spark.sources.parquet_sink import \
+            emit_parquet_dataset
+        from parquet_cpp_spark.sources.record_assembly import \
+            read_parquet_dataset
+        src = tokens_src.tokens_from_documents(spark, sf, _parts(sf))
+        df = (src.select("doc_id", "tokens", "n_tok", "source")
+              .repartition(4, "doc_id")
+              .sortWithinPartitions("doc_id"))
+        out = os.path.join(tempfile.gettempdir(),
+                           f"pcs_{os.getuid()}_engine_scan")
+        shutil.rmtree(out, ignore_errors=True)
+        emit_parquet_dataset(df, out, encodings="auto").collect()
+        return _digest(read_parquet_dataset(spark, out))
+    q["pq_engine_scan"] = pq_engine_scan
+
     def pq_writer_nested(spark: SparkSession, sf: str) -> DataFrame:
         """DEEP nesting through the engine's PAR1 writer (r7, second
         wave): list<list<int32>> (max_rep 2, nullable inner lists),
@@ -1928,6 +1957,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY doc_id
         """,
         "pq_sink_dataset": identity,
+        "pq_engine_scan": identity,
         # deep-nested writer round trip: SQL recomputes every flattened
         # leaf from documents; each CASE chain mirrors one def-level
         # accumulation path (null ancestors beat null fields/lists)
