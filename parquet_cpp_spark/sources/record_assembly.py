@@ -421,16 +421,39 @@ def _build(node: _Node, leaf_data: dict, starts: dict, d_base: int,
         null_count=null_count, children=children)
 
 
-def assemble_file(path: str, columns=None):
+def assemble_file(path: str, columns=None, row_groups=None):
     """Engine-read parquet file -> fully re-assembled ``pyarrow.Table``
     (nested lists/structs/maps reconstructed from rep/def levels; no
     pyarrow.parquet involved anywhere). ``columns`` prunes to the named
     top-level columns — chunks of pruned columns are never read or
-    decompressed."""
-    import pyarrow as pa
+    decompressed. ``row_groups`` restricts to the given row-group
+    indices (the distributed scan's split unit — mirrors the JVM
+    reader's row-group splits).
+
+    I/O strategy: full reads (no column or row-group restriction) use
+    one buffered ``read()`` — a single syscall beats per-page mmap
+    faults on bandwidth-bound hosts when every byte is needed anyway;
+    restricted reads mmap instead, so a task only faults in the footer
+    plus its own chunks' byte ranges (every decoded buffer is copied
+    out before the mapping is released)."""
+    if row_groups is None and columns is None:
+        with open(path, "rb") as f:
+            return _assemble_mv(memoryview(f.read()), None, None)
+    import mmap
 
     with open(path, "rb") as f:
-        mv = memoryview(f.read())
+        m = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+    mv = memoryview(m)
+    try:
+        return _assemble_mv(mv, columns, row_groups)
+    finally:
+        mv.release()
+        m.close()
+
+
+def _assemble_mv(mv: memoryview, columns, row_groups):
+    import pyarrow as pa
+
     meta = fmt.read_footer(mv)
     tree = _schema_tree(meta.schema_raw)
     if columns is not None:
@@ -441,14 +464,20 @@ def assemble_file(path: str, columns=None):
         tree = [t for t in tree if t.name in set(columns)]
     needed = {lp for t in tree for lp in _leaves_under(t)}
     by_path = {lf.name: lf for lf in meta.leaves}
+    rg_list = meta.row_groups if row_groups is None else \
+        [meta.row_groups[i] for i in row_groups]
     streams: dict[str, list] = {}
-    for rg in meta.row_groups:
+    for rg in rg_list:
         for chunk in rg:
             if chunk.path not in needed:   # column pruning: untouched
                 continue                   # chunks are never decoded
             streams.setdefault(chunk.path, []).append(
                 fmt.read_column(mv, by_path[chunk.path], chunk))
     leaf_data = {}
+    for lp in needed:        # zero-row-group selections -> empty leaves
+        if lp not in streams:
+            leaf_data[lp] = _LeafData(np.zeros(0), None, None,
+                                      by_path[lp])
     for lp, pieces in streams.items():
         vals = fmt._concat([v for v, _, _ in pieces])
         defs = [d for _, d, _ in pieces if d is not None]
@@ -495,14 +524,30 @@ def _node_arrow_field(node: _Node):
         [_node_arrow_field(c) for c in node.children]))
 
 
+def footer_meta(path: str):
+    """FileMeta from the footer bytes ONLY (no data-page I/O): reads the
+    trailing ``meta_len + 8`` bytes and re-frames them behind a PAR1
+    prefix so ``read_footer``'s offsets line up. Chunk byte offsets in
+    the result are absolute file offsets and must not be dereferenced
+    against this buffer — schema / row counts / per-rg chunk lists are
+    what this is for (the driver's split planning)."""
+    import os as _os
+
+    size = _os.path.getsize(path)
+    with open(path, "rb") as f:
+        f.seek(size - 8)
+        meta_len = int.from_bytes(f.read(4), "little")
+        f.seek(size - 8 - meta_len)
+        tail = f.read(meta_len + 8)
+    return fmt.read_footer(memoryview(b"PAR1" + tail))
+
+
 def file_schema(path: str, columns=None):
     """Footer-only Arrow schema of an engine-readable parquet file
     (exactly the types ``assemble_file`` produces)."""
     import pyarrow as pa
 
-    with open(path, "rb") as f:
-        mv = memoryview(f.read())
-    tree = _schema_tree(fmt.read_footer(mv).schema_raw)
+    tree = _schema_tree(footer_meta(path).schema_raw)
     if columns is not None:
         missing = set(columns) - {t.name for t in tree}
         if missing:
@@ -520,14 +565,17 @@ def read_parquet_dataset(spark, src: str, columns=None):
     ``parquet_sink.write_parquet_dataset`` (executors write engine
     parquet, executors read it back).
 
-    Scale shape: one file per task slot via ``parallelize`` with an
-    explicit slice count (no shuffle stage); only file PATHS cross the
-    JVM going out and Arrow record batches come back through the
-    mapInArrow channel; ``columns`` prunes untouched column chunks at
-    the byte level (never decompressed). Mirrors the reference's
-    multi-threaded column-parallel reads (``file_reader.cc:63-135``,
-    ``arrow/reader.cc`` FileReader) with Spark tasks as the thread
-    pool."""
+    Scale shape: the split unit is the ROW GROUP, like the JVM reader —
+    the driver plans splits from footer-only metadata (``footer_meta``,
+    no data I/O), ships (path, rg) pairs via ``parallelize`` with an
+    explicit slice count (no shuffle stage), and each task mmaps its
+    file and faults in only its own chunks' byte ranges. Only split
+    tuples cross the JVM going out; Arrow record batches come back
+    through the mapInArrow channel. ``columns`` prunes untouched column
+    chunks at the byte level (never decompressed). Mirrors the
+    reference's multi-threaded column-parallel reads
+    (``file_reader.cc:63-135``, ``arrow/reader.cc`` FileReader) with
+    Spark tasks as the thread pool."""
     import glob as _glob
     import os as _os
 
@@ -542,19 +590,30 @@ def read_parquet_dataset(spark, src: str, columns=None):
     aschema = file_schema(files[0], columns=columns)
     from pyspark.sql.pandas.types import from_arrow_schema
     sschema = from_arrow_schema(aschema)
+    splits = []
+    for f in files:
+        n_rg = len(footer_meta(f).row_groups)
+        splits += [(f, rg, n_rg) for rg in range(n_rg)]
     cores = spark.sparkContext.defaultParallelism
-    n_parts = min(len(files), max(1, cores))
-    paths_df = spark.createDataFrame(
-        spark.sparkContext.parallelize([(f,) for f in files], n_parts),
-        "path string")
+    n_parts = min(len(splits), max(1, cores * 2))
+    splits_df = spark.createDataFrame(
+        spark.sparkContext.parallelize(splits, n_parts),
+        "path string, rg int, n_rg int")
     cols = list(columns) if columns is not None else None
 
     def task(batches):
         for batch in batches:
-            for p in batch.column("path").to_pylist():
-                tbl = assemble_file(p, columns=cols)
+            paths = batch.column("path").to_pylist()
+            rgs = batch.column("rg").to_pylist()
+            n_rgs = batch.column("n_rg").to_pylist()
+            for p, rg, n_rg in zip(paths, rgs, n_rgs):
+                # single-rg file: whole-file buffered read (one syscall,
+                # no per-page mmap faults); multi-rg: mmap + rg ranges
+                tbl = assemble_file(
+                    p, columns=cols,
+                    row_groups=[rg] if n_rg > 1 else None)
                 if cols is not None:
                     tbl = tbl.select(cols)   # caller's column order
                 yield from tbl.to_batches()
 
-    return paths_df.mapInArrow(task, schema=sschema)
+    return splits_df.mapInArrow(task, schema=sschema)
