@@ -179,6 +179,24 @@ def cmd_parquet(path: str, scan: bool) -> None:
               f"({total / max(w, 1e-9) / 1e6:.1f} M values/s)")
 
 
+def cmd_assemble(path: str, head: int = 10) -> None:
+    """Whole-record assembly dump: engine-read the file into a full
+    nested Arrow table (sources/record_assembly) and print schema +
+    first rows — the reference printer.cc DebugPrint analog, with zero
+    pyarrow.parquet in the decode."""
+    import time
+
+    from .sources.record_assembly import assemble_file
+    t0 = time.perf_counter()
+    tbl = assemble_file(path)
+    dt = time.perf_counter() - t0
+    print(tbl.schema)
+    print(f"-- {tbl.num_rows} rows x {tbl.num_columns} cols "
+          f"assembled in {dt:.3f}s; first {min(head, tbl.num_rows)}:")
+    for row in tbl.slice(0, head).to_pylist():
+        print(row)
+
+
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser(prog="parquet_cpp_spark.inspect")
     ap.add_argument("path")
@@ -190,9 +208,17 @@ def main(argv=None) -> None:
                     help="path is a PAR1 file: dump schema/chunks through "
                          "the engine's own format layer (parquet-dump-"
                          "schema/parquet_reader analog)")
+    ap.add_argument("--assemble", action="store_true",
+                    help="path is a PAR1 file: re-assemble whole nested "
+                         "records from rep/def levels with the engine's "
+                         "own reader and print the first rows "
+                         "(printer.cc DebugPrint analog, zero "
+                         "pyarrow.parquet)")
     args = ap.parse_args(argv)
     if args.blob:
         cmd_blob(args.path)
+    elif args.assemble:
+        cmd_assemble(args.path)
     elif args.parquet:
         cmd_parquet(args.path, args.scan)
     elif args.scan:

@@ -246,3 +246,32 @@ def test_read_parquet_dataset_distributed(tmp_path, spark):
     assert got == want
     with pytest.raises(ValueError, match="columns not in file"):
         read_parquet_dataset(spark, out, columns=["nope"]).count()
+
+
+@pytest.mark.parametrize("seed", [101, 202])
+def test_fuzz_depth4_engine_roundtrip(tmp_path, seed):
+    """Depth-4 random stacks (def levels up to ~9, rep up to 4) through
+    the walker writer and the assembler reader — the deepest shapes the
+    engine is asked to survive."""
+    import pyarrow as pa
+
+    from parquet_cpp_spark.sources.parquet_sink import _write_one_file
+    from tests.test_arrow_nested import _random_nested, _random_value
+    rng = np.random.RandomState(seed)
+    cols, n = {}, 40
+    for ci in range(2):
+        typ = _random_nested(rng, 4)
+        cols[f"c{ci}"] = pa.array(
+            [_random_value(rng, typ, 4) for _ in range(n)], type=typ)
+    tbl = pa.table(cols)
+    path = str(tmp_path / "fz4.parquet")
+    _write_one_file(tbl, path + ".tmp", path, 13, 4, "zstd",
+                    frozenset(), "auto", 1)
+    _assert_equal(tbl, assemble_file(path))
+    # and row-group-restricted assembly re-concatenates to the whole
+    import pyarrow as _pa
+    from parquet_cpp_spark.sources.record_assembly import footer_meta
+    n_rg = len(footer_meta(path).row_groups)
+    assert n_rg > 1
+    parts = [assemble_file(path, row_groups=[i]) for i in range(n_rg)]
+    _assert_equal(tbl, _pa.concat_tables(parts))
