@@ -75,12 +75,6 @@ def _schema_tree(elements: list) -> list:
     return [walk("") for _ in range(root_children)]
 
 
-def _first_leaf(node: _Node) -> str:
-    while node.children:
-        node = node.children[0]
-    return node.leaf
-
-
 class _LeafData:
     """One leaf's decoded streams plus derived lookup arrays."""
 
