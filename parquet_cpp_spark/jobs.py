@@ -97,6 +97,36 @@ def cmd_verify(args) -> None:
         sys.exit(1)
 
 
+def cmd_verify_parquet(args) -> None:
+    """Independent-read verification of a parquet dataset: scan the
+    directory with the ENGINE's own reader (record assembly from
+    rep/def levels — zero shared code with the JVM reader) AND with
+    Spark's JVM reader, and require identical row counts and full-row
+    xxhash digests. Exit 1 on any divergence. This is the operational
+    form of the test suite's five-writer assembly pins: any corruption,
+    writer bug, or reader disagreement on files in the directory shows
+    up as a digest mismatch between two unrelated decoders."""
+    spark = _spark(args)
+    from pyspark.sql import functions as F
+
+    from .sources.record_assembly import read_parquet_dataset
+
+    def digest(df):
+        h = F.xxhash64(*sorted(df.columns)).cast("decimal(38,0)")
+        row = df.agg(F.sum(h).alias("h"),
+                     F.count("*").alias("n")).collect()[0]
+        return row.h, row.n
+
+    eng_h, eng_n = digest(read_parquet_dataset(spark, args.dir))
+    jvm_h, jvm_n = digest(spark.read.parquet(args.dir))
+    ok = (eng_h, eng_n) == (jvm_h, jvm_n)
+    print(json.dumps({"rows_engine": eng_n, "rows_jvm": jvm_n,
+                      "digest_match": bool(ok)}))
+    spark.stop()
+    if not ok:
+        sys.exit(1)
+
+
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser(prog="parquet_cpp_spark.jobs")
     ap.add_argument("--master", default=None)
@@ -134,6 +164,12 @@ def main(argv=None) -> None:
                           "before decoding (turns payload bit flips into "
                           "loud errors)")
     dec.set_defaults(fn=cmd_decode)
+
+    vpq = sub.add_parser("verify-parquet")
+    vpq.add_argument("--dir", required=True,
+                     help="parquet dataset directory to cross-verify "
+                          "(engine record-assembly read vs JVM read)")
+    vpq.set_defaults(fn=cmd_verify_parquet)
 
     ver = sub.add_parser("verify")
     ver.add_argument("--input", required=True)
