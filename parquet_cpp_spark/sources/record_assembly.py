@@ -585,8 +585,18 @@ def read_parquet_dataset(spark, src: str, columns=None):
     from pyspark.sql.pandas.types import from_arrow_schema
     sschema = from_arrow_schema(aschema)
     splits = []
+    ref_leaves = None
     for f in files:
-        n_rg = len(footer_meta(f).row_groups)
+        fm = footer_meta(f)
+        leaves = [(lf.name, lf.phys, lf.max_def, lf.max_rep)
+                  for lf in fm.leaves]
+        if ref_leaves is None:
+            ref_leaves = leaves
+        elif leaves != ref_leaves:   # heterogeneous dir: fail at plan
+            raise ValueError(         # time, not inside an executor
+                f"schema mismatch in {src!r}: {files[0]!r} has "
+                f"{ref_leaves}, {f!r} has {leaves}")
+        n_rg = len(fm.row_groups)
         splits += [(f, rg, n_rg) for rg in range(n_rg)]
     cores = spark.sparkContext.defaultParallelism
     n_parts = min(len(splits), max(1, cores * 2))
