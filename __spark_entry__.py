@@ -1159,6 +1159,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _digest(read_parquet_dataset(spark, out))
     q["pq_engine_scan"] = pq_engine_scan
 
+    def pq_scan_pushdown(spark: SparkSession, sf: str) -> DataFrame:
+        """Predicate pushdown INSIDE the engine scan (r7): the token
+        table is engine-written range-clustered on n_tok, then
+        read_parquet_dataset pushes ``n_tok >= 20 AND n_tok < 90 AND
+        source == 'src7'`` three layers deep — plan-time row-group
+        pruning on footer chunk Statistics (pruned groups never become
+        tasks), task-time bloom consult for the == term, and an exact
+        vectorized Arrow residual filter. The scan-side analog of the
+        reference's stats-based filtering (statistics.cc comparators +
+        bloom_filter.cc), proven against DuckDB running the same WHERE
+        clause."""
+        import shutil
+        import tempfile
+
+        from parquet_cpp_spark.sources.parquet_sink import \
+            emit_parquet_dataset
+        from parquet_cpp_spark.sources.record_assembly import \
+            read_parquet_dataset
+        src = tokens_src.tokens_from_documents(spark, sf, _parts(sf))
+        df = (src.select("doc_id", "tokens", "n_tok", "source")
+              .repartitionByRange(4, "n_tok", "doc_id")
+              .sortWithinPartitions("n_tok", "doc_id"))
+        out = os.path.join(tempfile.gettempdir(),
+                           f"pcs_{os.getuid()}_scan_pushdown")
+        shutil.rmtree(out, ignore_errors=True)
+        emit_parquet_dataset(df, out, encodings="auto",
+                             bloom_filter_columns={"source"}).collect()
+        return _digest(read_parquet_dataset(
+            spark, out, predicate=[("n_tok", ">=", 20),
+                                   ("n_tok", "<", 90),
+                                   ("source", "==", "src7")]))
+    q["pq_scan_pushdown"] = pq_scan_pushdown
+
     def pq_writer_nested(spark: SparkSession, sf: str) -> DataFrame:
         """DEEP nesting through the engine's PAR1 writer (r7, second
         wave): list<list<int32>> (max_rep 2, nullable inner lists),
@@ -1958,6 +1991,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pq_sink_dataset": identity,
         "pq_engine_scan": identity,
+        # pushdown scan: DuckDB applies the SAME WHERE clause to the
+        # identity token table the engine scan filtered via stats-pruned
+        # row groups + bloom + residual Arrow filter
+        "pq_scan_pushdown": f"""
+            SELECT * FROM ({identity}) t
+            WHERE n_tok >= 20 AND n_tok < 90 AND source = 'src7'
+        """,
         # deep-nested writer round trip: SQL recomputes every flattened
         # leaf from documents; each CASE chain mirrors one def-level
         # accumulation path (null ancestors beat null fields/lists)

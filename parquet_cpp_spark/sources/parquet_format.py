@@ -139,6 +139,11 @@ class ColumnChunkMeta:
     offset_index: "tuple[int, int] | None" = None   # (offset, length)
     column_index: "tuple[int, int] | None" = None
     bloom_filter: "tuple[int, int | None] | None" = None  # (offset, length)
+    # chunk Statistics (min_bytes, max_bytes, null_count), any of which
+    # may be None — plain-encoded bounds exactly as the writer emitted
+    # them (format spec Statistics struct; EncodedStatistics in the
+    # reference, metadata.cc ApplyStatistics)
+    stats: "tuple | None" = None
 
 
 @dataclass
@@ -207,9 +212,21 @@ def read_footer(mv: memoryview) -> FileMeta:
         chunks = []
         for cc in rg[1]:
             cm = cc[3]   # ColumnMetaData
+            phys = _PHYS[cm[1]]
+            st = cm.get(12)
+            stats = None
+            if st is not None:
+                mn, mx = st.get(6), st.get(5)   # min_value / max_value
+                if mn is None and mx is None and phys in (
+                        "boolean", "int32", "int64", "float", "double"):
+                    # legacy min/max (fields 2/1): trustworthy only for
+                    # signed-comparable fixed types (old byte_array
+                    # writers used signed byte order — never prune on it)
+                    mn, mx = st.get(2), st.get(1)
+                stats = (mn, mx, st.get(3))
             chunks.append(ColumnChunkMeta(
                 path=".".join(p.decode() for p in cm[3]),
-                phys=_PHYS[cm[1]],
+                phys=phys,
                 codec=cm[4],
                 num_values=cm[5],
                 data_page_offset=cm[9],
@@ -217,7 +234,8 @@ def read_footer(mv: memoryview) -> FileMeta:
                 total_compressed_size=cm[7],
                 offset_index=(cc[4], cc[5]) if 4 in cc else None,
                 column_index=(cc[6], cc[7]) if 6 in cc else None,
-                bloom_filter=(cm[14], cm.get(15)) if 14 in cm else None))
+                bloom_filter=(cm[14], cm.get(15)) if 14 in cm else None,
+                stats=stats))
         out.row_groups.append(chunks)
         out.rg_rows.append(rg.get(3, 0))
     return out
@@ -578,6 +596,34 @@ def _stat_to_typed(b: bytes, phys: str):
         return bool(b[0])
     dt = {"int32": "<i4", "int64": "<i8",
           "float": "<f4", "double": "<f8"}[phys]
+    return np.frombuffer(b, dt, count=1)[0]
+
+
+# ConvertedType ids whose int32/int64 storage compares UNSIGNED
+# (UINT_8/16/32/64; types.h:70-77 + the UNSIGNED sort-order rule)
+_UNSIGNED_CONV = frozenset((11, 12, 13, 14))
+
+
+def stat_typed(b, leaf: LeafColumn):
+    """Decode a chunk-Statistics / PageIndex bound into a value comparable
+    with Python/numpy operators, honoring the leaf's sort order: UINT
+    annotations reinterpret the stored int bytes as unsigned, byte_array
+    stays raw bytes (lexicographic). FLBA/INT96 bounds are not emitted by
+    the writer (untrustworthy order) — returns None so callers keep the
+    chunk."""
+    if b is None:
+        return None
+    phys = leaf.phys
+    if phys == "int96" or phys.startswith("flba"):
+        return None
+    if phys == "byte_array":
+        return bytes(b)
+    if phys == "boolean":
+        return bool(b[0])
+    dt = {"int32": "<i4", "int64": "<i8",
+          "float": "<f4", "double": "<f8"}[phys]
+    if leaf.converted_type in _UNSIGNED_CONV:
+        dt = dt.replace("i", "u")
     return np.frombuffer(b, dt, count=1)[0]
 
 

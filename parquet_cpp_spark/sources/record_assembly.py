@@ -551,7 +551,112 @@ def file_schema(path: str, columns=None):
     return pa.schema([_node_arrow_field(t) for t in tree])
 
 
-def read_parquet_dataset(spark, src: str, columns=None):
+_PRED_OPS = ("==", "!=", "<", "<=", ">", ">=")
+
+
+def _normalize_predicate(predicate, leaves_by_name):
+    """Validate conjuncts against the file schema and pre-convert each
+    value to its comparable form (str -> utf-8 bytes for byte_array).
+    Predicate columns must be TOP-LEVEL flat scalar leaves — nested or
+    repeated paths fail loudly here, at plan time."""
+    conjuncts = []
+    for term in predicate:
+        try:
+            col, op, v = term
+        except (TypeError, ValueError):
+            raise ValueError(f"predicate term {term!r} is not "
+                             "(column, op, value)")
+        if op == "=":
+            op = "=="
+        if op not in _PRED_OPS:
+            raise ValueError(f"unsupported predicate op {op!r} "
+                             f"(one of {_PRED_OPS})")
+        leaf = leaves_by_name.get(col)
+        if leaf is None or leaf.max_rep > 0 or "." in col:
+            flat = sorted(n for n, lf in leaves_by_name.items()
+                          if lf.max_rep == 0 and "." not in n)
+            raise ValueError(
+                f"predicate column {col!r} is not a top-level flat "
+                f"scalar leaf (have {flat})")
+        if leaf.phys == "byte_array":
+            if isinstance(v, str):
+                v = v.encode()
+            if not isinstance(v, bytes):
+                raise ValueError(f"predicate on string column {col!r} "
+                                 f"needs str/bytes, got {type(v).__name__}")
+        elif leaf.phys == "boolean":
+            if not isinstance(v, bool):
+                raise ValueError(f"predicate on boolean column {col!r} "
+                                 f"needs bool, got {type(v).__name__}")
+        elif not isinstance(v, (int, float)) or isinstance(v, bool):
+            raise ValueError(f"predicate on numeric column {col!r} "
+                             f"needs int/float, got {type(v).__name__}")
+        conjuncts.append((col, op, v))
+    return conjuncts
+
+
+def _rg_may_match(chunks_by_path, leaves_by_name, conjuncts) -> bool:
+    """False only when chunk Statistics PROVE no row of the row group can
+    satisfy the conjunction. Comparison predicates are null-rejecting
+    (SQL/Arrow semantics), so an all-null chunk disproves any of them;
+    missing or untyped bounds (FLBA/INT96, NaN-poisoned floats) keep the
+    group. This is the scan-side analog of the reference's stats-based
+    filtering (statistics.cc comparators + the UNSIGNED sort-order
+    rule)."""
+    for col, op, v in conjuncts:
+        chunk = chunks_by_path.get(col)
+        if chunk is None or chunk.stats is None:
+            continue
+        mn_b, mx_b, nulls = chunk.stats
+        if nulls is not None and nulls == chunk.num_values:
+            return False                      # all-null chunk
+        mn = fmt.stat_typed(mn_b, leaves_by_name[col])
+        mx = fmt.stat_typed(mx_b, leaves_by_name[col])
+        if mn is None or mx is None:
+            continue
+        if ((op == "==" and (v < mn or v > mx))
+                or (op == "!=" and mn == mx == v)
+                or (op == "<" and not mn < v)
+                or (op == "<=" and not mn <= v)
+                or (op == ">" and not mx > v)
+                or (op == ">=" and not mx >= v)):
+            return False
+    return True
+
+
+def _bloom_prunes(path: str, rg: int, eq_terms) -> bool:
+    """True when a footer-linked bloom filter proves an ``==`` key absent
+    from this row group — the task-side fast path that skips the split
+    before any data page is read (bloom_filter.cc BlockSplitBloomFilter
+    consulted from the scan, like plans/lookup.py does for point
+    lookups)."""
+    import mmap
+
+    with open(path, "rb") as f:
+        m = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+    mv = memoryview(m)
+    try:
+        meta = fmt.read_footer(mv)
+        leaves = {lf.name: lf for lf in meta.leaves}
+        chunks = {c.path: c for c in meta.row_groups[rg]}
+        for col, key in eq_terms:
+            chunk = chunks.get(col)
+            if chunk is None or chunk.bloom_filter is None \
+                    or leaves[col].phys not in ("byte_array",
+                                                "int32", "int64"):
+                continue
+            bf = fmt.read_bloom(mv, chunk)
+            if bf is not None and not fmt._bloom_may_contain(
+                    bf, leaves[col].phys, key):
+                return True
+        return False
+    finally:
+        mv.release()
+        m.close()
+
+
+def read_parquet_dataset(spark, src: str, columns=None, predicate=None,
+                         plan_out: "dict | None" = None):
     """Distributed ENGINE-NATIVE scan of a parquet dataset directory:
     executors assemble whole nested Arrow batches from rep/def levels
     (``assemble_file``) — no Spark JVM parquet reader, no
@@ -569,7 +674,19 @@ def read_parquet_dataset(spark, src: str, columns=None):
     chunks at the byte level (never decompressed). Mirrors the
     reference's multi-threaded column-parallel reads
     (``file_reader.cc:63-135``, ``arrow/reader.cc`` FileReader) with
-    Spark tasks as the thread pool."""
+    Spark tasks as the thread pool.
+
+    ``predicate`` pushes a conjunction of ``(column, op, value)`` terms
+    (ops ``== != < <= > >=``, top-level flat scalar columns) INTO the
+    scan, three layers deep: (1) plan-time row-group pruning on footer
+    chunk Statistics — pruned groups never become tasks; (2) task-time
+    bloom-filter skip for ``==`` terms on bloom-carrying chunks — the
+    split is dropped before any data page I/O; (3) an exact vectorized
+    residual filter on the assembled Arrow batches (null-rejecting, SQL
+    semantics), so the result is precise regardless of how coarse the
+    stats are. ``plan_out`` (a dict, optional) receives the audit
+    counters ``rg_total``/``rg_kept``/``files_total``/``files_kept`` —
+    the test surface proving pruning actually pruned."""
     import glob as _glob
     import os as _os
 
@@ -584,8 +701,21 @@ def read_parquet_dataset(spark, src: str, columns=None):
     aschema = file_schema(files[0], columns=columns)
     from pyspark.sql.pandas.types import from_arrow_schema
     sschema = from_arrow_schema(aschema)
+
+    conjuncts = None
+    read_cols = list(columns) if columns is not None else None
+    if predicate:
+        fm0 = footer_meta(files[0])
+        leaves_by_name = {lf.name: lf for lf in fm0.leaves}
+        conjuncts = _normalize_predicate(predicate, leaves_by_name)
+        if read_cols is not None:
+            read_cols += [c for c, _o, _v in conjuncts
+                          if c not in read_cols]
+
     splits = []
     ref_leaves = None
+    rg_total = rg_kept = 0
+    kept_files: set = set()
     for f in files:
         fm = footer_meta(f)
         leaves = [(lf.name, lf.phys, lf.max_def, lf.max_rep)
@@ -597,27 +727,60 @@ def read_parquet_dataset(spark, src: str, columns=None):
                 f"schema mismatch in {src!r}: {files[0]!r} has "
                 f"{ref_leaves}, {f!r} has {leaves}")
         n_rg = len(fm.row_groups)
-        splits += [(f, rg, n_rg) for rg in range(n_rg)]
+        rg_total += n_rg
+        for rg in range(n_rg):
+            if conjuncts is not None and not _rg_may_match(
+                    {c.path: c for c in fm.row_groups[rg]},
+                    {lf.name: lf for lf in fm.leaves}, conjuncts):
+                continue
+            splits.append((f, rg, n_rg))
+            kept_files.add(f)
+    rg_kept = len(splits)
+    if plan_out is not None:
+        plan_out.update(rg_total=rg_total, rg_kept=rg_kept,
+                        files_total=len(files),
+                        files_kept=len(kept_files))
+    cols = list(columns) if columns is not None else None
+    final_cols = cols if cols is not None else [f.name for f in aschema]
+    eq_terms = [(c, v) for c, o, v in (conjuncts or []) if o == "=="]
+
+    if not splits:        # everything pruned: empty df, correct schema
+        return spark.createDataFrame([], sschema)
     cores = spark.sparkContext.defaultParallelism
     n_parts = min(len(splits), max(1, cores * 2))
     splits_df = spark.createDataFrame(
         spark.sparkContext.parallelize(splits, n_parts),
         "path string, rg int, n_rg int")
-    cols = list(columns) if columns is not None else None
 
     def task(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
         for batch in batches:
             paths = batch.column("path").to_pylist()
             rgs = batch.column("rg").to_pylist()
             n_rgs = batch.column("n_rg").to_pylist()
             for p, rg, n_rg in zip(paths, rgs, n_rgs):
+                if eq_terms and _bloom_prunes(p, rg, eq_terms):
+                    continue
                 # single-rg file: whole-file buffered read (one syscall,
                 # no per-page mmap faults); multi-rg: mmap + rg ranges
                 tbl = assemble_file(
-                    p, columns=cols,
+                    p, columns=read_cols,
                     row_groups=[rg] if n_rg > 1 else None)
-                if cols is not None:
-                    tbl = tbl.select(cols)   # caller's column order
+                if conjuncts is not None:
+                    mask = None
+                    for c, o, v in conjuncts:
+                        key = v
+                        if isinstance(v, bytes) and pa.types.is_string(
+                                tbl.column(c).type):
+                            key = v.decode()
+                        m = {"==": pc.equal, "!=": pc.not_equal,
+                             "<": pc.less, "<=": pc.less_equal,
+                             ">": pc.greater,
+                             ">=": pc.greater_equal}[o](tbl.column(c), key)
+                        mask = m if mask is None else pc.and_(mask, m)
+                    tbl = tbl.filter(mask)
+                tbl = tbl.select(final_cols)   # caller's column order
                 yield from tbl.to_batches()
 
     return splits_df.mapInArrow(task, schema=sschema)
