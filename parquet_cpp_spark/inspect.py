@@ -132,6 +132,14 @@ def cmd_parquet(path: str, scan: bool) -> None:
             print(f"  {ch.path}: {ch.phys} codec={ch.codec} "
                   f"n={ch.num_values} data@{ch.data_page_offset}"
                   f"{dict_s} bytes={ch.total_compressed_size}")
+            if ch.stats is not None:
+                # parquet-tools chunk-statistics dump analog: the bounds
+                # the scan's plan-time row-group pruning runs on
+                leaf = next(lf for lf in meta.leaves if lf.name == ch.path)
+                mn = pf.stat_typed(ch.stats[0], leaf)
+                mx = pf.stat_typed(ch.stats[1], leaf)
+                print(f"    stats: min={mn!r} max={mx!r} "
+                      f"nulls={ch.stats[2]}")
             if ch.bloom_filter is not None:
                 # parquet-tools bloom-filter dump analog
                 bf = pf.read_bloom(mv, ch)

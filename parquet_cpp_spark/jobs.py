@@ -97,6 +97,30 @@ def cmd_verify(args) -> None:
         sys.exit(1)
 
 
+def _parse_where(terms):
+    """``--where "col>=value"`` strings -> (col, op, value) conjuncts for
+    the engine scan's predicate pushdown. Value typing: int, then float,
+    then bare string (quotes optional)."""
+    import re
+    out = []
+    for t in terms:
+        m = re.fullmatch(r"\s*([\w.]+)\s*(==|=|!=|<=|>=|<|>)\s*(.+?)\s*", t)
+        if not m:
+            raise SystemExit(f"bad --where term {t!r} "
+                             "(expected col OP value)")
+        col, op, raw = m.groups()
+        raw = raw.strip("'\"")
+        try:
+            val = int(raw)
+        except ValueError:
+            try:
+                val = float(raw)
+            except ValueError:
+                val = raw
+        out.append((col, "==" if op == "=" else op, val))
+    return out
+
+
 def cmd_verify_parquet(args) -> None:
     """Independent-read verification of a parquet dataset: scan the
     directory with the ENGINE's own reader (record assembly from
@@ -105,7 +129,12 @@ def cmd_verify_parquet(args) -> None:
     xxhash digests. Exit 1 on any divergence. This is the operational
     form of the test suite's five-writer assembly pins: any corruption,
     writer bug, or reader disagreement on files in the directory shows
-    up as a digest mismatch between two unrelated decoders."""
+    up as a digest mismatch between two unrelated decoders.
+
+    ``--where`` conjuncts exercise BOTH filter implementations — the
+    engine's pushdown (stats-pruned row groups + bloom + Arrow residual)
+    vs Catalyst's parquet filter pushdown — and the output reports how
+    many row groups the engine plan pruned."""
     spark = _spark(args)
     from pyspark.sql import functions as F
 
@@ -117,11 +146,27 @@ def cmd_verify_parquet(args) -> None:
                      F.count("*").alias("n")).collect()[0]
         return row.h, row.n
 
-    eng_h, eng_n = digest(read_parquet_dataset(spark, args.dir))
-    jvm_h, jvm_n = digest(spark.read.parquet(args.dir))
+    pred = _parse_where(args.where) if args.where else None
+    plan: dict = {}
+    eng = read_parquet_dataset(spark, args.dir, predicate=pred,
+                               plan_out=plan if pred else None)
+    jvm = spark.read.parquet(args.dir)
+    if pred:
+        ops = {"==": "=", "!=": "!=", "<": "<", "<=": "<=",
+               ">": ">", ">=": ">="}
+        for col, op, val in pred:
+            lit = f"'{val}'" if isinstance(val, str) else repr(val)
+            jvm = jvm.filter(F.expr(f"`{col}` {ops[op]} {lit}"))
+    eng_h, eng_n = digest(eng)
+    jvm_h, jvm_n = digest(jvm)
     ok = (eng_h, eng_n) == (jvm_h, jvm_n)
-    print(json.dumps({"rows_engine": eng_n, "rows_jvm": jvm_n,
-                      "digest_match": bool(ok)}))
+    out = {"rows_engine": eng_n, "rows_jvm": jvm_n,
+           "digest_match": bool(ok)}
+    if pred:
+        out["predicate"] = [list(p) for p in pred]
+        out["rg_kept"] = plan.get("rg_kept")
+        out["rg_total"] = plan.get("rg_total")
+    print(json.dumps(out))
     spark.stop()
     if not ok:
         sys.exit(1)
@@ -169,6 +214,10 @@ def main(argv=None) -> None:
     vpq.add_argument("--dir", required=True,
                      help="parquet dataset directory to cross-verify "
                           "(engine record-assembly read vs JVM read)")
+    vpq.add_argument("--where", action="append", default=[],
+                     help="predicate conjunct 'col OP value' (repeatable);"
+                          " pushed into the engine scan (stats/bloom"
+                          " pruning) and applied to the JVM read")
     vpq.set_defaults(fn=cmd_verify_parquet)
 
     ver = sub.add_parser("verify")

@@ -388,3 +388,15 @@ def test_read_parquet_dataset_predicate_pushdown(tmp_path, spark):
         read_parquet_dataset(spark, out, predicate=[("n_tok", "~", 5)])
     with pytest.raises(ValueError, match="needs int/float"):
         read_parquet_dataset(spark, out, predicate=[("n_tok", "==", "x")])
+
+
+def test_jobs_parse_where():
+    """--where 'col OP value' parsing: op aliasing, int/float/str typing,
+    quote stripping, loud failure on malformed terms."""
+    from parquet_cpp_spark.jobs import _parse_where
+    assert _parse_where(["n_tok>=40", "source==src7"]) == \
+        [("n_tok", ">=", 40), ("source", "==", "src7")]
+    assert _parse_where(["a = 1.5", "b!='x y'"]) == \
+        [("a", "==", 1.5), ("b", "!=", "x y")]
+    with pytest.raises(SystemExit):
+        _parse_where(["n_tok ~ 4"])
