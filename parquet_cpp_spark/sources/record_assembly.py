@@ -655,8 +655,24 @@ def _bloom_prunes(path: str, rg: int, eq_terms) -> bool:
         m.close()
 
 
+def _plan_file(f: str, conjuncts):
+    """Footer-only plan for ONE file: (path, n_rg, kept rg indices,
+    schema signature). Runs on the driver for small directories and
+    inside executor tasks for large ones — identical logic either way."""
+    fm = footer_meta(f)
+    leaves = tuple((lf.name, lf.phys, lf.max_def, lf.max_rep)
+                   for lf in fm.leaves)
+    leaves_by_name = {lf.name: lf for lf in fm.leaves}
+    kept = [rg for rg in range(len(fm.row_groups))
+            if conjuncts is None or _rg_may_match(
+                {c.path: c for c in fm.row_groups[rg]},
+                leaves_by_name, conjuncts)]
+    return f, len(fm.row_groups), kept, leaves
+
+
 def read_parquet_dataset(spark, src: str, columns=None, predicate=None,
-                         plan_out: "dict | None" = None):
+                         plan_out: "dict | None" = None,
+                         distributed_plan: "bool | None" = None):
     """Distributed ENGINE-NATIVE scan of a parquet dataset directory:
     executors assemble whole nested Arrow batches from rep/def levels
     (``assemble_file``) — no Spark JVM parquet reader, no
@@ -685,8 +701,15 @@ def read_parquet_dataset(spark, src: str, columns=None, predicate=None,
     residual filter on the assembled Arrow batches (null-rejecting, SQL
     semantics), so the result is precise regardless of how coarse the
     stats are. ``plan_out`` (a dict, optional) receives the audit
-    counters ``rg_total``/``rg_kept``/``files_total``/``files_kept`` —
-    the test surface proving pruning actually pruned."""
+    counters ``rg_total``/``rg_kept``/``files_total``/``files_kept``/
+    ``plan_mode`` — the test surface proving pruning actually pruned.
+
+    ``distributed_plan`` (default: auto at >64 files) fans the footer
+    reads themselves out to executors — each task parses its files'
+    footers and applies the stats pruning, returning only small
+    (path, n_rg, kept, signature) tuples — so planning a 10^5-file
+    directory costs no driver I/O (the analog of Spark's own
+    distributed parquet footer reading in ParquetFileFormat)."""
     import glob as _glob
     import os as _os
 
@@ -712,34 +735,45 @@ def read_parquet_dataset(spark, src: str, columns=None, predicate=None,
             read_cols += [c for c, _o, _v in conjuncts
                           if c not in read_cols]
 
+    # footer planning: below the threshold the driver reads footers
+    # itself; above it (100-TB directories are 10^4-10^6 files) the
+    # footer reads FAN OUT to executors — each task parses its files'
+    # footers, applies the stats pruning, and returns only (path, n_rg,
+    # kept rgs, schema signature) tuples, so planning I/O scales with
+    # the cluster while the driver collects O(files) metadata rows
+    if distributed_plan is None:
+        distributed_plan = len(files) > 64
+    if distributed_plan:
+        sc = spark.sparkContext
+        n_slices = min(len(files), max(1, sc.defaultParallelism * 2))
+        plans = sc.parallelize(files, n_slices).map(
+            lambda f, _c=conjuncts: _plan_file(f, _c)).collect()
+        plans.sort()                       # deterministic split order
+    else:
+        plans = [_plan_file(f, conjuncts) for f in files]
+
     splits = []
     ref_leaves = None
-    rg_total = rg_kept = 0
+    rg_total = 0
     kept_files: set = set()
-    for f in files:
-        fm = footer_meta(f)
-        leaves = [(lf.name, lf.phys, lf.max_def, lf.max_rep)
-                  for lf in fm.leaves]
+    for f, n_rg, kept, leaves in plans:
         if ref_leaves is None:
             ref_leaves = leaves
         elif leaves != ref_leaves:   # heterogeneous dir: fail at plan
             raise ValueError(         # time, not inside an executor
-                f"schema mismatch in {src!r}: {files[0]!r} has "
+                f"schema mismatch in {src!r}: {plans[0][0]!r} has "
                 f"{ref_leaves}, {f!r} has {leaves}")
-        n_rg = len(fm.row_groups)
         rg_total += n_rg
-        for rg in range(n_rg):
-            if conjuncts is not None and not _rg_may_match(
-                    {c.path: c for c in fm.row_groups[rg]},
-                    {lf.name: lf for lf in fm.leaves}, conjuncts):
-                continue
+        for rg in kept:
             splits.append((f, rg, n_rg))
             kept_files.add(f)
     rg_kept = len(splits)
     if plan_out is not None:
         plan_out.update(rg_total=rg_total, rg_kept=rg_kept,
                         files_total=len(files),
-                        files_kept=len(kept_files))
+                        files_kept=len(kept_files),
+                        plan_mode=("distributed" if distributed_plan
+                                   else "driver"))
     cols = list(columns) if columns is not None else None
     final_cols = cols if cols is not None else [f.name for f in aschema]
     eq_terms = [(c, v) for c, o, v in (conjuncts or []) if o == "=="]

@@ -400,3 +400,39 @@ def test_jobs_parse_where():
         [("a", "==", 1.5), ("b", "!=", "x y")]
     with pytest.raises(SystemExit):
         _parse_where(["n_tok ~ 4"])
+
+
+def test_distributed_footer_planning(tmp_path, spark):
+    """Distributed plan mode (footer reads fanned out to executors) must
+    produce byte-identical results and identical pruning counters to the
+    driver-side plan — the 10^5-file directory shape where driver footer
+    I/O would be the planning bottleneck."""
+    from pyspark.sql import functions as F
+
+    from parquet_cpp_spark.sources.parquet_sink import emit_parquet_dataset
+    from parquet_cpp_spark.sources.record_assembly import \
+        read_parquet_dataset
+
+    out = str(tmp_path / "out")
+    (spark.range(400)
+     .withColumn("doc_id", F.col("id").cast("string"))
+     .withColumn("tokens",
+                 F.sequence(F.lit(0), (F.col("id") % 5).cast("int")))
+     .withColumn("n_tok", (F.col("id") % 100).cast("int"))
+     .withColumn("source", F.concat(F.lit("s"), F.col("id") % 3))
+     .drop("id").repartitionByRange(4, "n_tok").sortWithinPartitions("n_tok")
+     ).transform(lambda df: emit_parquet_dataset(df, out)).collect()
+
+    pred = [("n_tok", "<", 25)]
+    pa_, pb = {}, {}
+    a = read_parquet_dataset(spark, out, predicate=pred, plan_out=pa_,
+                             distributed_plan=False)
+    b = read_parquet_dataset(spark, out, predicate=pred, plan_out=pb,
+                             distributed_plan=True)
+    assert pa_["plan_mode"] == "driver" and pb["plan_mode"] == "distributed"
+    assert (pa_["rg_total"], pa_["rg_kept"]) == (pb["rg_total"],
+                                                 pb["rg_kept"])
+    assert pa_["rg_kept"] < pa_["rg_total"]   # pruning engaged
+    ra = sorted(r.doc_id for r in a.select("doc_id").collect())
+    rb = sorted(r.doc_id for r in b.select("doc_id").collect())
+    assert ra == rb and len(ra) == 100
