@@ -98,26 +98,35 @@ def cmd_verify(args) -> None:
 
 
 def _parse_where(terms):
-    """``--where "col>=value"`` strings -> (col, op, value) conjuncts for
-    the engine scan's predicate pushdown. Value typing: int, then float,
-    then bare string (quotes optional)."""
+    """``--where "col>=value"`` / ``--where "col in a,b,c"`` strings ->
+    (col, op, value) conjuncts for the engine scan's predicate pushdown.
+    Value typing: int, then float, then bare string (quotes optional)."""
     import re
+
+    def typed(raw):
+        raw = raw.strip().strip("'\"")
+        try:
+            return int(raw)
+        except ValueError:
+            try:
+                return float(raw)
+            except ValueError:
+                return raw
+
     out = []
     for t in terms:
-        m = re.fullmatch(r"\s*([\w.]+)\s*(==|=|!=|<=|>=|<|>)\s*(.+?)\s*", t)
+        m = re.fullmatch(
+            r"\s*([\w.]+)\s*(==|=|!=|<=|>=|<|>|\s[iI][nN]\s)\s*(.+?)\s*", t)
         if not m:
             raise SystemExit(f"bad --where term {t!r} "
                              "(expected col OP value)")
         col, op, raw = m.groups()
-        raw = raw.strip("'\"")
-        try:
-            val = int(raw)
-        except ValueError:
-            try:
-                val = float(raw)
-            except ValueError:
-                val = raw
-        out.append((col, "==" if op == "=" else op, val))
+        op = op.strip().lower()
+        if op == "in":
+            out.append((col, "in", tuple(typed(x)
+                                         for x in raw.split(","))))
+        else:
+            out.append((col, "==" if op == "=" else op, typed(raw)))
     return out
 
 
@@ -154,9 +163,15 @@ def cmd_verify_parquet(args) -> None:
     if pred:
         ops = {"==": "=", "!=": "!=", "<": "<", "<=": "<=",
                ">": ">", ">=": ">="}
+
+        def lit(v):
+            return f"'{v}'" if isinstance(v, str) else repr(v)
         for col, op, val in pred:
-            lit = f"'{val}'" if isinstance(val, str) else repr(val)
-            jvm = jvm.filter(F.expr(f"`{col}` {ops[op]} {lit}"))
+            if op == "in":
+                jvm = jvm.filter(F.expr(
+                    f"`{col}` IN ({', '.join(lit(v) for v in val)})"))
+            else:
+                jvm = jvm.filter(F.expr(f"`{col}` {ops[op]} {lit(val)}"))
     eng_h, eng_n = digest(eng)
     jvm_h, jvm_n = digest(jvm)
     ok = (eng_h, eng_n) == (jvm_h, jvm_n)

@@ -551,14 +551,34 @@ def file_schema(path: str, columns=None):
     return pa.schema([_node_arrow_field(t) for t in tree])
 
 
-_PRED_OPS = ("==", "!=", "<", "<=", ">", ">=")
+_PRED_OPS = ("==", "!=", "<", "<=", ">", ">=", "in")
+
+
+def _check_value(col, leaf, v):
+    """One predicate value -> its comparable form (str -> utf-8 bytes on
+    byte_array leaves), or a loud ValueError on a type mismatch."""
+    if leaf.phys == "byte_array":
+        if isinstance(v, str):
+            v = v.encode()
+        if not isinstance(v, bytes):
+            raise ValueError(f"predicate on string column {col!r} "
+                             f"needs str/bytes, got {type(v).__name__}")
+    elif leaf.phys == "boolean":
+        if not isinstance(v, bool):
+            raise ValueError(f"predicate on boolean column {col!r} "
+                             f"needs bool, got {type(v).__name__}")
+    elif not isinstance(v, (int, float)) or isinstance(v, bool):
+        raise ValueError(f"predicate on numeric column {col!r} "
+                         f"needs int/float, got {type(v).__name__}")
+    return v
 
 
 def _normalize_predicate(predicate, leaves_by_name):
     """Validate conjuncts against the file schema and pre-convert each
     value to its comparable form (str -> utf-8 bytes for byte_array).
     Predicate columns must be TOP-LEVEL flat scalar leaves — nested or
-    repeated paths fail loudly here, at plan time."""
+    repeated paths fail loudly here, at plan time. The ``in`` op takes a
+    non-empty list/tuple/set of values."""
     conjuncts = []
     for term in predicate:
         try:
@@ -578,19 +598,13 @@ def _normalize_predicate(predicate, leaves_by_name):
             raise ValueError(
                 f"predicate column {col!r} is not a top-level flat "
                 f"scalar leaf (have {flat})")
-        if leaf.phys == "byte_array":
-            if isinstance(v, str):
-                v = v.encode()
-            if not isinstance(v, bytes):
-                raise ValueError(f"predicate on string column {col!r} "
-                                 f"needs str/bytes, got {type(v).__name__}")
-        elif leaf.phys == "boolean":
-            if not isinstance(v, bool):
-                raise ValueError(f"predicate on boolean column {col!r} "
-                                 f"needs bool, got {type(v).__name__}")
-        elif not isinstance(v, (int, float)) or isinstance(v, bool):
-            raise ValueError(f"predicate on numeric column {col!r} "
-                             f"needs int/float, got {type(v).__name__}")
+        if op == "in":
+            if not isinstance(v, (list, tuple, set, frozenset)) or not v:
+                raise ValueError(f"'in' predicate on {col!r} needs a "
+                                 "non-empty list/tuple/set of values")
+            v = tuple(_check_value(col, leaf, x) for x in v)
+        else:
+            v = _check_value(col, leaf, v)
         conjuncts.append((col, op, v))
     return conjuncts
 
@@ -615,6 +629,7 @@ def _rg_may_match(chunks_by_path, leaves_by_name, conjuncts) -> bool:
         if mn is None or mx is None:
             continue
         if ((op == "==" and (v < mn or v > mx))
+                or (op == "in" and all(x < mn or x > mx for x in v))
                 or (op == "!=" and mn == mx == v)
                 or (op == "<" and not mn < v)
                 or (op == "<=" and not mn <= v)
@@ -625,11 +640,12 @@ def _rg_may_match(chunks_by_path, leaves_by_name, conjuncts) -> bool:
 
 
 def _bloom_prunes(path: str, rg: int, eq_terms) -> bool:
-    """True when a footer-linked bloom filter proves an ``==`` key absent
-    from this row group — the task-side fast path that skips the split
-    before any data page is read (bloom_filter.cc BlockSplitBloomFilter
+    """True when a footer-linked bloom filter proves an ``==`` / ``in``
+    conjunct unsatisfiable in this row group (EVERY candidate key
+    bloom-absent) — the task-side fast path that skips the split before
+    any data page is read (bloom_filter.cc BlockSplitBloomFilter
     consulted from the scan, like plans/lookup.py does for point
-    lookups)."""
+    lookups). ``eq_terms`` is [(col, (key, ...)), ...]."""
     import mmap
 
     with open(path, "rb") as f:
@@ -639,15 +655,16 @@ def _bloom_prunes(path: str, rg: int, eq_terms) -> bool:
         meta = fmt.read_footer(mv)
         leaves = {lf.name: lf for lf in meta.leaves}
         chunks = {c.path: c for c in meta.row_groups[rg]}
-        for col, key in eq_terms:
+        for col, keys in eq_terms:
             chunk = chunks.get(col)
             if chunk is None or chunk.bloom_filter is None \
                     or leaves[col].phys not in ("byte_array",
                                                 "int32", "int64"):
                 continue
             bf = fmt.read_bloom(mv, chunk)
-            if bf is not None and not fmt._bloom_may_contain(
-                    bf, leaves[col].phys, key):
+            if bf is not None and not any(
+                    fmt._bloom_may_contain(bf, leaves[col].phys, k)
+                    for k in keys):
                 return True
         return False
     finally:
@@ -693,11 +710,12 @@ def read_parquet_dataset(spark, src: str, columns=None, predicate=None,
     Spark tasks as the thread pool.
 
     ``predicate`` pushes a conjunction of ``(column, op, value)`` terms
-    (ops ``== != < <= > >=``, top-level flat scalar columns) INTO the
-    scan, three layers deep: (1) plan-time row-group pruning on footer
-    chunk Statistics — pruned groups never become tasks; (2) task-time
-    bloom-filter skip for ``==`` terms on bloom-carrying chunks — the
-    split is dropped before any data page I/O; (3) an exact vectorized
+    (ops ``== != < <= > >= in``, top-level flat scalar columns; ``in``
+    takes a non-empty collection) INTO the scan, three layers deep:
+    (1) plan-time row-group pruning on footer chunk Statistics — pruned
+    groups never become tasks; (2) task-time bloom-filter skip for
+    ``==``/``in`` terms on bloom-carrying chunks — the split is dropped
+    before any data page I/O; (3) an exact vectorized
     residual filter on the assembled Arrow batches (null-rejecting, SQL
     semantics), so the result is precise regardless of how coarse the
     stats are. ``plan_out`` (a dict, optional) receives the audit
@@ -776,7 +794,8 @@ def read_parquet_dataset(spark, src: str, columns=None, predicate=None,
                                    else "driver"))
     cols = list(columns) if columns is not None else None
     final_cols = cols if cols is not None else [f.name for f in aschema]
-    eq_terms = [(c, v) for c, o, v in (conjuncts or []) if o == "=="]
+    eq_terms = [(c, (v,) if o == "==" else v)
+                for c, o, v in (conjuncts or []) if o in ("==", "in")]
 
     if not splits:        # everything pruned: empty df, correct schema
         return spark.createDataFrame([], sschema)
@@ -804,14 +823,19 @@ def read_parquet_dataset(spark, src: str, columns=None, predicate=None,
                 if conjuncts is not None:
                     mask = None
                     for c, o, v in conjuncts:
-                        key = v
-                        if isinstance(v, bytes) and pa.types.is_string(
-                                tbl.column(c).type):
-                            key = v.decode()
-                        m = {"==": pc.equal, "!=": pc.not_equal,
-                             "<": pc.less, "<=": pc.less_equal,
-                             ">": pc.greater,
-                             ">=": pc.greater_equal}[o](tbl.column(c), key)
+                        arr = tbl.column(c)
+
+                        def _key(x):
+                            return x.decode() if isinstance(x, bytes) \
+                                and pa.types.is_string(arr.type) else x
+                        if o == "in":
+                            m = pc.is_in(arr, value_set=pa.array(
+                                [_key(x) for x in v], type=arr.type))
+                        else:
+                            m = {"==": pc.equal, "!=": pc.not_equal,
+                                 "<": pc.less, "<=": pc.less_equal,
+                                 ">": pc.greater,
+                                 ">=": pc.greater_equal}[o](arr, _key(v))
                         mask = m if mask is None else pc.and_(mask, m)
                     tbl = tbl.filter(mask)
                 tbl = tbl.select(final_cols)   # caller's column order

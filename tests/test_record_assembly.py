@@ -342,6 +342,9 @@ def test_read_parquet_dataset_predicate_pushdown(tmp_path, spark):
         ([("doc_id", "==", "d0123")], F.col("doc_id") == "d0123"),
         ([("n_tok", "!=", 0)], F.col("n_tok") != 0),
         ([("n_tok", ">", 10 ** 6)], F.col("n_tok") > 10 ** 6),
+        ([("source", "in", ["s0", "s2"]), ("n_tok", "<", 20)],
+         F.col("source").isin("s0", "s2") & (F.col("n_tok") < 20)),
+        ([("n_tok", "in", (2, 3, 10 ** 7))], F.col("n_tok").isin(2, 3)),
     ]
     pruned_somewhere = False
     for pred, expr in cases:
@@ -378,8 +381,11 @@ def test_read_parquet_dataset_predicate_pushdown(tmp_path, spark):
     f0 = sorted(_glob.glob(os.path.join(out, "*.parquet")))[0]
     present = assemble_file(f0, columns=["doc_id"]) \
         .column("doc_id")[0].as_py().encode()
-    assert _bloom_prunes(f0, 0, [("doc_id", b"zz-not-there")])
-    assert not _bloom_prunes(f0, 0, [("doc_id", present)])
+    assert _bloom_prunes(f0, 0, [("doc_id", (b"zz-not-there",))])
+    assert not _bloom_prunes(f0, 0, [("doc_id", (present,))])
+    # in-list: prunes only when EVERY candidate key is bloom-absent
+    assert _bloom_prunes(f0, 0, [("doc_id", (b"zz-a", b"zz-b"))])
+    assert not _bloom_prunes(f0, 0, [("doc_id", (b"zz-a", present))])
     assert footer_meta(f0).row_groups[0][0].bloom_filter is not None
     # loud failures: nested column, bad op, type-mismatched value
     with pytest.raises(ValueError, match="top-level flat scalar"):
@@ -388,6 +394,8 @@ def test_read_parquet_dataset_predicate_pushdown(tmp_path, spark):
         read_parquet_dataset(spark, out, predicate=[("n_tok", "~", 5)])
     with pytest.raises(ValueError, match="needs int/float"):
         read_parquet_dataset(spark, out, predicate=[("n_tok", "==", "x")])
+    with pytest.raises(ValueError, match="non-empty list"):
+        read_parquet_dataset(spark, out, predicate=[("n_tok", "in", [])])
 
 
 def test_jobs_parse_where():
@@ -398,6 +406,8 @@ def test_jobs_parse_where():
         [("n_tok", ">=", 40), ("source", "==", "src7")]
     assert _parse_where(["a = 1.5", "b!='x y'"]) == \
         [("a", "==", 1.5), ("b", "!=", "x y")]
+    assert _parse_where(["source in s0,s2", "n in 1,2.5,'q'"]) == \
+        [("source", "in", ("s0", "s2")), ("n", "in", (1, 2.5, "q"))]
     with pytest.raises(SystemExit):
         _parse_where(["n_tok ~ 4"])
 
