@@ -1192,6 +1192,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                    ("source", "==", "src7")]))
     q["pq_scan_pushdown"] = pq_scan_pushdown
 
+    def rt_selective(spark: SparkSession, sf: str) -> DataFrame:
+        """Predicate pushdown on the CHUNK format (r7): the token table is
+        encoded with part_id banded on n_tok (the range-clustered layout a
+        selective table uses), then plans.lookup.selective_decode prunes
+        partitions whose chunk stats (min_val/max_val/null_count manifest
+        columns) disprove ``n_tok >= 30 AND n_tok < 60 AND source !=
+        'src3'`` — pruned partitions are never decoded (broadcast semi
+        join on the metadata projection, no shuffle) — and applies the
+        exact Catalyst residual filter after decode. Manifest-level
+        stats-based filtering, statistics.h:34-82 analog."""
+        from parquet_cpp_spark.plans import lookup as lookup_mod
+        src = tokens_src.tokens_from_documents(spark, sf, _parts(sf))
+        src = src.withColumn("part_id",
+                             (F.col("n_tok") / F.lit(25)).cast("long"))
+        chunks = encode_job.encode_pipeline(src, NUM_PARTS)
+        return _digest(lookup_mod.selective_decode(
+            chunks, [("n_tok", ">=", 30), ("n_tok", "<", 60),
+                     ("source", "!=", "src3")]))
+    q["rt_selective"] = rt_selective
+
     def pq_writer_nested(spark: SparkSession, sf: str) -> DataFrame:
         """DEEP nesting through the engine's PAR1 writer (r7, second
         wave): list<list<int32>> (max_rep 2, nullable inner lists),
@@ -1997,6 +2017,11 @@ def oracle_sql() -> dict[str, str]:
         "pq_scan_pushdown": f"""
             SELECT * FROM ({identity}) t
             WHERE n_tok >= 20 AND n_tok < 90 AND source = 'src7'
+        """,
+        # chunk-format selective decode: same WHERE semantics in DuckDB
+        "rt_selective": f"""
+            SELECT * FROM ({identity}) t
+            WHERE n_tok >= 30 AND n_tok < 60 AND source <> 'src3'
         """,
         # deep-nested writer round trip: SQL recomputes every flattened
         # leaf from documents; each CASE chain mirrors one def-level

@@ -72,6 +72,92 @@ def _find_rows(blob, key: bytes):
     return [int(i) for i in eq.to_pylist()]
 
 
+_SEL_OPS = ("==", "!=", "<", "<=", ">", ">=", "in")
+
+
+def prune_parts_predicate(chunks_df: DataFrame, predicate) -> DataFrame:
+    """part_ids that may satisfy a conjunction of ``(column, op, value)``
+    terms (ops ``== != < <= > >= in``), pruning on the chunk DataFrame's
+    OWN stats columns (min_val/max_val/null_count) with plain Catalyst
+    filters over the tiny metadata projection — no blob is touched.
+    Numeric values compare via a double cast of the canonical stat
+    strings; string values compare lexicographically (matching
+    compute_stats). A chunk with NULL stats is kept (can't prune);
+    an all-null chunk (null_count == n_rows) is pruned for every
+    comparison term (null-rejecting semantics). The manifest-level
+    analog of the reference's stats-based filtering
+    (statistics.h:34-82)."""
+    parts = None
+    for term in predicate:
+        try:
+            col, op, v = term
+        except (TypeError, ValueError):
+            raise ValueError(f"predicate term {term!r} is not "
+                             "(column, op, value)")
+        if op == "=":
+            op = "=="
+        if op not in _SEL_OPS:
+            raise ValueError(f"unsupported predicate op {op!r} "
+                             f"(one of {_SEL_OPS})")
+        vals = list(v) if op == "in" else [v]
+        if op == "in" and not vals:
+            raise ValueError(f"'in' predicate on {col!r} needs a "
+                             "non-empty collection")
+        numeric = isinstance(vals[0], (int, float)) \
+            and not isinstance(vals[0], bool)
+        mn, mx = F.col("min_val"), F.col("max_val")
+        if numeric:
+            mn, mx = mn.cast("double"), mx.cast("double")
+            lits = [F.lit(float(x)) for x in vals]
+        else:
+            lits = [F.lit(str(x)) for x in vals]
+
+        def rng(lit):
+            return {"==": (lit >= mn) & (lit <= mx),
+                    "!=": ~((mn == mx) & (mn == lit)),
+                    "<": mn < lit, "<=": mn <= lit,
+                    ">": mx > lit, ">=": mx >= lit,
+                    "in": (lit >= mn) & (lit <= mx)}[op]
+        in_range = rng(lits[0])
+        for lit in lits[1:]:
+            in_range = in_range | rng(lit)
+        keep = (F.col("null_count") < F.col("n_rows")) \
+            & (F.col("min_val").isNull() | in_range)
+        kept = (chunks_df.filter(F.col("col") == col).filter(keep)
+                .select("part_id"))
+        parts = kept if parts is None else parts.join(kept, "part_id")
+    if parts is None:
+        raise ValueError("empty predicate")
+    return parts.distinct()
+
+
+def selective_decode(chunks_df: DataFrame, predicate,
+                     verify_checksums: bool = False) -> DataFrame:
+    """Predicate-pushdown decode of a chunk dataset: partitions whose
+    chunk stats disprove the conjunction are NEVER decoded
+    (prune_parts_predicate, broadcast semi join — no shuffle), and the
+    survivors get an exact Catalyst residual filter after decode. The
+    chunk-format twin of ``record_assembly.read_parquet_dataset
+    (predicate=...)``; at 100 TB a selective predicate over a
+    range-clustered layout decodes only the matching slice."""
+    from .encode_job import decode_pipeline
+    parts = prune_parts_predicate(chunks_df, predicate)
+    pruned = chunks_df.join(F.broadcast(parts), "part_id", "semi")
+    out = decode_pipeline(pruned, verify_checksums=verify_checksums)
+    cond = None
+    for col, op, v in predicate:
+        c = F.col(col)
+        if op in ("in",):
+            term = c.isin(*list(v))
+        else:
+            term = {"==": c == F.lit(v), "=": c == F.lit(v),
+                    "!=": c != F.lit(v),
+                    "<": c < F.lit(v), "<=": c <= F.lit(v),
+                    ">": c > F.lit(v), ">=": c >= F.lit(v)}[op]
+        cond = term if cond is None else cond & term
+    return out.filter(cond)
+
+
 def point_lookup(chunks_df: DataFrame, doc_id: str) -> DataFrame:
     """Return the rows matching ``doc_id``, decoding as little as possible:
     stats+bloom prune partitions; within a surviving partition, per-page

@@ -209,3 +209,46 @@ def test_decontaminate_shuffle_path_identical_and_no_broadcast(spark):
     assert {(r.doc_id, r.n_hits) for r in auto.collect()} == base
     with pytest.raises(ValueError, match="unknown strategy"):
         dedup.decontaminate(docs, bench, strategy="bogus")
+
+
+def test_selective_decode_prunes_parts(spark):
+    """Chunk-format predicate pushdown: partitions whose chunk stats
+    disprove the conjunction are never decoded (prune_parts_predicate
+    over the metadata projection; broadcast semi join), and the residual
+    Catalyst filter makes the result exact — identical to filtering the
+    full decode."""
+    from parquet_cpp_spark.plans import encode_job, lookup
+    from parquet_cpp_spark.sources import tokens as T_
+
+    src = T_.tokens_from_documents(spark, SF_DIR, 4)
+    # part_id by n_tok band -> disjoint per-part n_tok stats, provably
+    # prunable (the range-clustered layout a selective table would use)
+    src = src.withColumn("part_id",
+                         (F.col("n_tok") / F.lit(25)).cast("long"))
+    chunks = encode_job.encode_pipeline(src, 4).cache()
+    try:
+        n_parts = chunks.select("part_id").distinct().count()
+        pred = [("n_tok", "<", 30), ("source", "!=", "src3")]
+        kept = lookup.prune_parts_predicate(chunks, pred).count()
+        assert 0 < kept < n_parts          # stats actually pruned
+        got = sorted(r.doc_id for r in
+                     lookup.selective_decode(chunks, pred)
+                     .select("doc_id").collect())
+        want_df = encode_job.decode_pipeline(chunks).filter(
+            (F.col("n_tok") < 30) & (F.col("source") != "src3"))
+        want = sorted(r.doc_id for r in want_df.select("doc_id").collect())
+        assert got == want and got
+        # in-op + impossible conjunct
+        assert lookup.prune_parts_predicate(
+            chunks, [("n_tok", ">", 10 ** 6)]).count() == 0
+        got_in = lookup.selective_decode(
+            chunks, [("source", "in", ["src1", "src5"]),
+                     ("n_tok", ">=", 90)]).count()
+        want_in = encode_job.decode_pipeline(chunks).filter(
+            F.col("source").isin("src1", "src5")
+            & (F.col("n_tok") >= 90)).count()
+        assert got_in == want_in
+        with pytest.raises(ValueError, match="unsupported predicate op"):
+            lookup.prune_parts_predicate(chunks, [("n_tok", "~", 1)])
+    finally:
+        chunks.unpersist()
