@@ -78,7 +78,7 @@ def _schema_tree(elements: list) -> list:
 class _LeafData:
     """One leaf's decoded streams plus derived lookup arrays."""
 
-    __slots__ = ("values", "deflv", "rep", "n_slots", "dense_idx",
+    __slots__ = ("values", "deflv", "rep", "n_slots", "_dense_idx",
                  "max_def", "max_rep", "meta")
 
     def __init__(self, values, deflv, rep, leaf_meta):
@@ -98,11 +98,21 @@ class _LeafData:
         self.deflv = deflv if deflv is not None else \
             np.zeros(n, dtype=np.int8)
         self.rep = rep if rep is not None else np.zeros(n, dtype=np.int8)
-        if self.max_def:
-            present = (self.deflv == self.max_def)
-            self.dense_idx = np.cumsum(present, dtype=np.int64) - 1
-        else:
-            self.dense_idx = np.arange(n, dtype=np.int64)
+        self._dense_idx = None
+
+    @property
+    def dense_idx(self):
+        """slot -> dense-values index (lazy: the whole-table dense fast
+        path in _leaf_array never needs it, and on this DRAM-throttled
+        host a 10^7-element index build is a real cost)."""
+        if self._dense_idx is None:
+            dt = np.int32 if self.n_slots < 2 ** 31 else np.int64
+            if self.max_def:
+                present = (self.deflv == self.max_def)
+                self._dense_idx = np.cumsum(present, dtype=dt) - 1
+            else:
+                self._dense_idx = np.arange(self.n_slots, dtype=dt)
+        return self._dense_idx
 
 
 def _bitmap(present: np.ndarray):
@@ -176,11 +186,37 @@ def _leaf_array(node: _Node, ld: _LeafData, starts: np.ndarray,
     import pyarrow as pa
     typ = _leaf_arrow_type(node)
     n = len(starts)
-    d0 = ld.deflv[starts] if n else np.zeros(0, dtype=np.int8)
+    # contiguous-slot fast path: starts strictly increase, so a length
+    # match means they tile one run — slice instead of 10^7-element
+    # int64 gathers (the whole-table read shape; this host's allocator
+    # makes big fancy-index temporaries the dominant assembly cost)
+    contig = bool(n) and int(starts[-1]) - int(starts[0]) + 1 == n
+    s0 = int(starts[0]) if n else 0
+    d0 = ld.deflv[s0:s0 + n] if contig else (
+        ld.deflv[starts] if n else np.zeros(0, dtype=np.int8))
     present = d0 == ld.max_def
-    gather = ld.dense_idx[starts] if n else np.zeros(0, dtype=np.int64)
     validity, null_count = _bitmap(present)
+    dense0 = None          # dense-slice start when NO gather is needed
+    if contig and null_count == 0:
+        dense0 = int(np.count_nonzero(ld.deflv[:s0] == ld.max_def)) \
+            if ld.max_def else s0
+        gather = None
+    else:
+        gather = ld.dense_idx[starts] if n else np.zeros(0, dtype=np.int64)
     phys = fmt._PHYS[node.el[1]]
+    if dense0 is not None and phys in ("int32", "int64", "float",
+                                       "double") and node.el[1] != 3 \
+            and not pa.types.is_decimal(typ):
+        vals = np.asarray(ld.values)
+        out = np.ascontiguousarray(vals[dense0:dense0 + n])
+        if len(out) != n:
+            raise ValueError(
+                f"dense stream short for {node.name!r}: need {n} values "
+                f"from {dense0}, have {len(vals)}")
+        return pa.Array.from_buffers(
+            typ, n, [validity, pa.py_buffer(out)], null_count=0)
+    if gather is None:
+        gather = ld.dense_idx[starts] if n else np.zeros(0, dtype=np.int64)
     if phys == "byte_array":
         idx = np.where(present, gather, 0)
         vals = ld.values if isinstance(ld.values, ba.ByteArrayView) \
@@ -272,14 +308,26 @@ def _leaf_array(node: _Node, ld: _LeafData, starts: np.ndarray,
 
 
 def _ranges(arr: np.ndarray, lo: np.ndarray, lengths: np.ndarray):
-    """Gather ``arr[lo[i]:lo[i]+lengths[i]]`` concatenated, loop-free."""
+    """Gather ``arr[lo[i]:lo[i]+lengths[i]]`` concatenated, loop-free.
+
+    Two scale guards for this host's DRAM-throttled allocator (big int64
+    fancy-index temporaries are the documented pathology): when every
+    range starts where the previous one ends — the COMMON case for a
+    whole-table read, where slot extents tile the leaf stream — the
+    result is one contiguous slice (zero temporaries, O(n_slots) check);
+    otherwise the index temporaries are built in int32 whenever the
+    stream fits."""
     total = int(lengths.sum())
     if total == 0:
         return np.empty(0, dtype=arr.dtype)
-    rep_lo = np.repeat(lo, lengths)
-    cum = np.zeros(len(lengths), dtype=np.int64)
+    if len(lo) and bool((lo[1:] == lo[:-1] + lengths[:-1]).all()):
+        start = int(lo[0])
+        return arr[start:start + total]
+    dt = np.int32 if len(arr) < 2 ** 31 and total < 2 ** 31 else np.int64
+    rep_lo = np.repeat(lo.astype(dt, copy=False), lengths)
+    cum = np.zeros(len(lengths), dtype=dt)
     np.cumsum(lengths[:-1], out=cum[1:])
-    ramp = np.arange(total, dtype=np.int64) - np.repeat(cum, lengths)
+    ramp = np.arange(total, dtype=dt) - np.repeat(cum, lengths)
     return arr[rep_lo + ramp]
 
 
@@ -307,11 +355,31 @@ def _expand(node_children_leaves: list, leaf_data: dict,
         ends = np.where(j + 1 < len(ctx),
                         ctx[np.minimum(j + 1, len(ctx) - 1)],
                         l2.n_slots)
-        pos = np.flatnonzero(l2.rep <= r_child).astype(np.int64)
-        lo = np.searchsorted(pos, s2)
-        c = np.searchsorted(pos, ends) - lo
         ne = np.flatnonzero(nonempty)
-        child_starts[lp] = _ranges(pos, lo[ne], c[ne])
+        if r_child >= l2.max_rep:
+            # every slot is a child boundary: positions are the identity,
+            # so skip the 10^7-element flatnonzero/searchsorted entirely
+            # (the deepest-level call for every list column; on this
+            # DRAM-throttled host that temp was a dominant cost)
+            lo, c = s2, ends - s2
+            lo_ne, c_ne = lo[ne], c[ne]
+            total = int(c_ne.sum())
+            if len(lo_ne) == 0:
+                child_starts[lp] = np.empty(0, dtype=np.int64)
+            elif bool((lo_ne[1:] == lo_ne[:-1] + c_ne[:-1]).all()):
+                start = int(lo_ne[0])
+                dt = np.int32 if l2.n_slots < 2 ** 31 else np.int64
+                child_starts[lp] = np.arange(start, start + total,
+                                             dtype=dt)
+            else:
+                dt = np.int32 if l2.n_slots < 2 ** 31 else np.int64
+                child_starts[lp] = _ranges(
+                    np.arange(l2.n_slots, dtype=dt), lo_ne, c_ne)
+        else:
+            pos = np.flatnonzero(l2.rep <= r_child).astype(np.int64)
+            lo = np.searchsorted(pos, s2)
+            c = np.searchsorted(pos, ends) - lo
+            child_starts[lp] = _ranges(pos, lo[ne], c[ne])
         if n_elem is None:
             n_elem = np.where(nonempty, c, 0)
     if n_elem is None:

@@ -96,6 +96,56 @@ def main() -> None:
     t_jvm_p = min(jvm_run_pruned(), jvm_run_pruned())
     n_tok = spark.read.parquet(path).agg(
         F.sum("n_tok").alias("s")).collect()[0].s
+
+    # --- predicate pushdown leg: the selective-access layout a real
+    # table would use (range-clustered on the filter key), ~1% selective
+    # n_tok >= p99 — engine stats-pruned scan vs Catalyst's own parquet
+    # filter pushdown on the same files
+    from parquet_cpp_spark.sources.parquet_sink import emit_parquet_dataset
+    clus = os.path.join(REPO, "data", "scan_pushdown_ds")
+    shutil.rmtree(clus, ignore_errors=True)
+    os.makedirs(clus, exist_ok=True)
+    emit_parquet_dataset(
+        spark.read.parquet(path)
+        .repartitionByRange(32, "n_tok", "doc_id")
+        .sortWithinPartitions("n_tok", "doc_id"),
+        clus, compression=None, encodings="auto").collect()
+    thr = int(spark.read.parquet(path).agg(
+        F.percentile_approx("n_tok", 0.99).alias("q")).collect()[0].q)
+    pred = [("n_tok", ">=", thr)]
+
+    def drain_sel(df):
+        row = df.agg(F.count("*").alias("n"),
+                     F.sum("n_tok").alias("s")).collect()[0]
+        return row.n, row.s
+
+    plan: dict = {}
+    sel_eng = drain_sel(read_parquet_dataset(spark, clus, predicate=pred,
+                                             plan_out=plan))
+    sel_jvm = drain_sel(spark.read.parquet(clus)
+                        .filter(F.col("n_tok") >= thr))
+    assert sel_eng == sel_jvm, (sel_eng, sel_jvm)
+
+    def engine_pd() -> float:
+        t0 = time.perf_counter()
+        drain_sel(read_parquet_dataset(spark, clus, predicate=pred))
+        return time.perf_counter() - t0
+
+    def jvm_pd() -> float:
+        t0 = time.perf_counter()
+        drain_sel(spark.read.parquet(clus).filter(F.col("n_tok") >= thr))
+        return time.perf_counter() - t0
+
+    engine_pd()
+    jvm_pd()
+    t_eng_pd = min(engine_pd(), engine_pd())
+    t_jvm_pd = min(jvm_pd(), jvm_pd())
+    pushdown = {"threshold": thr, "sel_rows": int(sel_eng[0]),
+                "rg_kept": plan["rg_kept"], "rg_total": plan["rg_total"],
+                "engine_s": round(t_eng_pd, 2),
+                "jvm_s": round(t_jvm_pd, 2)}
+    shutil.rmtree(clus, ignore_errors=True)
+
     spark.stop()
     shutil.rmtree(out, ignore_errors=True)
 
@@ -105,7 +155,8 @@ def main() -> None:
               "jvm_mtok_s": round(n_tok / t_jvm / 1e6, 1),
               "speed_ratio_engine_over_jvm": round(t_eng / t_jvm, 3),
               "pruned_engine_s": round(t_eng_p, 2),
-              "pruned_jvm_s": round(t_jvm_p, 2)}
+              "pruned_jvm_s": round(t_jvm_p, 2),
+              "pushdown": pushdown}
     print(json.dumps({"scan_vs_jvm": result}))
     blpath = os.path.join(REPO, "BENCH_local.json")
     try:
