@@ -115,6 +115,12 @@ def _parse_where(terms):
 
     out = []
     for t in terms:
+        mnull = re.fullmatch(
+            r"\s*([\w.]+)\s+is\s+(not\s+)?null\s*", t, re.IGNORECASE)
+        if mnull:
+            out.append((mnull.group(1),
+                        "not_null" if mnull.group(2) else "is_null", None))
+            continue
         m = re.fullmatch(
             r"\s*([\w.]+)\s*(==|=|!=|<=|>=|<|>|\s[iI][nN]\s)\s*(.+?)\s*", t)
         if not m:
@@ -167,7 +173,11 @@ def cmd_verify_parquet(args) -> None:
         def lit(v):
             return f"'{v}'" if isinstance(v, str) else repr(v)
         for col, op, val in pred:
-            if op == "in":
+            if op == "is_null":
+                jvm = jvm.filter(F.col(col).isNull())
+            elif op == "not_null":
+                jvm = jvm.filter(F.col(col).isNotNull())
+            elif op == "in":
                 jvm = jvm.filter(F.expr(
                     f"`{col}` IN ({', '.join(lit(v) for v in val)})"))
             else:

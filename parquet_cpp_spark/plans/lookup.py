@@ -72,7 +72,8 @@ def _find_rows(blob, key: bytes):
     return [int(i) for i in eq.to_pylist()]
 
 
-_SEL_OPS = ("==", "!=", "<", "<=", ">", ">=", "in")
+_SEL_OPS = ("==", "!=", "<", "<=", ">", ">=", "in",
+            "is_null", "not_null")
 
 
 def prune_parts_predicate(chunks_df: DataFrame, predicate) -> DataFrame:
@@ -99,6 +100,13 @@ def prune_parts_predicate(chunks_df: DataFrame, predicate) -> DataFrame:
         if op not in _SEL_OPS:
             raise ValueError(f"unsupported predicate op {op!r} "
                              f"(one of {_SEL_OPS})")
+        if op in ("is_null", "not_null"):
+            keep = (F.col("null_count") > 0) if op == "is_null" \
+                else (F.col("null_count") < F.col("n_rows"))
+            kept = (chunks_df.filter(F.col("col") == col).filter(keep)
+                    .select("part_id"))
+            parts = kept if parts is None else parts.join(kept, "part_id")
+            continue
         vals = list(v) if op == "in" else [v]
         if op == "in" and not vals:
             raise ValueError(f"'in' predicate on {col!r} needs a "
@@ -147,7 +155,11 @@ def selective_decode(chunks_df: DataFrame, predicate,
     cond = None
     for col, op, v in predicate:
         c = F.col(col)
-        if op in ("in",):
+        if op == "is_null":
+            term = c.isNull()
+        elif op == "not_null":
+            term = c.isNotNull()
+        elif op in ("in",):
             term = c.isin(*list(v))
         else:
             term = {"==": c == F.lit(v), "=": c == F.lit(v),

@@ -27,9 +27,10 @@ level, every REPEATED node adds one def level and one rep level; a
 slot that terminates at a node (null value, null/empty list, null
 struct ancestor) emits one marker slot at every leaf below it carrying
 the def level accumulated to the cut point. A node is emitted OPTIONAL
-iff the batch actually contains nulls at it (the sink's existing
-convention — all-present batches stay REQUIRED and avoid a wasted def
-level).
+iff the Arrow FIELD is nullable OR the batch contains nulls at it —
+schema-driven, so sibling partitions of one dataset (with and without
+observed nulls) write the SAME parquet schema; an all-present OPTIONAL
+node costs one RLE run of def levels, not a schema divergence.
 
 ``ArrowColumn`` plugs into ``write_file`` through three duck-typed
 hooks (``pcs_leaves`` / ``pcs_schema`` / ``pcs_annotations``) so the
@@ -65,7 +66,7 @@ class ArrowColumn:
     writer leaves (in schema DFS order), the schema-element skeletons,
     and the harvested utf8/temporal/decimal annotation keys."""
 
-    def __init__(self, name: str, array):
+    def __init__(self, name: str, array, nullable: bool = False):
         import pyarrow as pa
 
         if isinstance(array, pa.ChunkedArray):
@@ -85,7 +86,8 @@ class ArrowColumn:
         slot_idx = np.arange(n, dtype=np.int64)
         rep_first = np.zeros(n, dtype=np.int8)
         defl = np.zeros(n, dtype=np.int8)
-        self._walk(array, [name], slot_idx, rep_first, defl, 0, 0)
+        self._walk(array, [name], slot_idx, rep_first, defl, 0, 0,
+                   nullable)
 
     # -- write_file hooks ------------------------------------------------
     def pcs_leaves(self) -> list:
@@ -124,7 +126,7 @@ class ArrowColumn:
 
     # -- the walker ------------------------------------------------------
     def _walk(self, arr, path, slot_idx, rep_first, defl,
-              rep_level, def_level):
+              rep_level, def_level, nullable=False):
         import pyarrow as pa
 
         typ = arr.type
@@ -133,20 +135,24 @@ class ArrowColumn:
             typ = arr.type
         if pa.types.is_struct(typ):
             self._walk_struct(arr, path, slot_idx, rep_first, defl,
-                              rep_level, def_level)
+                              rep_level, def_level, nullable)
         elif pa.types.is_list(typ) or pa.types.is_large_list(typ):
             self._walk_list(arr, path, slot_idx, rep_first, defl,
-                            rep_level, def_level)
+                            rep_level, def_level, nullable)
         elif pa.types.is_map(typ):
             self._walk_map(arr, path, slot_idx, rep_first, defl,
-                           rep_level, def_level)
+                           rep_level, def_level, nullable)
         else:
             self._walk_leaf(arr, path, slot_idx, rep_first, defl,
-                            rep_level, def_level)
+                            rep_level, def_level, nullable)
 
-    def _node_validity(self, arr, slot_idx):
-        """(real_mask, real_idx, valid_over_real | None): which slots are
-        live at this node, and which of those hold a non-null value."""
+    def _node_validity(self, arr, slot_idx, nullable=False):
+        """(real_mask, real_idx, valid_over_real | None, optional): which
+        slots are live at this node, which of those hold a non-null
+        value, and whether the node is OPTIONAL. Optionality follows the
+        Arrow FIELD (``nullable``) — a batch without observed nulls must
+        still emit OPTIONAL when the schema says nullable, or sibling
+        partitions write heterogeneous parquet schemas."""
         real_mask = slot_idx >= 0
         real_idx = slot_idx[real_mask]
         if arr.null_count:
@@ -156,12 +162,15 @@ class ArrowColumn:
                 v = None
         else:
             v = None
-        return real_mask, real_idx, v
+        optional = nullable or v is not None
+        if optional and v is None:
+            v = np.ones(len(real_idx), dtype=bool)
+        return real_mask, real_idx, v, optional
 
     def _walk_struct(self, arr, path, slot_idx, rep_first, defl,
-                     rep_level, def_level):
-        real_mask, real_idx, v = self._node_validity(arr, slot_idx)
-        optional = v is not None
+                     rep_level, def_level, nullable=False):
+        real_mask, real_idx, v, optional = self._node_validity(
+            arr, slot_idx, nullable)
         new_slot, new_defl = slot_idx, defl
         if optional:
             new_slot = slot_idx.copy()
@@ -175,19 +184,19 @@ class ArrowColumn:
         for i in range(typ.num_fields):
             self._walk(arr.field(i), path + [typ.field(i).name],
                        new_slot, rep_first, new_defl,
-                       rep_level, def_level + (1 if optional else 0))
+                       rep_level, def_level + (1 if optional else 0),
+                       typ.field(i).nullable)
 
-    def _expand_repeated(self, off, real_mask, real_idx, v, slot_idx,
-                         rep_first, defl, rep_level):
+    def _expand_repeated(self, off, real_mask, real_idx, v, optional,
+                         slot_idx, rep_first, defl, rep_level):
         """Shared list/map slot expansion. Returns (child slot_idx,
-        child rep_first, child defl, optional) — one child slot per
-        element of live non-empty slots, one marker slot for everything
-        else (old markers, null lists, empty lists)."""
+        child rep_first, child defl) — one child slot per element of
+        live non-empty slots, one marker slot for everything else (old
+        markers, null lists, empty lists)."""
         n_slots = len(slot_idx)
         lengths = np.zeros(n_slots, dtype=np.int64)
         lr = (off[real_idx + 1] - off[real_idx]) if len(real_idx) else \
             np.empty(0, dtype=np.int64)
-        optional = v is not None
         if optional:
             # a null slot's extent (normally 0) is skipped, not written
             lr = np.where(v, lr, 0)
@@ -218,29 +227,31 @@ class ArrowColumn:
             elem_idx = _elem_indices(off[slot_idx[ne]], ne_len)
             pos = _elem_indices(starts[ne], ne_len)
             c_slot[pos] = elem_idx
-        return c_slot, c_rep, c_defl, optional
+        return c_slot, c_rep, c_defl
 
     def _walk_list(self, arr, path, slot_idx, rep_first, defl,
-                   rep_level, def_level):
-        real_mask, real_idx, v = self._node_validity(arr, slot_idx)
+                   rep_level, def_level, nullable=False):
+        real_mask, real_idx, v, optional = self._node_validity(
+            arr, slot_idx, nullable)
         off = np.asarray(arr.offsets).astype(np.int64)
-        c_slot, c_rep, c_defl, optional = self._expand_repeated(
-            off, real_mask, real_idx, v, slot_idx, rep_first, defl,
-            rep_level)
+        c_slot, c_rep, c_defl = self._expand_repeated(
+            off, real_mask, real_idx, v, optional, slot_idx, rep_first,
+            defl, rep_level)
         opt = 1 if optional else 0
         self._schema.append(("group", opt, path[-1], 1, 3))  # LIST
         self._schema.append(("group", 2, "list", 1, None))   # repeated
         self._walk(arr.values, path + ["list", "element"],
                    c_slot, c_rep, c_defl, rep_level + 1,
-                   def_level + opt + 1)
+                   def_level + opt + 1, arr.type.value_field.nullable)
 
     def _walk_map(self, arr, path, slot_idx, rep_first, defl,
-                  rep_level, def_level):
-        real_mask, real_idx, v = self._node_validity(arr, slot_idx)
+                  rep_level, def_level, nullable=False):
+        real_mask, real_idx, v, optional = self._node_validity(
+            arr, slot_idx, nullable)
         off = np.asarray(arr.offsets).astype(np.int64)
-        c_slot, c_rep, c_defl, optional = self._expand_repeated(
-            off, real_mask, real_idx, v, slot_idx, rep_first, defl,
-            rep_level)
+        c_slot, c_rep, c_defl = self._expand_repeated(
+            off, real_mask, real_idx, v, optional, slot_idx, rep_first,
+            defl, rep_level)
         opt = 1 if optional else 0
         if arr.keys.null_count:
             raise ValueError(f"column {'.'.join(path)}: parquet map keys "
@@ -249,13 +260,13 @@ class ArrowColumn:
         self._schema.append(("group", 2, "key_value", 2, 2))  # MAP_KEY_VALUE
         self._walk(arr.keys, path + ["key_value", "key"],
                    c_slot, c_rep, c_defl, rep_level + 1,
-                   def_level + opt + 1)
+                   def_level + opt + 1, False)
         self._walk(arr.items, path + ["key_value", "value"],
                    c_slot, c_rep.copy(), c_defl, rep_level + 1,
-                   def_level + opt + 1)
+                   def_level + opt + 1, arr.type.item_field.nullable)
 
     def _walk_leaf(self, arr, path, slot_idx, rep_first, defl,
-                   rep_level, def_level):
+                   rep_level, def_level, nullable=False):
         import pyarrow as pa
 
         from . import parquet_sink as sink
@@ -273,12 +284,11 @@ class ArrowColumn:
         real_arr = arr if contiguous else \
             arr.take(pa.array(real_idx, pa.int64()))
         phys, vals, valid_mask, is_utf8 = sink._leaf_parts(
-            real_arr, ann_key, self._annotations, self._decimals)
+            real_arr, ann_key, self._annotations, self._decimals,
+            nullable=nullable)
         if is_utf8:
             self._utf8.add(ann_key)
-        optional = valid_mask is not None and not bool(valid_mask.all())
-        if not optional:
-            valid_mask = None
+        optional = valid_mask is not None
         max_def = def_level + (1 if optional else 0)
         max_rep = rep_level
         dense = pw._dense_scalar(

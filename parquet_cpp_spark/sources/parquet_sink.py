@@ -45,7 +45,21 @@ _FLAT_PHYS = {"int32": "int32", "int64": "int64", "float": "float",
               "double": "double", "bool": "boolean"}
 
 
-def _scalar_parts(col, name: str):
+def _valid_mask(col, nullable: bool):
+    """Validity mask for one node: observed nulls, else an ALL-TRUE mask
+    when the Arrow FIELD says nullable. Parquet repetition must follow
+    the SCHEMA, not the data — otherwise two partitions of one dataset
+    write different file schemas (REQUIRED in the null-free partition,
+    OPTIONAL in the rest) and every schema-checked reader of the
+    directory fails. Matches Spark's own parquet writer (nullable Spark
+    field -> OPTIONAL always)."""
+    import numpy as np
+    if col.null_count:
+        return ~np.asarray(col.is_null())
+    return np.ones(len(col), dtype=bool) if nullable else None
+
+
+def _scalar_parts(col, name: str, nullable: bool = False):
     """Arrow scalar array -> (phys, slot-aligned values, valid, is_utf8).
 
     The vectorized extraction shared by flat columns, struct fields, list
@@ -53,8 +67,9 @@ def _scalar_parts(col, name: str):
     ``ba.ByteArrayView`` straight from the Arrow offsets/values buffers
     (``ba.from_arrow`` — no per-row Python, the ``encode_arrow`` hot-path
     shape), numerics a numpy view; nulls are masked via ``valid`` with
-    slots filled by a typed zero (the writer drops them by mask)."""
-    import numpy as np
+    slots filled by a typed zero (the writer drops them by mask).
+    ``nullable`` (the Arrow FIELD's flag) forces an OPTIONAL mask even
+    when this batch happens to contain no nulls."""
     import pyarrow as pa
 
     from ..kernels import ba
@@ -63,15 +78,13 @@ def _scalar_parts(col, name: str):
     if pa.types.is_string(typ) or pa.types.is_large_string(typ) \
             or pa.types.is_binary(typ) or pa.types.is_large_binary(typ):
         utf8 = not (pa.types.is_binary(typ) or pa.types.is_large_binary(typ))
-        valid = None
+        valid = _valid_mask(col, nullable)
         if col.null_count:
-            valid = ~np.asarray(col.is_null())
             col = col.fill_null("" if utf8 else b"")
         return "byte_array", ba.from_arrow(col), valid, utf8
     if str(typ) in _FLAT_PHYS:
-        valid = None
+        valid = _valid_mask(col, nullable)
         if col.null_count:
-            valid = ~np.asarray(col.is_null())
             col = col.fill_null(False if str(typ) == "bool" else 0)
         return (_FLAT_PHYS[str(typ)], col.to_numpy(zero_copy_only=False),
                 valid, False)
@@ -80,7 +93,7 @@ def _scalar_parts(col, name: str):
 
 
 def _leaf_parts(col, name: str, annotations: dict, decimals: dict,
-                allow_flba: bool = True):
+                allow_flba: bool = True, nullable: bool = False):
     """``_scalar_parts`` plus temporal/decimal handling for ANY leaf
     position (flat columns, struct fields at any depth, list/map
     elements): date32/timestamp store as annotated ints keyed by the
@@ -97,9 +110,7 @@ def _leaf_parts(col, name: str, annotations: dict, decimals: dict,
             raise ValueError(f"column {name}: decimal under a repeated "
                              "leaf is out of writer scope (list<FLBA>)")
         from ..logical import decimal_flba_from_arrow
-        valid = None
-        if col.null_count:
-            valid = ~np.asarray(col.is_null())
+        valid = _valid_mask(col, nullable)
         mat, precision, scale = decimal_flba_from_arrow(col)
         decimals[name] = (precision, scale)
         return f"flba:{mat.shape[1]}", mat, valid, False
@@ -119,15 +130,14 @@ def _leaf_parts(col, name: str, annotations: dict, decimals: dict,
                 else f"timestamp_ntz_{unit}"
             col = col.cast(pa.timestamp(unit)).cast(pa.int64())
         annotations[name] = ann
-        valid = None
+        valid = _valid_mask(col, nullable)
         if col.null_count:
-            valid = ~np.asarray(col.is_null())
             col = col.fill_null(0)
         return phys, col.to_numpy(zero_copy_only=False), valid, False
-    return _scalar_parts(col, name)
+    return _scalar_parts(col, name, nullable=nullable)
 
 
-def _repeated_parts(col, name: str):
+def _repeated_parts(col, name: str, nullable: bool = False):
     """Arrow list/map array -> (lengths, valid, element range) with the
     null-slot contract enforced: a null slot must have a zero extent (the
     Arrow layout every Spark/pyarrow producer emits)."""
@@ -135,12 +145,10 @@ def _repeated_parts(col, name: str):
 
     offsets = np.asarray(col.offsets)
     lengths = np.diff(offsets).astype(np.int64)
-    valid = None
-    if col.null_count:
-        valid = ~np.asarray(col.is_null())
-        if lengths[~valid].any():
-            raise ValueError(f"column {name}: null list slot with a "
-                             "non-empty extent is out of sink scope")
+    valid = _valid_mask(col, nullable)
+    if col.null_count and lengths[~valid].any():
+        raise ValueError(f"column {name}: null list slot with a "
+                         "non-empty extent is out of sink scope")
     return lengths, valid, int(offsets[0]), int(offsets[-1])
 
 
@@ -178,24 +186,29 @@ def specs_from_arrow(tbl):
 
     specs, utf8, annotations, decimals = [], set(), {}, {}
 
-    def _spec(col, name):
-        """Specialized fast-path spec for one column. Raises ValueError
-        on shapes these paths don't express — the caller falls back to
-        the general rep/def walker (``arrow_nested.ArrowColumn``)."""
+    def _spec(col, name, nullable):
+        """Specialized fast-path spec for one column (``nullable`` = the
+        Arrow FIELD's flag; child nullability comes from the child
+        fields, so partitions with and without observed nulls emit the
+        SAME parquet schema). Raises ValueError on shapes these paths
+        don't express — the caller falls back to the general rep/def
+        walker (``arrow_nested.ArrowColumn``)."""
         typ = col.type
         if pa.types.is_list(typ) or pa.types.is_large_list(typ):
-            lengths, valid, lo, hi = _repeated_parts(col, name)
+            lengths, valid, lo, hi = _repeated_parts(col, name, nullable)
             child = col.values.slice(lo, hi - lo)
             ctyp = child.type
+            e_null = typ.value_field.nullable
             if pa.types.is_list(ctyp) or pa.types.is_large_list(ctyp):
                 # list<list<scalar>> -> NestedListColumn (max_rep = 2);
                 # a third list level is out of writer scope
                 ilengths, ivalid, ilo, ihi = _repeated_parts(
-                    child, f"{name}.element")
+                    child, f"{name}.element", e_null)
                 elems = child.values.slice(ilo, ihi - ilo)
                 ephys, evals, evalid, eutf8 = _leaf_parts(
                     elems, name, annotations, decimals,
-                    allow_flba=False)
+                    allow_flba=False,
+                    nullable=ctyp.value_field.nullable)
                 if eutf8:
                     utf8.add(name)
                 return pw.NestedListColumn(
@@ -206,14 +219,14 @@ def specs_from_arrow(tbl):
             elif pa.types.is_struct(ctyp):
                 # list<struct<scalars>> -> ListStructColumn: one REPEATED
                 # leaf per field, values/masks per element slot
-                evalid = ~np.asarray(child.is_null()) \
-                    if child.null_count else None
+                evalid = _valid_mask(child, e_null)
                 fields = []
                 for i in range(ctyp.num_fields):
                     fld = ctyp.field(i)
                     fphys, fvals, fvalid, futf8 = _leaf_parts(
                         child.field(i), f"{name}.{fld.name}",
-                        annotations, decimals, allow_flba=False)
+                        annotations, decimals, allow_flba=False,
+                        nullable=fld.nullable)
                     if futf8:
                         utf8.add(f"{name}.{fld.name}")
                     fields.append((fld.name, fphys, fvals, fvalid,
@@ -224,7 +237,7 @@ def specs_from_arrow(tbl):
             else:
                 ephys, evals, evalid, eutf8 = _leaf_parts(
                     child, name, annotations, decimals,
-                    allow_flba=False)
+                    allow_flba=False, nullable=e_null)
                 if eutf8:
                     utf8.add(name)
                 return pw.ListColumn(
@@ -232,9 +245,8 @@ def specs_from_arrow(tbl):
                     use_dictionary=ephys in _DICT_DEFAULT,
                     valid=valid, element_valid=evalid)
         elif pa.types.is_struct(typ):
-            def _struct_spec(scol, dotted):
-                svalid = ~np.asarray(scol.is_null()) \
-                    if scol.null_count else None
+            def _struct_spec(scol, dotted, s_null):
+                svalid = _valid_mask(scol, s_null)
                 fields = []
                 styp = scol.type
                 for i in range(styp.num_fields):
@@ -245,7 +257,8 @@ def specs_from_arrow(tbl):
                         # struct-in-struct: recursive group node; field
                         # arrays stay top-level-row aligned in Arrow
                         fields.append((fld.name,
-                                       _struct_spec(fcol, fdotted)))
+                                       _struct_spec(fcol, fdotted,
+                                                    fld.nullable)))
                         continue
                     if pa.types.is_list(fld.type) or \
                             pa.types.is_large_list(fld.type):
@@ -254,7 +267,7 @@ def specs_from_arrow(tbl):
                         # are dropped (the writer requires length 0
                         # below a null ancestor)
                         flengths, flvalid, flo, fhi = _repeated_parts(
-                            fcol, fdotted)
+                            fcol, fdotted, fld.nullable)
                         fchild = fcol.values.slice(flo, fhi - flo)
                         if svalid is not None and \
                                 flengths[~svalid].any():
@@ -264,7 +277,8 @@ def specs_from_arrow(tbl):
                             flengths = np.where(svalid, flengths, 0)
                         fphys, fvals, fevalid, futf8 = _leaf_parts(
                             fchild, fdotted, annotations, decimals,
-                            allow_flba=False)
+                            allow_flba=False,
+                            nullable=fld.type.value_field.nullable)
                         if futf8:
                             utf8.add(fdotted)
                         fields.append((fld.name, pw.ListColumn(
@@ -273,16 +287,17 @@ def specs_from_arrow(tbl):
                             valid=flvalid, element_valid=fevalid)))
                         continue
                     fphys, fvals, fvalid, futf8 = _leaf_parts(
-                        fcol, fdotted, annotations, decimals)
+                        fcol, fdotted, annotations, decimals,
+                        nullable=fld.nullable)
                     if futf8:
                         utf8.add(fdotted)
                     fields.append((fld.name, fphys, fvals, fvalid,
                                    fphys in _DICT_DEFAULT))
                 return pw.StructColumn(dotted.rsplit(".", 1)[-1], fields,
                                        valid=svalid)
-            return _struct_spec(col, name)
+            return _struct_spec(col, name, nullable)
         elif pa.types.is_map(typ):
-            lengths, valid, lo, hi = _repeated_parts(col, name)
+            lengths, valid, lo, hi = _repeated_parts(col, name, nullable)
             keys = col.keys.slice(lo, hi - lo)
             items = col.items.slice(lo, hi - lo)
             if keys.null_count:
@@ -292,7 +307,7 @@ def specs_from_arrow(tbl):
                                                          f"{name}.key")
             vphys, vvals, vvalid, vutf8 = _leaf_parts(
                 items, f"{name}.value", annotations, decimals,
-                allow_flba=False)
+                allow_flba=False, nullable=typ.item_field.nullable)
             if kutf8:
                 utf8.add(f"{name}.key")
             if vutf8:
@@ -304,7 +319,7 @@ def specs_from_arrow(tbl):
                 value_use_dictionary=vphys in _DICT_DEFAULT)
         else:
             phys, vals, valid, is_utf8 = _leaf_parts(
-                col, name, annotations, decimals)
+                col, name, annotations, decimals, nullable=nullable)
             if is_utf8:
                 utf8.add(name)
             return (name, phys, vals, valid, phys == "byte_array")
@@ -314,9 +329,10 @@ def specs_from_arrow(tbl):
         if isinstance(col, pa.ChunkedArray):   # older pyarrow: 1-chunk CA
             col = col.chunk(0) if col.num_chunks \
                 else pa.array([], type=col.type)
+        nullable = tbl.schema.field(name).nullable
         snap = (set(utf8), dict(annotations), dict(decimals))
         try:
-            specs.append(_spec(col, name))
+            specs.append(_spec(col, name, nullable))
         except ValueError:
             # shape (or layout contract) outside the specialized fast
             # paths — deeper nesting, nested list<struct> elements,
@@ -332,7 +348,7 @@ def specs_from_arrow(tbl):
             annotations.update(snap[1])
             decimals.clear()
             decimals.update(snap[2])
-            specs.append(ArrowColumn(name, col))
+            specs.append(ArrowColumn(name, col, nullable=nullable))
     return specs, utf8, annotations, decimals
 
 

@@ -619,7 +619,8 @@ def file_schema(path: str, columns=None):
     return pa.schema([_node_arrow_field(t) for t in tree])
 
 
-_PRED_OPS = ("==", "!=", "<", "<=", ">", ">=", "in")
+_PRED_OPS = ("==", "!=", "<", "<=", ">", ">=", "in",
+             "is_null", "not_null")
 
 
 def _check_value(col, leaf, v):
@@ -666,7 +667,11 @@ def _normalize_predicate(predicate, leaves_by_name):
             raise ValueError(
                 f"predicate column {col!r} is not a top-level flat "
                 f"scalar leaf (have {flat})")
-        if op == "in":
+        if op in ("is_null", "not_null"):
+            if v is not None:
+                raise ValueError(f"{op!r} predicate on {col!r} takes "
+                                 f"value None, got {v!r}")
+        elif op == "in":
             if not isinstance(v, (list, tuple, set, frozenset)) or not v:
                 raise ValueError(f"'in' predicate on {col!r} needs a "
                                  "non-empty list/tuple/set of values")
@@ -690,10 +695,18 @@ def _rg_may_match(chunks_by_path, leaves_by_name, conjuncts) -> bool:
         if chunk is None or chunk.stats is None:
             continue
         mn_b, mx_b, nulls = chunk.stats
+        if op == "is_null":
+            if nulls == 0:                   # provably no null anywhere
+                return False
+            continue
+        if op == "not_null":
+            if nulls is not None and nulls == chunk.num_values:
+                return False                  # provably all null
+            continue
         if nulls is not None and nulls == chunk.num_values:
-            return False                      # all-null chunk
-        mn = fmt.stat_typed(mn_b, leaves_by_name[col])
-        mx = fmt.stat_typed(mx_b, leaves_by_name[col])
+            return False                      # all-null chunk vs a
+        mn = fmt.stat_typed(mn_b, leaves_by_name[col])  # null-rejecting
+        mx = fmt.stat_typed(mx_b, leaves_by_name[col])  # comparison
         if mn is None or mx is None:
             continue
         if ((op == "==" and (v < mn or v > mx))
@@ -778,8 +791,9 @@ def read_parquet_dataset(spark, src: str, columns=None, predicate=None,
     Spark tasks as the thread pool.
 
     ``predicate`` pushes a conjunction of ``(column, op, value)`` terms
-    (ops ``== != < <= > >= in``, top-level flat scalar columns; ``in``
-    takes a non-empty collection) INTO the scan, three layers deep:
+    (ops ``== != < <= > >= in is_null not_null``, top-level flat scalar
+    columns; ``in`` takes a non-empty collection, the null tests take
+    value None) INTO the scan, three layers deep:
     (1) plan-time row-group pruning on footer chunk Statistics — pruned
     groups never become tasks; (2) task-time bloom-filter skip for
     ``==``/``in`` terms on bloom-carrying chunks — the split is dropped
@@ -896,7 +910,11 @@ def read_parquet_dataset(spark, src: str, columns=None, predicate=None,
                         def _key(x):
                             return x.decode() if isinstance(x, bytes) \
                                 and pa.types.is_string(arr.type) else x
-                        if o == "in":
+                        if o == "is_null":
+                            m = pc.is_null(arr)
+                        elif o == "not_null":
+                            m = pc.is_valid(arr)
+                        elif o == "in":
                             m = pc.is_in(arr, value_set=pa.array(
                                 [_key(x) for x in v], type=arr.type))
                         else:

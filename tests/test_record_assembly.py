@@ -446,3 +446,58 @@ def test_distributed_footer_planning(tmp_path, spark):
     ra = sorted(r.doc_id for r in a.select("doc_id").collect())
     rb = sorted(r.doc_id for r in b.select("doc_id").collect())
     assert ra == rb and len(ra) == 100
+
+
+def test_predicate_null_ops(tmp_path, spark):
+    """is_null / not_null predicate terms: null_count stats prune groups
+    that provably lack (or are entirely) nulls — a null-free file is
+    skipped by is_null, an all-null file by not_null — and the residual
+    filter makes the result exact vs the JVM reader. Null tests are NOT
+    null-rejecting, so the all-null prune must not fire for them."""
+    from pyspark.sql import functions as F
+
+    from parquet_cpp_spark.sources.parquet_sink import emit_parquet_dataset
+    from parquet_cpp_spark.sources.record_assembly import \
+        read_parquet_dataset
+
+    out = str(tmp_path / "out")
+    # band 0: n_chars never null; band 2: always null; band 1: mixed
+    df = (spark.range(300)
+          .withColumn("doc_id", F.col("id").cast("string"))
+          .withColumn("tokens",
+                      F.sequence(F.lit(0), (F.col("id") % 3).cast("int")))
+          .withColumn("band", (F.col("id") % 3).cast("int"))
+          .withColumn("n_chars", F.when(
+              (F.col("band") == 0)
+              | ((F.col("band") == 1) & (F.col("id") % 2 == 0)),
+              F.col("id").cast("int")))
+          .drop("id")
+          .repartitionByRange(3, "band").sortWithinPartitions("band"))
+    emit_parquet_dataset(df, out).collect()
+    jvm = spark.read.parquet(out)
+
+    def ids(dframe):
+        return sorted(r.doc_id for r in dframe.select("doc_id").collect())
+
+    plan: dict = {}
+    got = read_parquet_dataset(spark, out,
+                               predicate=[("n_chars", "is_null", None)],
+                               plan_out=plan)
+    assert ids(got) == ids(jvm.filter(F.col("n_chars").isNull()))
+    assert plan["rg_kept"] < plan["rg_total"]   # null-free band skipped
+    plan = {}
+    got = read_parquet_dataset(spark, out,
+                               predicate=[("n_chars", "not_null", None)],
+                               plan_out=plan)
+    assert ids(got) == ids(jvm.filter(F.col("n_chars").isNotNull()))
+    assert plan["rg_kept"] < plan["rg_total"]   # all-null band skipped
+    # combined with a comparison on another column
+    plan = {}
+    got = read_parquet_dataset(
+        spark, out, predicate=[("n_chars", "not_null", None),
+                               ("band", "<=", 1)], plan_out=plan)
+    assert ids(got) == ids(jvm.filter(F.col("n_chars").isNotNull()
+                                      & (F.col("band") <= 1)))
+    with pytest.raises(ValueError, match="takes value None"):
+        read_parquet_dataset(spark, out,
+                             predicate=[("n_chars", "is_null", 5)])
