@@ -144,6 +144,10 @@ class ColumnChunkMeta:
     # them (format spec Statistics struct; EncodedStatistics in the
     # reference, metadata.cc ApplyStatistics)
     stats: "tuple | None" = None
+    # ColumnMetaData.encodings (field 2) — the scan's dictionary
+    # filtering requires proof that every data page is dict-encoded
+    # (PLAIN present => fallback happened => membership is not decisive)
+    encodings: tuple = ()
 
 
 @dataclass
@@ -235,7 +239,7 @@ def read_footer(mv: memoryview) -> FileMeta:
                 offset_index=(cc[4], cc[5]) if 4 in cc else None,
                 column_index=(cc[6], cc[7]) if 6 in cc else None,
                 bloom_filter=(cm[14], cm.get(15)) if 14 in cm else None,
-                stats=stats))
+                stats=stats, encodings=tuple(cm.get(2, ()))))
         out.row_groups.append(chunks)
         out.rg_rows.append(rg.get(3, 0))
     return out

@@ -720,13 +720,38 @@ def _rg_may_match(chunks_by_path, leaves_by_name, conjuncts) -> bool:
     return True
 
 
-def _bloom_prunes(path: str, rg: int, eq_terms) -> bool:
-    """True when a footer-linked bloom filter proves an ``==`` / ``in``
-    conjunct unsatisfiable in this row group (EVERY candidate key
-    bloom-absent) — the task-side fast path that skips the split before
-    any data page is read (bloom_filter.cc BlockSplitBloomFilter
-    consulted from the scan, like plans/lookup.py does for point
-    lookups). ``eq_terms`` is [(col, (key, ...)), ...]."""
+# encodings that prove every data page decodes through the dictionary:
+# PLAIN_DICTIONARY(2) / RLE_DICTIONARY(8) data pages + RLE(3) levels.
+# Anything else in the list (PLAIN 0 = dict fallback, DELTA_* ...) means
+# some values bypass the dictionary and membership is not decisive.
+_DICT_ONLY = frozenset((2, 3, 8))
+
+
+def _dict_member(dictionary, phys: str, keys) -> bool:
+    """Any candidate key present in the decoded dictionary page?"""
+    import numpy as np
+
+    from ..kernels import ba
+    if phys == "byte_array":
+        entries = set(ba.to_list(dictionary)
+                      if isinstance(dictionary, ba.ByteArrayView)
+                      else [bytes(x) for x in dictionary])
+        return any(k in entries for k in keys)
+    arr = np.asarray(dictionary)
+    return bool(np.isin(np.array(list(keys)), arr).any())
+
+
+def _rg_prunes(path: str, rg: int, eq_terms) -> bool:
+    """True when this row group provably contains NONE of an ``==`` /
+    ``in`` conjunct's candidate keys — the task-side fast path that
+    skips the split before any data page is read. Two proofs, cheapest
+    first: a footer-linked bloom filter says every candidate absent
+    (bloom_filter.cc BlockSplitBloomFilter, like plans/lookup.py's
+    point lookups), or the chunk's dictionary page — decoded alone,
+    data pages untouched — lacks every candidate while the encodings
+    list proves all values went through the dictionary (parquet-mr's
+    dictionary-filtering rule: any PLAIN in the list disables it).
+    ``eq_terms`` is [(col, (key, ...)), ...]."""
     import mmap
 
     with open(path, "rb") as f:
@@ -738,15 +763,23 @@ def _bloom_prunes(path: str, rg: int, eq_terms) -> bool:
         chunks = {c.path: c for c in meta.row_groups[rg]}
         for col, keys in eq_terms:
             chunk = chunks.get(col)
-            if chunk is None or chunk.bloom_filter is None \
-                    or leaves[col].phys not in ("byte_array",
-                                                "int32", "int64"):
+            phys = leaves[col].phys
+            if chunk is None or phys not in ("byte_array",
+                                             "int32", "int64"):
                 continue
-            bf = fmt.read_bloom(mv, chunk)
-            if bf is not None and not any(
-                    fmt._bloom_may_contain(bf, leaves[col].phys, k)
-                    for k in keys):
-                return True
+            if chunk.bloom_filter is not None:
+                bf = fmt.read_bloom(mv, chunk)
+                if bf is not None and not any(
+                        fmt._bloom_may_contain(bf, phys, k)
+                        for k in keys):
+                    return True
+            if chunk.dictionary_page_offset and chunk.encodings \
+                    and set(chunk.encodings) <= _DICT_ONLY:
+                dictionary = fmt._read_dictionary_page(
+                    mv, leaves[col], chunk)
+                if dictionary is not None and len(dictionary) \
+                        and not _dict_member(dictionary, phys, keys):
+                    return True
         return False
     finally:
         mv.release()
@@ -895,7 +928,7 @@ def read_parquet_dataset(spark, src: str, columns=None, predicate=None,
             rgs = batch.column("rg").to_pylist()
             n_rgs = batch.column("n_rg").to_pylist()
             for p, rg, n_rg in zip(paths, rgs, n_rgs):
-                if eq_terms and _bloom_prunes(p, rg, eq_terms):
+                if eq_terms and _rg_prunes(p, rg, eq_terms):
                     continue
                 # single-rg file: whole-file buffered read (one syscall,
                 # no per-page mmap faults); multi-rg: mmap + rg ranges

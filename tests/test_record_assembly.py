@@ -300,7 +300,7 @@ def test_read_parquet_dataset_predicate_pushdown(tmp_path, spark):
     """Predicate pushdown through the engine scan, three layers deep:
     (1) plan-time row-group pruning on footer chunk Statistics — the
     plan_out counters prove pruned groups never became tasks; (2)
-    task-time bloom skip for == terms (direct _bloom_prunes assertions);
+    task-time bloom/dictionary skip for == terms (_rg_prunes assertions);
     (3) exact vectorized residual filter — every result identical to
     Spark's JVM reader running the same filter on the same directory.
     The scan-side analog of the reference's stats-based filtering
@@ -308,7 +308,7 @@ def test_read_parquet_dataset_predicate_pushdown(tmp_path, spark):
     from pyspark.sql import functions as F
 
     from parquet_cpp_spark.sources.parquet_sink import emit_parquet_dataset
-    from parquet_cpp_spark.sources.record_assembly import (_bloom_prunes,
+    from parquet_cpp_spark.sources.record_assembly import (_rg_prunes,
                                                            footer_meta,
                                                            read_parquet_dataset)
 
@@ -381,11 +381,11 @@ def test_read_parquet_dataset_predicate_pushdown(tmp_path, spark):
     f0 = sorted(_glob.glob(os.path.join(out, "*.parquet")))[0]
     present = assemble_file(f0, columns=["doc_id"]) \
         .column("doc_id")[0].as_py().encode()
-    assert _bloom_prunes(f0, 0, [("doc_id", (b"zz-not-there",))])
-    assert not _bloom_prunes(f0, 0, [("doc_id", (present,))])
+    assert _rg_prunes(f0, 0, [("doc_id", (b"zz-not-there",))])
+    assert not _rg_prunes(f0, 0, [("doc_id", (present,))])
     # in-list: prunes only when EVERY candidate key is bloom-absent
-    assert _bloom_prunes(f0, 0, [("doc_id", (b"zz-a", b"zz-b"))])
-    assert not _bloom_prunes(f0, 0, [("doc_id", (b"zz-a", present))])
+    assert _rg_prunes(f0, 0, [("doc_id", (b"zz-a", b"zz-b"))])
+    assert not _rg_prunes(f0, 0, [("doc_id", (b"zz-a", present))])
     assert footer_meta(f0).row_groups[0][0].bloom_filter is not None
     # loud failures: nested column, bad op, type-mismatched value
     with pytest.raises(ValueError, match="top-level flat scalar"):
@@ -501,3 +501,58 @@ def test_predicate_null_ops(tmp_path, spark):
     with pytest.raises(ValueError, match="takes value None"):
         read_parquet_dataset(spark, out,
                              predicate=[("n_chars", "is_null", 5)])
+
+
+def test_dictionary_filtering_skip(tmp_path, spark):
+    """Dictionary filtering in the scan (parquet-mr's rule): for an ==
+    key that falls INSIDE a chunk's [min,max] but is absent from its
+    dictionary page, the split is skipped after decoding ONLY the
+    dictionary — no bloom needed, no data page touched. Only kicks in
+    when the encodings list proves every data page is dict-encoded."""
+    from pyspark.sql import functions as F
+
+    from parquet_cpp_spark.sources.parquet_sink import emit_parquet_dataset
+    from parquet_cpp_spark.sources.record_assembly import (_rg_prunes,
+                                                           footer_meta,
+                                                           read_parquet_dataset)
+
+    out = str(tmp_path / "out")
+    # file 0: sources {sa, sc}; file 1: {sb, sd} — 'sb' is inside file
+    # 0's lexicographic [sa, sc] stats range but not in its dictionary
+    df = (spark.range(400)
+          .withColumn("doc_id", F.col("id").cast("string"))
+          .withColumn("tokens",
+                      F.sequence(F.lit(0), (F.col("id") % 3).cast("int")))
+          .withColumn("source",
+                      F.element_at(F.array(F.lit("sa"), F.lit("sc"),
+                                           F.lit("sb"), F.lit("sd")),
+                                   (F.col("id") % 2
+                                    + 2 * (F.col("id") % 4 > 1).cast("int")
+                                    + 1).cast("int")))
+          .withColumn("band", (F.col("id") % 4 > 1).cast("int"))
+          .drop("id")
+          .repartitionByRange(2, "band").sortWithinPartitions("band"))
+    emit_parquet_dataset(df, out).collect()
+    import glob as _glob
+    files = sorted(_glob.glob(os.path.join(out, "*.parquet")))
+    assert len(files) == 2
+    by_sources = {}
+    for f in files:
+        srcs = set(assemble_file(f, columns=["source"])
+                   .column("source").to_pylist())
+        by_sources[frozenset(srcs)] = f
+    fa = by_sources[frozenset({"sa", "sc"})]
+    fb = by_sources[frozenset({"sb", "sd"})]
+    # no blooms were written; the dictionary alone must prune
+    assert footer_meta(fa).row_groups[0][0].bloom_filter is None
+    assert _rg_prunes(fa, 0, [("source", (b"sb",))])
+    assert not _rg_prunes(fb, 0, [("source", (b"sb",))])
+    assert not _rg_prunes(fa, 0, [("source", (b"sb", b"sa"))])  # in-list
+    # end-to-end equality under the same predicate
+    jvm = spark.read.parquet(out)
+    got = sorted(r.doc_id for r in read_parquet_dataset(
+        spark, out, predicate=[("source", "==", "sb")])
+        .select("doc_id").collect())
+    want = sorted(r.doc_id for r in jvm.filter(F.col("source") == "sb")
+                  .select("doc_id").collect())
+    assert got == want and got
