@@ -78,9 +78,12 @@ _SEL_OPS = ("==", "!=", "<", "<=", ">", ">=", "in",
 
 def prune_parts_predicate(chunks_df: DataFrame, predicate) -> DataFrame:
     """part_ids that may satisfy a conjunction of ``(column, op, value)``
-    terms (ops ``== != < <= > >= in``), pruning on the chunk DataFrame's
-    OWN stats columns (min_val/max_val/null_count) with plain Catalyst
-    filters over the tiny metadata projection — no blob is touched.
+    terms (ops ``== != < <= > >= in is_null not_null``), pruning on the
+    chunk DataFrame's OWN stats columns (min_val/max_val/null_count)
+    with plain Catalyst filters over the tiny metadata projection — no
+    blob is touched — plus a bloom layer for string ``==``/``in`` terms
+    on bloom-carrying chunks (the same per-chunk split-block blooms
+    ``point_lookup`` consults).
     Numeric values compare via a double cast of the canonical stat
     strings; string values compare lexicographically (matching
     compute_stats). A chunk with NULL stats is kept (can't prune);
@@ -131,8 +134,29 @@ def prune_parts_predicate(chunks_df: DataFrame, predicate) -> DataFrame:
             in_range = in_range | rng(lit)
         keep = (F.col("null_count") < F.col("n_rows")) \
             & (F.col("min_val").isNull() | in_range)
-        kept = (chunks_df.filter(F.col("col") == col).filter(keep)
-                .select("part_id"))
+        kept = chunks_df.filter(F.col("col") == col).filter(keep)
+        if op in ("==", "in") and not numeric \
+                and "bloom" in chunks_df.columns:
+            # bloom layer for string equality: keep only partitions
+            # whose chunk bloom may contain SOME candidate (no bloom ->
+            # cannot prune); same per-chunk blooms point_lookup uses
+            keys = [x.encode() if isinstance(x, str) else bytes(x)
+                    for x in vals]
+
+            @F.pandas_udf(T.BooleanType())
+            def _may_contain(bloom: pd.Series) -> pd.Series:
+                from ..kernels import bloom as bloom_mod
+                out = []
+                for b in bloom:
+                    if b is None:
+                        out.append(True)
+                    else:
+                        bf = bloom_mod.BlockSplitBloomFilter.deserialize(
+                            bytes(b))
+                        out.append(bool(bf.check_bytes(keys).any()))
+                return pd.Series(out)
+            kept = kept.filter(_may_contain(F.col("bloom")))
+        kept = kept.select("part_id")
         parts = kept if parts is None else parts.join(kept, "part_id")
     if parts is None:
         raise ValueError("empty predicate")

@@ -252,3 +252,34 @@ def test_selective_decode_prunes_parts(spark):
             lookup.prune_parts_predicate(chunks, [("n_tok", "~", 1)])
     finally:
         chunks.unpersist()
+
+
+def test_selective_decode_bloom_layer(spark):
+    """String == terms consult the per-chunk blooms: a doc_id inside
+    every chunk's [min,max] but absent from the corpus prunes ALL
+    partitions via the bloom, while a present doc_id keeps its
+    partition and decodes to exactly that row."""
+    from parquet_cpp_spark.operators import encode_arrow
+    from parquet_cpp_spark.plans import encode_job, lookup
+    from parquet_cpp_spark.sources import tokens as T_
+
+    src = T_.tokens_from_documents(spark, SF_DIR, 4)
+    src = encode_job.add_part_id(src, 4)
+    chunks = encode_arrow.encode_df_arrow(
+        src, 4, bloom_columns={"doc_id"}).cache()
+    try:
+        n_parts = chunks.select("part_id").distinct().count()
+        present = src.select("doc_id").first().doc_id
+        # absent key lexicographically inside the stats range
+        absent = present + "zz"
+        kept = lookup.prune_parts_predicate(
+            chunks, [("doc_id", "==", absent)]).count()
+        assert kept == 0                      # bloom pruned everything
+        kept_p = lookup.prune_parts_predicate(
+            chunks, [("doc_id", "==", present)]).count()
+        assert 1 <= kept_p < n_parts
+        rows = lookup.selective_decode(
+            chunks, [("doc_id", "==", present)]).collect()
+        assert len(rows) == 1 and rows[0].doc_id == present
+    finally:
+        chunks.unpersist()
