@@ -556,3 +556,50 @@ def test_dictionary_filtering_skip(tmp_path, spark):
     want = sorted(r.doc_id for r in jvm.filter(F.col("source") == "sb")
                   .select("doc_id").collect())
     assert got == want and got
+
+
+def test_predicate_pushdown_foreign_files(tmp_path, spark):
+    """Predicate pushdown over a PYARROW-written dataset: the scan prunes
+    on a foreign writer's footer statistics (min_value/max_value) and
+    the result matches the JVM reader under the same filter — including
+    dict-encoded files, where the dictionary-filter layer must stay
+    conservative on foreign encodings lists rather than mis-prune."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from parquet_cpp_spark.sources.record_assembly import \
+        read_parquet_dataset
+
+    out = tmp_path / "out"
+    out.mkdir()
+    for band in range(4):
+        lo = band * 100
+        n = 100
+        tbl = pa.table({
+            "doc_id": pa.array([f"d{lo + i:04d}" for i in range(n)]),
+            "n_tok": pa.array([lo + i for i in range(n)], pa.int32()),
+            "source": pa.array([f"s{(lo + i) % 3}" for i in range(n)]),
+        })
+        pq.write_table(tbl, out / f"band{band}.parquet",
+                       use_dictionary=True, compression="snappy")
+    jvm = spark.read.parquet(str(out))
+
+    def ids(dframe):
+        return sorted(r.doc_id for r in dframe.select("doc_id").collect())
+
+    for pred, expr in [
+        ([("n_tok", "<", 150)], F.col("n_tok") < 150),
+        ([("n_tok", ">=", 350)], F.col("n_tok") >= 350),
+        ([("source", "==", "s1"), ("n_tok", "<", 50)],
+         (F.col("source") == "s1") & (F.col("n_tok") < 50)),
+    ]:
+        plan: dict = {}
+        got = read_parquet_dataset(spark, str(out), predicate=pred,
+                                   plan_out=plan)
+        assert ids(got) == ids(jvm.filter(expr)), pred
+    # foreign stats actually pruned the disjoint bands
+    plan = {}
+    read_parquet_dataset(spark, str(out), predicate=[("n_tok", "<", 150)],
+                         plan_out=plan).count()
+    assert plan["rg_kept"] < plan["rg_total"]
