@@ -645,9 +645,10 @@ def _check_value(col, leaf, v):
 def _normalize_predicate(predicate, leaves_by_name):
     """Validate conjuncts against the file schema and pre-convert each
     value to its comparable form (str -> utf-8 bytes for byte_array).
-    Predicate columns must be TOP-LEVEL flat scalar leaves — nested or
-    repeated paths fail loudly here, at plan time. The ``in`` op takes a
-    non-empty list/tuple/set of values."""
+    Predicate columns must be NON-REPEATED scalar leaves — flat columns
+    or dotted struct-field paths (``meta.n_chars``); repeated paths fail
+    loudly here, at plan time. The ``in`` op takes a non-empty
+    list/tuple/set of values."""
     conjuncts = []
     for term in predicate:
         try:
@@ -661,11 +662,11 @@ def _normalize_predicate(predicate, leaves_by_name):
             raise ValueError(f"unsupported predicate op {op!r} "
                              f"(one of {_PRED_OPS})")
         leaf = leaves_by_name.get(col)
-        if leaf is None or leaf.max_rep > 0 or "." in col:
+        if leaf is None or leaf.max_rep > 0:
             flat = sorted(n for n, lf in leaves_by_name.items()
-                          if lf.max_rep == 0 and "." not in n)
+                          if lf.max_rep == 0)
             raise ValueError(
-                f"predicate column {col!r} is not a top-level flat "
+                f"predicate column {col!r} is not a non-repeated "
                 f"scalar leaf (have {flat})")
         if op in ("is_null", "not_null"):
             if v is not None:
@@ -824,9 +825,9 @@ def read_parquet_dataset(spark, src: str, columns=None, predicate=None,
     Spark tasks as the thread pool.
 
     ``predicate`` pushes a conjunction of ``(column, op, value)`` terms
-    (ops ``== != < <= > >= in is_null not_null``, top-level flat scalar
-    columns; ``in`` takes a non-empty collection, the null tests take
-    value None) INTO the scan, three layers deep:
+    (ops ``== != < <= > >= in is_null not_null``; columns are flat or
+    dotted struct-field paths; ``in`` takes a non-empty collection, the
+    null tests take value None) INTO the scan, three layers deep:
     (1) plan-time row-group pruning on footer chunk Statistics — pruned
     groups never become tasks; (2) task-time bloom-filter skip for
     ``==``/``in`` terms on bloom-carrying chunks — the split is dropped
@@ -865,8 +866,10 @@ def read_parquet_dataset(spark, src: str, columns=None, predicate=None,
         leaves_by_name = {lf.name: lf for lf in fm0.leaves}
         conjuncts = _normalize_predicate(predicate, leaves_by_name)
         if read_cols is not None:
-            read_cols += [c for c, _o, _v in conjuncts
-                          if c not in read_cols]
+            # a dotted predicate path needs its TOP-LEVEL column read
+            read_cols += [root for root in
+                          (c.split(".", 1)[0] for c, _o, _v in conjuncts)
+                          if root not in read_cols]
 
     # footer planning: below the threshold the driver reads footers
     # itself; above it (100-TB directories are 10^4-10^6 files) the
@@ -938,7 +941,13 @@ def read_parquet_dataset(spark, src: str, columns=None, predicate=None,
                 if conjuncts is not None:
                     mask = None
                     for c, o, v in conjuncts:
-                        arr = tbl.column(c)
+                        parts = c.split(".")
+                        arr = tbl.column(parts[0])
+                        for fname in parts[1:]:
+                            # SQL semantics for free: a null ancestor
+                            # struct yields a null child, which the
+                            # null-rejecting comparisons then drop
+                            arr = pc.struct_field(arr, fname)
 
                         def _key(x):
                             return x.decode() if isinstance(x, bytes) \

@@ -388,7 +388,7 @@ def test_read_parquet_dataset_predicate_pushdown(tmp_path, spark):
     assert not _rg_prunes(f0, 0, [("doc_id", (b"zz-a", present))])
     assert footer_meta(f0).row_groups[0][0].bloom_filter is not None
     # loud failures: nested column, bad op, type-mismatched value
-    with pytest.raises(ValueError, match="top-level flat scalar"):
+    with pytest.raises(ValueError, match="non-repeated"):
         read_parquet_dataset(spark, out, predicate=[("tokens", "==", 5)])
     with pytest.raises(ValueError, match="unsupported predicate op"):
         read_parquet_dataset(spark, out, predicate=[("n_tok", "~", 5)])
@@ -603,3 +603,49 @@ def test_predicate_pushdown_foreign_files(tmp_path, spark):
     read_parquet_dataset(spark, str(out), predicate=[("n_tok", "<", 150)],
                          plan_out=plan).count()
     assert plan["rg_kept"] < plan["rg_total"]
+
+
+def test_predicate_on_struct_field(tmp_path, spark):
+    """Dotted predicate paths: a struct-field conjunct prunes on the
+    nested leaf's own chunk stats and filters via pc.struct_field (null
+    ancestor struct -> null child -> dropped, SQL semantics)."""
+    from pyspark.sql import functions as F
+
+    from parquet_cpp_spark.sources.parquet_sink import emit_parquet_dataset
+    from parquet_cpp_spark.sources.record_assembly import \
+        read_parquet_dataset
+
+    out = str(tmp_path / "out")
+    df = (spark.range(400)
+          .withColumn("doc_id", F.col("id").cast("string"))
+          .withColumn("tokens",
+                      F.sequence(F.lit(0), (F.col("id") % 3).cast("int")))
+          .withColumn("meta", F.when(F.col("id") % 7 != 0, F.struct(
+              (F.col("id") % 100).cast("int").alias("n_chars"),
+              F.concat(F.lit("o"), F.col("id") % 2).alias("origin"))))
+          .drop("id")
+          .repartitionByRange(4, F.col("meta.n_chars"))
+          .sortWithinPartitions(F.col("meta.n_chars")))
+    emit_parquet_dataset(df, out).collect()
+    jvm = spark.read.parquet(out)
+
+    def ids(dframe):
+        return sorted(r.doc_id for r in dframe.select("doc_id").collect())
+
+    plan: dict = {}
+    got = read_parquet_dataset(
+        spark, out, predicate=[("meta.n_chars", "<", 25),
+                               ("meta.origin", "==", "o1")],
+        plan_out=plan)
+    want = jvm.filter((F.col("meta.n_chars") < 25)
+                      & (F.col("meta.origin") == "o1"))
+    assert ids(got) == ids(want) and got.count() > 0
+    assert plan["rg_kept"] < plan["rg_total"]   # nested-leaf stats pruned
+    # projection excluding the struct still works (root read internally)
+    pruned = read_parquet_dataset(spark, out, columns=["doc_id"],
+                                  predicate=[("meta.n_chars", ">=", 75)])
+    assert pruned.columns == ["doc_id"]
+    assert ids(pruned) == ids(jvm.filter(F.col("meta.n_chars") >= 75))
+    with pytest.raises(ValueError, match="non-repeated"):
+        read_parquet_dataset(spark, out,
+                             predicate=[("tokens.list.element", "==", 1)])
