@@ -197,6 +197,35 @@ def cmd_verify_parquet(args) -> None:
         sys.exit(1)
 
 
+def cmd_scan(args) -> None:
+    """Selective extraction: engine-pushdown read of a parquet dataset
+    (stats-pruned row groups, bloom/dictionary split skips, exact Arrow
+    residual) re-emitted as engine parquet by the executors — the
+    'extract a filtered slice of a 100-TB table' job, engine-native in
+    BOTH directions. Prints the pruning audit and output manifest
+    summary."""
+    spark = _spark(args)
+    from .sources.parquet_sink import emit_parquet_dataset
+    from .sources.record_assembly import read_parquet_dataset
+
+    pred = _parse_where(args.where) if args.where else None
+    cols = args.columns.split(",") if args.columns else None
+    plan: dict = {}
+    df = read_parquet_dataset(spark, args.dir, columns=cols,
+                              predicate=pred,
+                              plan_out=plan if pred else None)
+    manifest = emit_parquet_dataset(df, args.out,
+                                    encodings="auto").collect()
+    rows = sum(r.n_rows for r in manifest)
+    out = {"files": len(manifest), "rows": int(rows), "out": args.out}
+    if pred:
+        out["predicate"] = [list(p) for p in pred]
+        out["rg_kept"] = plan.get("rg_kept")
+        out["rg_total"] = plan.get("rg_total")
+    print(json.dumps(out))
+    spark.stop()
+
+
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser(prog="parquet_cpp_spark.jobs")
     ap.add_argument("--master", default=None)
@@ -249,6 +278,17 @@ def main(argv=None) -> None:
     ver.add_argument("--input", required=True)
     ver.add_argument("--chunks", required=True)
     ver.set_defaults(fn=cmd_verify)
+
+    scn = sub.add_parser("scan")
+    scn.add_argument("--dir", required=True,
+                     help="parquet dataset to extract from")
+    scn.add_argument("--out", required=True,
+                     help="output directory (engine parquet)")
+    scn.add_argument("--where", action="append", default=[],
+                     help="predicate conjunct 'col OP value' (repeatable)")
+    scn.add_argument("--columns", default=None,
+                     help="comma-separated projection")
+    scn.set_defaults(fn=cmd_scan)
 
     args = ap.parse_args(argv)
     args.fn(args)
