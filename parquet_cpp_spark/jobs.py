@@ -20,8 +20,21 @@ import sys
 
 
 def _spark(args):
+    """Job session. When a SparkSession is already active (a test or
+    notebook embedding a job via ``main(argv)``), reuse it and DON'T
+    stop it on job exit — ``_stop`` is a no-op then."""
+    from pyspark.sql import SparkSession
+
     from .session import get_spark
-    return get_spark(master=args.master)
+    pre = SparkSession.getActiveSession()
+    spark = pre if pre is not None else get_spark(master=args.master)
+    spark._pcs_job_owns_session = pre is None
+    return spark
+
+
+def _stop(spark) -> None:
+    if getattr(spark, "_pcs_job_owns_session", True):
+        spark.stop()
 
 
 def cmd_encode(args) -> None:
@@ -59,7 +72,7 @@ def cmd_encode(args) -> None:
         print(json.dumps({"mode": "direct", "chunks_path": args.out + "/chunks",
                           "raw_bytes": stats.raw, "enc_bytes": stats.enc,
                           "ratio": round(stats.enc / max(1, stats.raw), 4)}))
-    spark.stop()
+    _stop(spark)
 
 
 def cmd_decode(args) -> None:
@@ -70,7 +83,7 @@ def cmd_decode(args) -> None:
     dec.drop("part_id").write.mode("overwrite").parquet(args.out)
     print(json.dumps({"rows": spark.read.parquet(args.out).count(),
                       "out": args.out}))
-    spark.stop()
+    _stop(spark)
 
 
 def cmd_verify(args) -> None:
@@ -92,7 +105,7 @@ def cmd_verify(args) -> None:
     total = src.count()
     print(json.dumps({"rows": total, "mismatches": bad,
                       "bit_identical": bad == 0}))
-    spark.stop()
+    _stop(spark)
     if bad:
         sys.exit(1)
 
@@ -192,7 +205,7 @@ def cmd_verify_parquet(args) -> None:
         out["rg_kept"] = plan.get("rg_kept")
         out["rg_total"] = plan.get("rg_total")
     print(json.dumps(out))
-    spark.stop()
+    _stop(spark)
     if not ok:
         sys.exit(1)
 
@@ -223,7 +236,7 @@ def cmd_scan(args) -> None:
         out["rg_kept"] = plan.get("rg_kept")
         out["rg_total"] = plan.get("rg_total")
     print(json.dumps(out))
-    spark.stop()
+    _stop(spark)
 
 
 def main(argv=None) -> None:

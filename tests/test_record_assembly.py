@@ -649,3 +649,30 @@ def test_predicate_on_struct_field(tmp_path, spark):
     with pytest.raises(ValueError, match="non-repeated"):
         read_parquet_dataset(spark, out,
                              predicate=[("tokens.list.element", "==", 1)])
+
+
+def test_jobs_scan_cli(tmp_path, spark):
+    """jobs scan end to end: pushdown read -> engine sink write; the
+    output directory reads back (JVM) to exactly the filtered subset."""
+    from pyspark.sql import functions as F
+
+    from parquet_cpp_spark import jobs
+    from parquet_cpp_spark.sources.parquet_sink import emit_parquet_dataset
+
+    src_dir = str(tmp_path / "src")
+    out_dir = str(tmp_path / "out")
+    df = (spark.range(300)
+          .withColumn("doc_id", F.col("id").cast("string"))
+          .withColumn("tokens",
+                      F.sequence(F.lit(0), (F.col("id") % 3).cast("int")))
+          .withColumn("n_tok", (F.col("id") % 50).cast("int"))
+          .drop("id").repartitionByRange(3, "n_tok")
+          .sortWithinPartitions("n_tok"))
+    emit_parquet_dataset(df, src_dir).collect()
+    # drive through the real argv surface (reuses the session via
+    # getOrCreate inside _spark)
+    jobs.main(["scan", "--dir", src_dir, "--out", out_dir,
+               "--where", "n_tok<10", "--columns", "doc_id,n_tok"])
+    got = spark.read.parquet(out_dir)
+    assert got.columns == ["doc_id", "n_tok"]
+    assert got.count() == 60 and got.agg(F.max("n_tok")).collect()[0][0] == 9
