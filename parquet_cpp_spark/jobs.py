@@ -180,21 +180,18 @@ def cmd_verify_parquet(args) -> None:
                                plan_out=plan if pred else None)
     jvm = spark.read.parquet(args.dir)
     if pred:
-        ops = {"==": "=", "!=": "!=", "<": "<", "<=": "<=",
-               ">": ">", ">=": ">="}
-
-        def lit(v):
-            return f"'{v}'" if isinstance(v, str) else repr(v)
         for col, op, val in pred:
-            if op == "is_null":
-                jvm = jvm.filter(F.col(col).isNull())
+            c = F.col(col)      # dotted paths = struct access, like
+            if op == "is_null":  # the engine side
+                jvm = jvm.filter(c.isNull())
             elif op == "not_null":
-                jvm = jvm.filter(F.col(col).isNotNull())
+                jvm = jvm.filter(c.isNotNull())
             elif op == "in":
-                jvm = jvm.filter(F.expr(
-                    f"`{col}` IN ({', '.join(lit(v) for v in val)})"))
+                jvm = jvm.filter(c.isin(*list(val)))
             else:
-                jvm = jvm.filter(F.expr(f"`{col}` {ops[op]} {lit(val)}"))
+                jvm = jvm.filter({"==": c.__eq__, "!=": c.__ne__,
+                                  "<": c.__lt__, "<=": c.__le__,
+                                  ">": c.__gt__, ">=": c.__ge__}[op](val))
     eng_h, eng_n = digest(eng)
     jvm_h, jvm_n = digest(jvm)
     ok = (eng_h, eng_n) == (jvm_h, jvm_n)

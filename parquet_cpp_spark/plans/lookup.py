@@ -91,6 +91,10 @@ def prune_parts_predicate(chunks_df: DataFrame, predicate) -> DataFrame:
     comparison term (null-rejecting semantics). The manifest-level
     analog of the reference's stats-based filtering
     (statistics.h:34-82)."""
+    # bounded collect: one row per distinct column name in the chunk
+    # metadata — a typo'd predicate column must fail loudly, not
+    # intersect the part set down to silent emptiness
+    known = {r.col for r in chunks_df.select("col").distinct().collect()}
     parts = None
     for term in predicate:
         try:
@@ -98,6 +102,9 @@ def prune_parts_predicate(chunks_df: DataFrame, predicate) -> DataFrame:
         except (TypeError, ValueError):
             raise ValueError(f"predicate term {term!r} is not "
                              "(column, op, value)")
+        if col not in known:
+            raise ValueError(f"predicate column {col!r} has no chunk "
+                             f"metadata rows (have {sorted(known)})")
         if op == "=":
             op = "=="
         if op not in _SEL_OPS:
@@ -116,22 +123,37 @@ def prune_parts_predicate(chunks_df: DataFrame, predicate) -> DataFrame:
                              "non-empty collection")
         numeric = isinstance(vals[0], (int, float)) \
             and not isinstance(vals[0], bool)
-        mn, mx = F.col("min_val"), F.col("max_val")
-        if numeric:
-            mn, mx = mn.cast("double"), mx.cast("double")
-            lits = [F.lit(float(x)) for x in vals]
-        else:
-            lits = [F.lit(str(x)) for x in vals]
 
-        def rng(lit):
+        def rng(mn, mx, lit):
             return {"==": (lit >= mn) & (lit <= mx),
                     "!=": ~((mn == mx) & (mn == lit)),
                     "<": mn < lit, "<=": mn <= lit,
                     ">": mx > lit, ">=": mx >= lit,
                     "in": (lit >= mn) & (lit <= mx)}[op]
-        in_range = rng(lits[0])
-        for lit in lits[1:]:
-            in_range = in_range | rng(lit)
+
+        def any_rng(mn, mx, lits):
+            cond = rng(mn, mx, lits[0])
+            for lit in lits[1:]:
+                cond = cond | rng(mn, mx, lit)
+            return cond
+
+        if numeric:
+            mn_d = F.col("min_val").cast("double")
+            mx_d = F.col("max_val").cast("double")
+            in_range = any_rng(mn_d, mx_d, [F.lit(float(x)) for x in vals])
+            if all(isinstance(x, int) for x in vals):
+                # double rounds past 2^53 and can wrongly prune strict
+                # bounds on wide int64 stats; OR in an exact decimal
+                # compare (null on float-formatted stats -> no effect)
+                mn_i = F.col("min_val").cast("decimal(38,0)")
+                mx_i = F.col("max_val").cast("decimal(38,0)")
+                exact = any_rng(mn_i, mx_i,
+                                [F.lit(x).cast("decimal(38,0)")
+                                 for x in vals])
+                in_range = in_range | F.coalesce(exact, F.lit(False))
+        else:
+            in_range = any_rng(F.col("min_val"), F.col("max_val"),
+                               [F.lit(str(x)) for x in vals])
         keep = (F.col("null_count") < F.col("n_rows")) \
             & (F.col("min_val").isNull() | in_range)
         kept = chunks_df.filter(F.col("col") == col).filter(keep)

@@ -267,9 +267,16 @@ def _decompress_page(body: memoryview, codec: int, raw_size: int) -> memoryview:
             if pos + 8 + clen > n or len(out) + rlen > raw_size:
                 ok = False
                 break
-            out += pa.Codec("lz4_raw").decompress(
-                body[pos + 8:pos + 8 + clen], decompressed_size=rlen,
-                asbytes=True)
+            try:
+                out += pa.Codec("lz4_raw").decompress(
+                    body[pos + 8:pos + 8 + clen], decompressed_size=rlen,
+                    asbytes=True)
+            except Exception:
+                # prefix bytes parsed as a plausible frame but the block
+                # isn't LZ4 — the reference's Lz4HadoopCodec retries the
+                # WHOLE body as one raw block on any frame failure
+                ok = False
+                break
             pos += 8 + clen
         if ok and pos == n and len(out) == raw_size:
             return memoryview(bytes(out))
@@ -687,9 +694,11 @@ def _lookup_rows(mv: memoryview, column: str, key) -> tuple:
         if idx is None:
             raise ValueError("file carries no PageIndex for this column")
         pages_total += len(idx.locations)
-        if chunk.bloom_filter is not None and not _bloom_may_contain(
-                read_bloom(mv, chunk), leaf.phys,
-                key_b if key_b is not None else key):
+        if chunk.bloom_filter is not None \
+                and leaf.phys in ("byte_array", "int32", "int64") \
+                and not _bloom_may_contain(
+                    read_bloom(mv, chunk), leaf.phys,
+                    key_b if key_b is not None else key):
             # chunk-level bloom says ABSENT: skip the whole chunk before
             # touching its dictionary or page bounds (the footer-bloom
             # fast path; FPP-bounded, no false negatives)

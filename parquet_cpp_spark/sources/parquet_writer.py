@@ -400,9 +400,10 @@ class StructColumn:
     its values/masks stay TOP-LEVEL-row aligned, entries under a null
     ancestor ignored). ``valid`` makes the struct OPTIONAL: a struct-null
     row contributes def 0 to every leaf below it; each optional ancestor
-    adds one def level. Lists inside structs are out of scope (fail
-    loudly at spec parse). Annotations (utf8/decimal/temporal) are keyed
-    by the dotted path ``name.fname`` (full path for nested)."""
+    adds one def level. Fields may be nested ``StructColumn``s or
+    ``(fname, ListColumn)`` pairs (lists inside structs). Annotations
+    (utf8/decimal/temporal) are keyed by the dotted path ``name.fname``
+    (full path for nested)."""
 
     def __init__(self, name: str, fields: list, valid=None):
         self.name = name

@@ -222,15 +222,20 @@ def _leaf_array(node: _Node, ld: _LeafData, starts: np.ndarray,
         vals = ld.values if isinstance(ld.values, ba.ByteArrayView) \
             else ba.from_list(list(ld.values))
         if len(vals) == 0:
-            idx = np.zeros(0, dtype=np.int64)
+            # all-null chunk: n null slots need n+1 offsets, not a
+            # zero-length offsets buffer
             present = np.zeros(n, dtype=bool)
             validity, null_count = _bitmap(present)
-        taken = ba.take(vals, idx.astype(np.int64)) if n else \
-            ba.from_list([])
+            offsets = np.zeros(n + 1, dtype=np.int64)
+            data = np.zeros(0, dtype=np.uint8)
+        else:
+            taken = ba.take(vals, idx.astype(np.int64)) if n else \
+                ba.from_list([])
+            offsets, data = taken.offsets, taken.data
         raw = pa.LargeBinaryArray.from_buffers(
             pa.large_binary(), n,
-            [validity, pa.py_buffer(np.ascontiguousarray(taken.offsets)),
-             pa.py_buffer(np.ascontiguousarray(taken.data))],
+            [validity, pa.py_buffer(np.ascontiguousarray(offsets)),
+             pa.py_buffer(np.ascontiguousarray(data))],
             null_count=null_count)
         return raw.cast(pa.large_string()).cast(typ) \
             if typ == pa.string() else raw.cast(typ)
@@ -243,7 +248,7 @@ def _leaf_array(node: _Node, ld: _LeafData, starts: np.ndarray,
             unscaled = logical.flba_to_decimal(view, width) if vals \
                 else np.zeros(0, dtype=np.int64)
             out = np.zeros((n, 2), dtype=np.int64)
-            if n:
+            if n and unscaled.size:   # all-null chunk: zeros + validity
                 got = unscaled[np.where(present, gather, 0)]
                 out[:, 0] = np.where(present, got, 0)
                 out[:, 1] = -(out[:, 0] < 0).astype(np.int64)
@@ -615,7 +620,10 @@ def file_schema(path: str, columns=None):
         if missing:
             raise ValueError(f"columns not in file: {sorted(missing)} "
                              f"(have {[t.name for t in tree]})")
-        tree = [t for t in tree if t.name in set(columns)]
+        # CALLER order, not file order: this schema binds positionally
+        # against task batches that select() in caller order
+        by_name = {t.name: t for t in tree}
+        tree = [by_name[c] for c in columns]
     return pa.schema([_node_arrow_field(t) for t in tree])
 
 
@@ -708,8 +716,8 @@ def _rg_may_match(chunks_by_path, leaves_by_name, conjuncts) -> bool:
             return False                      # all-null chunk vs a
         mn = fmt.stat_typed(mn_b, leaves_by_name[col])  # null-rejecting
         mx = fmt.stat_typed(mx_b, leaves_by_name[col])  # comparison
-        if mn is None or mx is None:
-            continue
+        if mn is None or mx is None or mn != mn or mx != mx:
+            continue     # absent or NaN-poisoned bounds: keep the group
         if ((op == "==" and (v < mn or v > mx))
                 or (op == "in" and all(x < mn or x > mx for x in v))
                 or (op == "!=" and mn == mx == v)
@@ -742,7 +750,8 @@ def _dict_member(dictionary, phys: str, keys) -> bool:
     return bool(np.isin(np.array(list(keys)), arr).any())
 
 
-def _rg_prunes(path: str, rg: int, eq_terms) -> bool:
+def _rg_prunes(path: str, rg: int, eq_terms,
+               meta_cache: "dict | None" = None) -> bool:
     """True when this row group provably contains NONE of an ``==`` /
     ``in`` conjunct's candidate keys — the task-side fast path that
     skips the split before any data page is read. Two proofs, cheapest
@@ -752,14 +761,20 @@ def _rg_prunes(path: str, rg: int, eq_terms) -> bool:
     data pages untouched — lacks every candidate while the encodings
     list proves all values went through the dictionary (parquet-mr's
     dictionary-filtering rule: any PLAIN in the list disables it).
-    ``eq_terms`` is [(col, (key, ...)), ...]."""
+    ``eq_terms`` is [(col, (key, ...)), ...]. ``meta_cache`` (a dict the
+    caller owns, path -> FileMeta) amortizes the footer thrift parse
+    across a multi-row-group file's splits in one task."""
     import mmap
 
     with open(path, "rb") as f:
         m = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
     mv = memoryview(m)
     try:
-        meta = fmt.read_footer(mv)
+        meta = None if meta_cache is None else meta_cache.get(path)
+        if meta is None:
+            meta = fmt.read_footer(mv)
+            if meta_cache is not None:
+                meta_cache[path] = meta
         leaves = {lf.name: lf for lf in meta.leaves}
         chunks = {c.path: c for c in meta.row_groups[rg]}
         for col, keys in eq_terms:
@@ -926,12 +941,13 @@ def read_parquet_dataset(spark, src: str, columns=None, predicate=None,
     def task(batches):
         import pyarrow as pa
         import pyarrow.compute as pc
+        meta_cache: dict = {}   # one footer parse per file per task
         for batch in batches:
             paths = batch.column("path").to_pylist()
             rgs = batch.column("rg").to_pylist()
             n_rgs = batch.column("n_rg").to_pylist()
             for p, rg, n_rg in zip(paths, rgs, n_rgs):
-                if eq_terms and _rg_prunes(p, rg, eq_terms):
+                if eq_terms and _rg_prunes(p, rg, eq_terms, meta_cache):
                     continue
                 # single-rg file: whole-file buffered read (one syscall,
                 # no per-page mmap faults); multi-rg: mmap + rg ranges

@@ -283,3 +283,31 @@ def test_selective_decode_bloom_layer(spark):
         assert len(rows) == 1 and rows[0].doc_id == present
     finally:
         chunks.unpersist()
+
+
+def test_prune_parts_predicate_edges(spark):
+    """Review-pinned edges: (a) unknown predicate column fails loudly
+    instead of silently pruning everything; (b) strict bounds on int64
+    stats past 2^53 compare exactly (decimal path) instead of wrongly
+    pruning after a double round."""
+    from parquet_cpp_spark.plans import lookup
+
+    big = 9007199254740992                        # 2^53
+    meta = spark.createDataFrame(
+        [(0, "x", str(big), str(big), 0, 10, None),
+         (1, "x", "1", "5", 0, 10, None)],
+        "part_id long, col string, min_val string, max_val string, "
+        "null_count long, n_rows long, bloom binary")
+    with pytest.raises(ValueError, match="no chunk metadata"):
+        lookup.prune_parts_predicate(meta, [("nope", "==", 1)])
+    # x < 2^53+1 is satisfiable in part 0 (x == 2^53); double rounding
+    # would collapse both sides and prune it
+    kept = {r.part_id for r in lookup.prune_parts_predicate(
+        meta, [("x", "<", big + 1)]).collect()}
+    assert kept == {0, 1}
+    kept = {r.part_id for r in lookup.prune_parts_predicate(
+        meta, [("x", ">", big)]).collect()}
+    assert kept == set()                          # exactly nothing above
+    kept = {r.part_id for r in lookup.prune_parts_predicate(
+        meta, [("x", "==", big)]).collect()}
+    assert kept == {0}

@@ -676,3 +676,47 @@ def test_jobs_scan_cli(tmp_path, spark):
     got = spark.read.parquet(out_dir)
     assert got.columns == ["doc_id", "n_tok"]
     assert got.count() == 60 and got.agg(F.max("n_tok")).collect()[0][0] == 9
+
+
+def test_review_regressions(tmp_path, spark):
+    """Pinned fixes from the r7 code review: (1) caller-order projection
+    binds correctly through mapInArrow (file-order schema previously
+    misbound or crashed); (2) an all-null string chunk assembles as n
+    nulls (offsets buffer sized n+1); (3) an all-null decimal128 chunk
+    assembles without indexing an empty unscaled array; (4) verify-
+    parquet's JVM filter handles dotted struct paths."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_cpp_spark.sources.record_assembly import (assemble_file,
+                                                           read_parquet_dataset)
+
+    d = tmp_path / "ds"
+    d.mkdir()
+    tbl = pa.table({
+        "doc_id": pa.array(["a", "b", "c"]),
+        "n_tok": pa.array([1, 2, 3], pa.int32()),
+        "s_all_null": pa.array([None, None, None], pa.string()),
+        "dec_all_null": pa.array([None, None, None], pa.decimal128(10, 2)),
+    })
+    pq.write_table(tbl, d / "f.parquet")
+    # (2) + (3): whole-file assembly survives all-null string/decimal
+    at = assemble_file(str(d / "f.parquet"))
+    assert at.column("s_all_null").null_count == 3
+    assert at.column("dec_all_null").null_count == 3
+    # (1): projection NOT in file order binds by caller order
+    df = read_parquet_dataset(spark, str(d), columns=["n_tok", "doc_id"])
+    assert df.columns == ["n_tok", "doc_id"]
+    rows = sorted((r.doc_id, r.n_tok) for r in df.collect())
+    assert rows == [("a", 1), ("b", 2), ("c", 3)]
+    # (4): dotted --where path reaches the JVM side as struct access
+    from pyspark.sql import functions as F
+
+    from parquet_cpp_spark import jobs
+    d2 = str(tmp_path / "ds2")
+    (spark.range(20)
+     .withColumn("doc_id", F.col("id").cast("string"))
+     .withColumn("meta", F.struct((F.col("id") % 5).cast("int")
+                                  .alias("k")))
+     .drop("id").write.parquet(d2))
+    jobs.main(["verify-parquet", "--dir", d2, "--where", "meta.k>=3"])
