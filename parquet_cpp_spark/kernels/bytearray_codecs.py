@@ -81,11 +81,12 @@ def _prefix_lengths(view: ba.ByteArrayView) -> np.ndarray:
     return prefix
 
 
-def encode_delta_byte_array(values) -> bytes:
-    view = ba.as_view(values)
+def _suffix_stream(view: ba.ByteArrayView) -> tuple:
+    """(prefix_lens, suffixes) for incremental coding: each value's
+    common-prefix length vs its predecessor plus the view of tails past
+    those prefixes (one vectorized gather, no per-row Python)."""
     n = len(view)
     prefix_lens = _prefix_lengths(view)
-    # suffix stream: the tail of each value past its shared prefix
     suf_lens = view.lengths - prefix_lens
     suf_offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(suf_lens, out=suf_offsets[1:])
@@ -97,7 +98,12 @@ def encode_delta_byte_array(values) -> bytes:
         suf_data = view.data[src]
     else:
         suf_data = np.array([], dtype=np.uint8)
-    suffixes = ba.ByteArrayView(suf_data, suf_offsets)
+    return prefix_lens, ba.ByteArrayView(suf_data, suf_offsets)
+
+
+def encode_delta_byte_array(values) -> bytes:
+    view = ba.as_view(values)
+    prefix_lens, suffixes = _suffix_stream(view)
     prefix_blob = delta.encode(prefix_lens)
     suffix_blob = encode_delta_length(suffixes)
     return len(prefix_blob).to_bytes(4, "little") + prefix_blob + suffix_blob
@@ -116,7 +122,16 @@ def decode_delta_byte_array_view(buf, pos: int = 0) -> tuple[ba.ByteArrayView, i
     prefix_lens = prefix_lens.astype(np.int64, copy=False)
     pos += prefix_blob_len
     suffixes, pos = decode_delta_length_view(mv, pos)
+    return _reconstruct_prefix_chain(prefix_lens, suffixes), pos
 
+
+def _reconstruct_prefix_chain(prefix_lens: np.ndarray,
+                              suffixes: ba.ByteArrayView) -> ba.ByteArrayView:
+    """value[i] = value[i-1][:prefix_lens[i]] + suffixes[i], resolved
+    without materializing the chain sequentially (see module docstring)."""
+    if len(prefix_lens) != len(suffixes):
+        raise ValueError("DELTA_BYTE_ARRAY: prefix/suffix count mismatch "
+                         f"({len(prefix_lens)} vs {len(suffixes)})")
     n = len(prefix_lens)
     suf_lens = suffixes.lengths
     out_lens = prefix_lens + suf_lens
@@ -156,10 +171,64 @@ def decode_delta_byte_array_view(buf, pos: int = 0) -> tuple[ba.ByteArrayView, i
             v = prev[:p] + suffixes.data[soffs[i]: soffs[i + 1]].tobytes()
             vals.append(v)
             prev = v
-        return ba.from_list(vals), pos
-    return ba.ByteArrayView(out, out_offsets), pos
+        return ba.from_list(vals)
+    return ba.ByteArrayView(out, out_offsets)
 
 
 def decode_delta_byte_array(buf, pos: int = 0) -> tuple[list[bytes], int]:
     view, pos = decode_delta_byte_array_view(buf, pos)
     return ba.to_list(view), pos
+
+
+# ---------------------------------------------------------------------------
+# PARQUET data-page framing (parquet-format Encodings.md). The chunk-format
+# functions above carry explicit 4-byte sub-stream length prefixes (cheap
+# random access within a chunk blob); real parquet pages carry NONE — the
+# DELTA_BINARY_PACKED sub-streams are self-delimiting (their headers hold
+# total_value_count, so a reader knows exactly where each stream ends), and
+# that is the layout pyarrow / DuckDB / parquet-mr expect
+# (reference decoders: encoding-internal.h:883-920 DELTA_LENGTH, :925-975
+# DELTA_BYTE_ARRAY).
+
+def encode_delta_length_spec(values) -> bytes:
+    """DELTA_LENGTH_BYTE_ARRAY page payload: delta(lengths) ++ bytes."""
+    view = ba.as_view(values)
+    return delta.encode(view.lengths) + \
+        view.data[: int(view.offsets[-1])].tobytes()
+
+
+def decode_delta_length_spec(buf, pos: int = 0) -> tuple[ba.ByteArrayView, int]:
+    mv = memoryview(buf) if not isinstance(buf, memoryview) else buf
+    lens, pos = delta.decode(mv, pos)
+    lens = lens.astype(np.int64, copy=False)
+    if lens.size and int(lens.min()) < 0:
+        raise ValueError("DELTA_LENGTH_BYTE_ARRAY: negative length "
+                         "(corrupt page)")
+    n = len(lens)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    total = int(offsets[-1])
+    if pos + total > len(mv):
+        raise ValueError("DELTA_LENGTH_BYTE_ARRAY: payload truncated")
+    data = np.frombuffer(mv, dtype=np.uint8, count=total, offset=pos)
+    return ba.ByteArrayView(data, offsets), pos + total
+
+
+def encode_delta_byte_array_spec(values) -> bytes:
+    """DELTA_BYTE_ARRAY page payload: delta(prefix_lens) ++
+    DELTA_LENGTH_BYTE_ARRAY(suffixes). Pages are independent — the first
+    value's prefix length is always 0, so a reader can start at any page."""
+    view = ba.as_view(values)
+    prefix_lens, suffixes = _suffix_stream(view)
+    return delta.encode(prefix_lens) + encode_delta_length_spec(suffixes)
+
+
+def decode_delta_byte_array_spec(buf, pos: int = 0) -> tuple[ba.ByteArrayView, int]:
+    mv = memoryview(buf) if not isinstance(buf, memoryview) else buf
+    prefix_lens, pos = delta.decode(mv, pos)
+    prefix_lens = prefix_lens.astype(np.int64, copy=False)
+    if prefix_lens.size and int(prefix_lens.min()) < 0:
+        raise ValueError("DELTA_BYTE_ARRAY: negative prefix length "
+                         "(corrupt page)")
+    suffixes, pos = decode_delta_length_spec(mv, pos)
+    return _reconstruct_prefix_chain(prefix_lens, suffixes), pos

@@ -41,6 +41,7 @@ _PHYS = {0: "boolean", 1: "int32", 2: "int64", 3: "flba:12",  # INT96
 _PAGE_DATA, _PAGE_INDEX, _PAGE_DICT, _PAGE_DATA_V2 = 0, 1, 2, 3
 ENC_PLAIN, ENC_PLAIN_DICT, ENC_RLE, ENC_RLE_DICT = 0, 2, 3, 8
 ENC_DELTA_BP = 5
+ENC_DELTA_LBA, ENC_DELTA_BA = 6, 7
 _CODECS = {0: None, 1: "snappy", 2: "gzip", 4: "brotli", 5: "lz4",
            6: "zstd", 7: "lz4_raw"}
 
@@ -387,6 +388,16 @@ def _decode_data_page_at(mv: memoryview, pos: int, leaf: LeafColumn,
         vals, _pos = delta_k.decode(body, p, out_dtype=dt)
         if len(vals) != n_present:
             raise ValueError("delta page value count mismatch")
+    elif encoding in (ENC_DELTA_LBA, ENC_DELTA_BA):
+        if leaf.phys != "byte_array":
+            raise ValueError("DELTA_(LENGTH_)BYTE_ARRAY on non-byte_array "
+                             "column")
+        from ..kernels import bytearray_codecs as bac
+        dec = bac.decode_delta_length_spec if encoding == ENC_DELTA_LBA \
+            else bac.decode_delta_byte_array_spec
+        vals, _pos = dec(body, p)
+        if len(vals) != n_present:
+            raise ValueError("delta byte-array page value count mismatch")
     elif encoding in (ENC_PLAIN_DICT, ENC_RLE_DICT):
         if dictionary is None:
             raise ValueError("dictionary-encoded page with no dict page")

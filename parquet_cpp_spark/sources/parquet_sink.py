@@ -356,11 +356,14 @@ def auto_encodings(specs) -> tuple:
     """Run the engine's codec auto-selector over extracted specs and map
     its per-chunk choice onto the parquet writer's encoding surface:
     RLE / RLE_DICTIONARY -> dictionary pages, DELTA_BINARY_PACKED ->
-    delta pages, choices parquet 1.0 can't express (FSST,
-    DELTA_*_BYTE_ARRAY) -> PLAIN (the dict fallback still guards
-    accidental dictionary blowups). Returns (new_specs, delta_columns)
-    — the same decision the chunk format makes, one per column per file,
-    so each output file is independently optimal like each chunk is."""
+    delta pages, DELTA_LENGTH_BYTE_ARRAY / DELTA_BYTE_ARRAY -> the
+    matching byte-array delta pages; the one choice parquet can't
+    express (FSST) -> PLAIN (the dict fallback still guards accidental
+    dictionary blowups). Returns (new_specs, delta_columns, ba_delta)
+    where ``ba_delta`` maps dotted leaf name -> 'delta_length' |
+    'delta_byte_array' — the same decision the chunk format makes, one
+    per column per file, so each output file is independently optimal
+    like each chunk is."""
     import numpy as np
 
     from .. import chunk as chunkmod, selector
@@ -386,10 +389,14 @@ def auto_encodings(specs) -> tuple:
             return codec in (chunkmod.RLE, chunkmod.RLE_DICTIONARY)
         if phys == "byte_array":
             codec = selector.select_bytes_codec(_dense(phys, vals, valid))
+            if codec == chunkmod.DELTA_LENGTH_BYTE_ARRAY:
+                ba_delta[dotted_name] = "delta_length"
+            elif codec == chunkmod.DELTA_BYTE_ARRAY:
+                ba_delta[dotted_name] = "delta_byte_array"
             return codec == chunkmod.RLE_DICTIONARY
         return None
 
-    out, delta_cols = [], set()
+    out, delta_cols, ba_delta = [], set(), {}
     for s in specs:
         if hasattr(s, "pcs_leaves"):
             # general-walker column: run the selector over each leaf's
@@ -463,10 +470,10 @@ def auto_encodings(specs) -> tuple:
                 out.append((name, phys, vals, valid))
             else:
                 out.append((name, phys, vals, valid, pick))
-    return out, frozenset(delta_cols)
+    return out, frozenset(delta_cols), ba_delta
 
 
-def _encodings_tag(specs, delta_cols) -> str:
+def _encodings_tag(specs, delta_cols, ba_delta=None) -> str:
     """Human/manifest-readable per-column encoding summary."""
     from . import parquet_writer as pw
     leaves = []
@@ -499,8 +506,11 @@ def _encodings_tag(specs, delta_cols) -> str:
         else:
             leaves.append((s[0], bool(s[4]) if len(s) > 4 else False))
     parts = []
+    ba_delta = ba_delta or {}
     for name, use_dict in leaves:
         enc = ("delta" if name in delta_cols
+               else "dlba" if ba_delta.get(name) == "delta_length"
+               else "dba" if ba_delta.get(name) == "delta_byte_array"
                else "dict" if use_dict else "plain")
         parts.append(f"{name}={enc}")
     return ",".join(parts)
@@ -545,8 +555,9 @@ def _write_one_file(tbl, tmp: str, dest: str, row_group_rows, page_rows,
     from . import parquet_writer as pw
     specs, utf8, annotations, decimals = specs_from_arrow(tbl)
     d_cols = frozenset(delta_columns)
+    ba_delta: dict = {}
     if encodings == "auto":
-        specs, d_cols = auto_encodings(specs)
+        specs, d_cols, ba_delta = auto_encodings(specs)
 
     def _struct_values(sc) -> int:
         n = 0
@@ -575,7 +586,7 @@ def _write_one_file(tbl, tmp: str, dest: str, row_group_rows, page_rows,
         return tbl.num_rows
 
     n_values = sum(_spec_values(s) for s in specs)
-    enc_tag = _encodings_tag(specs, d_cols)
+    enc_tag = _encodings_tag(specs, d_cols, ba_delta)
     # manifest fields ride in the footer's key_value_metadata so a
     # resumed job can rebuild its manifest row WITHOUT re-encoding;
     # pcs.params records the writer knobs so resume can detect a rerun
@@ -588,6 +599,10 @@ def _write_one_file(tbl, tmp: str, dest: str, row_group_rows, page_rows,
                   row_group_rows=row_group_rows, page_rows=page_rows,
                   compression=compression, utf8_columns=utf8,
                   delta_columns=d_cols,
+                  delta_length_columns={n for n, k in ba_delta.items()
+                                        if k == "delta_length"},
+                  delta_byte_array_columns={n for n, k in ba_delta.items()
+                                            if k == "delta_byte_array"},
                   data_page_version=data_page_version,
                   annotations=annotations, decimal_columns=decimals,
                   bloom_filter_columns=frozenset(bloom_filter_columns),

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..kernels import ba, delta, dictionary, plain, rle
+from ..kernels import ba, bytearray_codecs, delta, dictionary, plain, rle
 from ..levels import _real_slot_positions, levels_from_nested_lengths
 
 MAGIC = b"PAR1"
@@ -83,6 +83,7 @@ _TIME_ANNOTATIONS = {
     "timestamp_ntz_us": (None, "int64", False),
 }
 ENC_PLAIN, ENC_PLAIN_DICT, ENC_RLE, ENC_DELTA_BP = 0, 2, 3, 5
+ENC_DELTA_LBA, ENC_DELTA_BA = 6, 7  # byte_array delta encodings
 _PAGE_DATA, _PAGE_DICT, _PAGE_DATA_V2 = 0, 2, 3
 # parquet-format CompressionCodec ids (reference types.h:105-116). "lz4"
 # is the legacy Hadoop-framed codec (id 5) the reference's Lz4Codec and
@@ -991,7 +992,8 @@ def _write_chunk(buf: bytearray, c: _Leaf, lo: int, hi: int,
                  page_rows: "int | None", codec: "str | None",
                  write_statistics: bool, delta_encoded: bool = False,
                  data_page_version: int = 1,
-                 dict_size_limit: int = DEFAULT_DICT_SIZE_LIMIT) -> list:
+                 dict_size_limit: int = DEFAULT_DICT_SIZE_LIMIT,
+                 ba_encoding: "str | None" = None) -> list:
     """One column chunk for slot range [lo, hi) -> ColumnMetaData fields."""
     codec_id = _CODEC_IDS[codec]
     dlo, dhi = c.dense_range(lo, hi)
@@ -1003,8 +1005,12 @@ def _write_chunk(buf: bytearray, c: _Leaf, lo: int, hi: int,
     dict_page_offset = None
     enc = None
     split_row = hi
-    if c.use_dictionary and delta_encoded:
-        raise ValueError("a column cannot be both dict and delta encoded")
+    if sum((c.use_dictionary, delta_encoded, ba_encoding is not None)) > 1:
+        raise ValueError(f"column {c.name}: dictionary / delta / "
+                         "byte-array-delta encodings are mutually exclusive")
+    if ba_encoding is not None and c.phys != "byte_array":
+        raise ValueError(f"column {c.name}: DELTA_(LENGTH_)BYTE_ARRAY "
+                         f"applies to byte_array, not {c.phys}")
     if c.use_dictionary:
         enc = dictionary.encode(dense, c.phys,
                                 dict_size_limit=dict_size_limit)
@@ -1042,6 +1048,15 @@ def _write_chunk(buf: bytearray, c: _Leaf, lo: int, hi: int,
             raise ValueError("DELTA_BINARY_PACKED applies to int32/int64")
         encoding = ENC_DELTA_BP
         encodings = [ENC_DELTA_BP, ENC_RLE]
+    elif ba_encoding is not None:
+        # DELTA_LENGTH_BYTE_ARRAY / DELTA_BYTE_ARRAY data pages in the
+        # parquet-format framing (no chunk-format length prefixes; the
+        # DELTA_BINARY_PACKED sub-streams self-delimit) — decoded by
+        # pyarrow, DuckDB, and parquet-mr, which cross-checks
+        # kernels/bytearray_codecs against three independent readers
+        encoding = ENC_DELTA_LBA if ba_encoding == "delta_length" \
+            else ENC_DELTA_BA
+        encodings = [encoding, ENC_RLE]
     else:
         encoding = ENC_PLAIN
         encodings = [ENC_PLAIN, ENC_RLE]
@@ -1081,6 +1096,13 @@ def _write_chunk(buf: bytearray, c: _Leaf, lo: int, hi: int,
             values_b = delta.encode(
                 np.asarray(_slice_dense(c.dense, c.phys, pdlo, pdhi)),
                 wrap32=c.phys == "int32")
+        elif ba_encoding is not None:
+            # per-page independent streams (prefix chain restarts at 0),
+            # so page-skipping readers can start at any page
+            pg_view = _slice_dense(c.dense, c.phys, pdlo, pdhi)
+            values_b = bytearray_codecs.encode_delta_length_spec(pg_view) \
+                if ba_encoding == "delta_length" \
+                else bytearray_codecs.encode_delta_byte_array_spec(pg_view)
         else:
             values_b = _plain_values(
                 _slice_dense(c.dense, c.phys, pdlo, pdhi), c.phys)
@@ -1176,6 +1198,10 @@ def write_file(path: str, columns: list[tuple], num_rows: int,
                write_statistics: bool = True,
                utf8_columns: "frozenset[str] | set[str]" = frozenset(),
                delta_columns: "frozenset[str] | set[str]" = frozenset(),
+               delta_length_columns: "frozenset[str] | set[str]"
+               = frozenset(),
+               delta_byte_array_columns: "frozenset[str] | set[str]"
+               = frozenset(),
                data_page_version: int = 1,
                dict_size_limit: int = DEFAULT_DICT_SIZE_LIMIT,
                write_page_index: bool = True,
@@ -1197,7 +1223,14 @@ def write_file(path: str, columns: list[tuple], num_rows: int,
     type, so schema-strict readers (Spark's JVM reader) surface them as
     strings instead of raw binary. int32/int64 columns named in
     ``delta_columns`` write DELTA_BINARY_PACKED data pages straight from
-    ``kernels.delta``. ``data_page_version=2`` writes DataPageV2 (def
+    ``kernels.delta``; byte_array columns named in
+    ``delta_length_columns`` / ``delta_byte_array_columns`` write
+    DELTA_LENGTH_BYTE_ARRAY / DELTA_BYTE_ARRAY data pages
+    (``kernels.bytearray_codecs`` in the parquet-format page framing —
+    the reference's decoders are ``encoding-internal.h:883-975``;
+    prefix-sharing DELTA_BYTE_ARRAY is the natural choice for path-like
+    string columns such as ``doc_id``). ``data_page_version=2`` writes
+    DataPageV2 (def
     levels unprefixed and outside the compressed region).
     FLBA columns are spelled ``phys='flba:<N>'`` (values: N-byte strings,
     PLAIN pages, stats null_count-only — FLBA ordering is type-defined,
@@ -1249,6 +1282,21 @@ def write_file(path: str, columns: list[tuple], num_rows: int,
             raise ValueError(f"column {c.name}: {c.n_rows} slots, "
                              f"expected {num_rows}")
 
+    ba_enc = {}
+    for names, kind in ((delta_length_columns, "delta_length"),
+                        (delta_byte_array_columns, "delta_byte_array")):
+        for n in names:
+            if n in ba_enc:
+                raise ValueError(f"column {n!r} named in both "
+                                 "delta_length_columns and "
+                                 "delta_byte_array_columns")
+            ba_enc[n] = kind
+    leaf_names = {c.name for c in cols}
+    unknown = set(ba_enc) - leaf_names
+    if unknown:
+        raise ValueError(f"delta byte-array columns not in schema: "
+                         f"{sorted(unknown)} (have {sorted(leaf_names)})")
+
     buf = bytearray(MAGIC)
     rg_step = max(1, num_rows if row_group_rows is None else row_group_rows)
     rg_infos = []                 # per rg: [(start, total, cmd, pages)]
@@ -1261,7 +1309,8 @@ def write_file(path: str, columns: list[tuple], num_rows: int,
                                        compression, write_statistics,
                                        c.name in delta_columns,
                                        data_page_version,
-                                       dict_size_limit))
+                                       dict_size_limit,
+                                       ba_encoding=ba_enc.get(c.name)))
         rg_infos.append((per_rg, hi - lo))
         rg_bounds.append((lo, hi))
 

@@ -226,7 +226,7 @@ def test_auto_encodings_on_walker_leaves(tmp_path):
     data = [[{"r": int(rep[i]), "u": int(uniq[i])}] for i in range(n)]
     tbl = pa.table({"c": pa.array(data, type=typ)})
     specs, utf8, ann, dec = sink.specs_from_arrow(tbl)
-    specs2, dcols = sink.auto_encodings(specs)
+    specs2, dcols, _ba = sink.auto_encodings(specs)
     tag = dict(kv.split("=") for kv in
                sink._encodings_tag(specs2, dcols).split(","))
     assert tag["c.r"] == "dict"
