@@ -218,8 +218,20 @@ def select_int_codec(values: np.ndarray, phys: str = "int32") -> int:
     return _ranked(estimate_int_sizes(values, phys))[0]
 
 
-def select_bytes_codec(values: list[bytes]) -> int:
-    return _ranked(estimate_bytes_sizes(values))[0]
+def select_bytes_codec(values: list[bytes],
+                       parquet_expressible: bool = False) -> int:
+    """Best estimated codec for a byte-array chunk.
+
+    ``parquet_expressible=True`` ranks only codecs that exist in the
+    parquet-format encoding enum (the PAR1 sink's surface): FSST is the
+    one chunk-format codec with no parquet id, so when it wins the
+    estimate the sink should take the runner-up (usually
+    DELTA_BYTE_ARRAY on prefix-heavy text) rather than fall all the way
+    back to PLAIN."""
+    est = estimate_bytes_sizes(values)
+    if parquet_expressible:
+        est.pop(chunkmod.FSST, None)
+    return _ranked(est)[0]
 
 
 def candidates(values, phys: str,

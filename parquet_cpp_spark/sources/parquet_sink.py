@@ -388,7 +388,8 @@ def auto_encodings(specs) -> tuple:
                 delta_cols.add(dotted_name)
             return codec in (chunkmod.RLE, chunkmod.RLE_DICTIONARY)
         if phys == "byte_array":
-            codec = selector.select_bytes_codec(_dense(phys, vals, valid))
+            codec = selector.select_bytes_codec(_dense(phys, vals, valid),
+                                                parquet_expressible=True)
             if codec == chunkmod.DELTA_LENGTH_BYTE_ARRAY:
                 ba_delta[dotted_name] = "delta_length"
             elif codec == chunkmod.DELTA_BYTE_ARRAY:

@@ -212,6 +212,56 @@ def test_sink_auto_encodings(spark, tmp_path):
     assert (a.s, a.n) == (b.s, b.n)
 
 
+def test_sink_auto_picks_byte_array_delta(spark, tmp_path):
+    """encodings='auto' must not fall back to PLAIN when FSST (which
+    parquet can't express) wins the size estimate: the selector ranks
+    only parquet-expressible codecs for the sink, so prefix-heavy string
+    leaves — flat AND nested — get DELTA_BYTE_ARRAY pages, and the file
+    still reads through pyarrow, DuckDB, Spark, and the engine reader."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_cpp_spark.sources import parquet_sink as sink
+    from parquet_cpp_spark.sources import record_assembly
+
+    n = 3000
+    docs = [f"corpus/shard{i % 7:03d}/doc-{i:012d}" for i in range(n)]
+    tbl = pa.table({
+        "meta": pa.array(
+            [{"path": docs[i], "v": i % 5} for i in range(n)],
+            type=pa.struct([("path", pa.string()), ("v", pa.int64())])),
+        "doc_id": pa.array(docs),
+    })
+    src = str(tmp_path / "src.parquet")
+    pq.write_table(tbl, src)
+    out = str(tmp_path / "out")
+    man = sink.write_parquet_dataset(spark, src, out,
+                                     encodings="auto").collect()
+    enc = dict(kv.split("=") for kv in man[0].encodings.split(","))
+    assert enc["doc_id"] == "dba"
+    assert enc["meta.path"] == "dba"
+
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    path = os.path.join(out, files[0])
+    encs = {c.path_in_schema: c.encodings
+            for c in (pq.ParquetFile(path).metadata.row_group(0).column(i)
+                      for i in range(3))}
+    assert "DELTA_BYTE_ARRAY" in encs["doc_id"]
+    assert "DELTA_BYTE_ARRAY" in encs["meta.path"]
+
+    got = spark.read.parquet(out).orderBy("doc_id").collect()
+    assert [r.doc_id for r in got] == sorted(docs)
+    assert sorted(r.meta.path for r in got) == sorted(docs)
+    cnt, lo = duckdb.sql(
+        f"SELECT count(*), min(meta.path) "
+        f"FROM read_parquet('{out}/*.parquet')").fetchone()
+    assert (cnt, lo) == (n, min(docs))
+    own = record_assembly.assemble_file(path)
+    assert own.column("doc_id").to_pylist() == \
+        pq.read_table(path).column("doc_id").to_pylist()
+
+
 def test_point_lookup_parquet_dataset_skips_pages(spark, tmp_path):
     """Distributed page-skip lookup over a sink-written dataset: every
     task prunes through its file's PageIndex; the summed pages_decoded
