@@ -1130,6 +1130,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _digest(spark.read.parquet(out))
     q["pq_sink_dataset"] = pq_sink_dataset
 
+    def pq_snapshot_read(spark: SparkSession, sf: str) -> DataFrame:
+        """Iceberg-style snapshot isolation over the sink (r7): the
+        executors write the token table, the manifest rows commit as
+        snapshot v1 (sources/snapshots.py — atomic version-file link,
+        complete root-relative file listing, the public Iceberg spec's
+        metadata-swap concept), and then a DECOY parquet file of junk
+        rows lands in the same directory UNCOMMITTED. The query reads
+        snapshot v1, not the directory — the identity oracle only
+        matches because read_snapshot plans over exactly the committed
+        listing (a directory scan would pick up the decoy and break the
+        hash)."""
+        import shutil
+        import tempfile
+
+        from parquet_cpp_spark.sources import snapshots as snapmod
+        from parquet_cpp_spark.sources.parquet_sink import \
+            emit_parquet_dataset
+        src = tokens_src.tokens_from_documents(spark, sf, _parts(sf))
+        df = (src.select("doc_id", "tokens", "n_tok", "source")
+              .repartition(4, "doc_id")
+              .sortWithinPartitions("doc_id"))
+        out = os.path.join(tempfile.gettempdir(),
+                           f"pcs_{os.getuid()}_snapshot_ds")
+        shutil.rmtree(out, ignore_errors=True)
+        man = emit_parquet_dataset(df, out, encodings="auto").collect()
+        snapmod.commit_snapshot(out, man)
+        # uncommitted decoy: same schema, garbage content
+        (df.limit(7)
+           .withColumn("doc_id", F.concat(F.lit("decoy/"), F.col("doc_id")))
+           .coalesce(1).write.mode("append").parquet(out))
+        return _digest(snapmod.read_snapshot(spark, out, version=1))
+    q["pq_snapshot_read"] = pq_snapshot_read
+
     def pq_engine_scan(spark: SparkSession, sf: str) -> DataFrame:
         """The FULL engine loop distributed in BOTH directions (r7):
         executors write the token table as engine PAR1 files
@@ -1663,6 +1696,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # test_types_compression.py. Both keep their oracles and run in
         # test_query_matches_oracle.
         "rt_map", "rt_unsigned",
+        # r7 (late): rt_nullable rotates out to make window room for
+        # pq_snapshot_read. Its max_def=2 null back-fill stays pinned by
+        # tests/test_nested.py and the golden blobs, and nullable levels
+        # are driven end-to-end through three independent readers by the
+        # in-window pq_writer_nested (null list slots + null elements).
+        "rt_nullable",
     ]
     ordered = {k: v for k, v in q.items() if k not in rotated_past_cap}
     for k in rotated_past_cap:
@@ -2010,6 +2049,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY doc_id
         """,
         "pq_sink_dataset": identity,
+        "pq_snapshot_read": identity,
         "pq_engine_scan": identity,
         # pushdown scan: DuckDB applies the SAME WHERE clause to the
         # identity token table the engine scan filtered via stats-pruned

@@ -232,8 +232,35 @@ def cmd_scan(args) -> None:
         out["predicate"] = [list(p) for p in pred]
         out["rg_kept"] = plan.get("rg_kept")
         out["rg_total"] = plan.get("rg_total")
+    if args.snapshot:
+        from .sources import snapshots as snapmod
+        out["snapshot_version"] = snapmod.commit_snapshot(
+            args.out, manifest)["version"]
     print(json.dumps(out))
     _stop(spark)
+
+
+def cmd_snapshot(args) -> None:
+    """Inspect a dataset's Iceberg-style snapshot log (no Spark
+    session): list versions, show one listing, or diff two."""
+    from .sources import snapshots as snap
+    if args.show is not None:
+        print(json.dumps(snap.load_snapshot(args.dir, args.show)))
+    elif args.diff is not None:
+        a, b = args.diff
+        print(json.dumps(snap.changed_files(
+            args.dir, None if a == 0 else a, b)))
+    else:
+        rows = []
+        for v in snap.list_versions(args.dir):
+            s = snap.load_snapshot(args.dir, v)
+            rows.append({"version": v, "parent": s["parent"],
+                         "operation": s["operation"],
+                         "files": s["total_files"],
+                         "rows": s["total_rows"],
+                         "bytes": s["total_bytes"],
+                         "committed_at": s["committed_at"]})
+        print(json.dumps(rows))
 
 
 def main(argv=None) -> None:
@@ -298,7 +325,21 @@ def main(argv=None) -> None:
                      help="predicate conjunct 'col OP value' (repeatable)")
     scn.add_argument("--columns", default=None,
                      help="comma-separated projection")
+    scn.add_argument("--snapshot", action="store_true",
+                     help="commit the output manifest as a new snapshot "
+                          "version of the output dataset")
     scn.set_defaults(fn=cmd_scan)
+
+    snp = sub.add_parser("snapshot")
+    snp.add_argument("--dir", required=True,
+                     help="dataset directory with a _snapshots/ log")
+    snp.add_argument("--show", type=int, default=None,
+                     help="print one snapshot document (full file list)")
+    snp.add_argument("--diff", type=int, nargs=2, default=None,
+                     metavar=("FROM", "TO"),
+                     help="added/removed/replaced files between two "
+                          "versions (FROM=0 means the empty table)")
+    snp.set_defaults(fn=cmd_snapshot)
 
     args = ap.parse_args(argv)
     args.fn(args)

@@ -1,0 +1,205 @@
+"""Iceberg-style snapshot log over engine-written parquet datasets.
+
+A dataset directory gains a ``_snapshots/`` subdirectory holding one
+JSON document per committed version (``v0000000001.json``, ...). The
+commit point is a single atomic exclusive link of a fully-written temp
+file into its version slot — readers either see a complete snapshot or
+none (the Apache Iceberg spec's atomic metadata-pointer swap, reduced
+to a filesystem primitive; concepts from the public Iceberg table
+format spec, implementation original). Each snapshot carries the
+COMPLETE file listing — path relative to the dataset root plus the
+sink's manifest fields (rows, value slots, bytes, sha256, per-column
+encodings tag) — its parent version, and aggregate totals, so:
+
+- ``read_snapshot(spark, dir, version)`` plans a scan over exactly that
+  version's files: a consistent cut even while a writer is appending
+  (new files are invisible until their snapshot commits, and the sink's
+  dot-prefixed ``.inprogress`` temps were never visible at all);
+- ``changed_files(dir, a, b)`` diffs two versions for incremental
+  consumers;
+- planning is metadata-only: one small JSON read per version instead of
+  listing millions of data files at 100 TB — the listing IS the
+  snapshot, which is the property that makes Iceberg-style tables
+  plannable at that scale.
+
+Reference analog: the per-file footer metadata the reference
+accumulates on write (``file_writer.cc:60-236``,
+``metadata.cc`` FileMetaData), lifted one level to a versioned
+dataset listing. The sink's per-file manifest rows
+(``parquet_sink.MANIFEST_SCHEMA``) are the input.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+SNAP_DIR = "_snapshots"
+_FMT = "v{:010d}.json"
+
+
+def _snap_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, SNAP_DIR)
+
+
+def list_versions(out_dir: str) -> list[int]:
+    d = _snap_dir(out_dir)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for name in os.listdir(d):
+        if name.startswith("v") and name.endswith(".json"):
+            try:
+                out.append(int(name[1:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def current_version(out_dir: str) -> "int | None":
+    vs = list_versions(out_dir)
+    return vs[-1] if vs else None
+
+
+def load_snapshot(out_dir: str, version: "int | None" = None) -> dict:
+    """The snapshot document for ``version`` (default: current)."""
+    if version is None:
+        version = current_version(out_dir)
+        if version is None:
+            raise FileNotFoundError(
+                f"no snapshots under {out_dir!r} ({SNAP_DIR}/ is empty "
+                "or absent)")
+    path = os.path.join(_snap_dir(out_dir), _FMT.format(version))
+    with open(path, "r", encoding="utf-8") as f:
+        snap = json.load(f)
+    if snap.get("version") != version:
+        raise ValueError(f"snapshot file {path} claims version "
+                         f"{snap.get('version')}, expected {version}")
+    return snap
+
+
+def _entry(out_dir: str, row) -> dict:
+    """One sink manifest row (Row/tuple/dict in MANIFEST_SCHEMA order) ->
+    a snapshot file entry with a root-relative path."""
+    if isinstance(row, dict):
+        file, n_rows, n_values = row["file"], row["n_rows"], row["n_values"]
+        nbytes, sha = row["bytes"], row["checksum"]
+        enc = row.get("encodings")
+    else:
+        file, n_rows, n_values, nbytes, sha = row[0], row[1], row[2], \
+            row[3], row[4]
+        enc = row[5] if len(row) > 5 else None
+    rel = os.path.relpath(file, out_dir)
+    if rel.startswith(".."):
+        raise ValueError(f"manifest file {file!r} is outside the dataset "
+                         f"root {out_dir!r}")
+    return {"path": rel, "rows": int(n_rows), "values": int(n_values),
+            "bytes": int(nbytes), "sha256": sha, "encodings": enc}
+
+
+def commit_snapshot(out_dir: str, manifest_rows,
+                    operation: str = "append",
+                    parent: "int | None" = None) -> dict:
+    """Commit the sink manifest rows of one finished write as a new
+    snapshot version and return the committed document.
+
+    ``operation='append'``: the new listing is the parent's files plus
+    the new ones (a re-written path replaces its parent entry — the
+    sink's resume/retry overwrite case). ``operation='overwrite'``: the
+    listing is exactly ``manifest_rows`` (a compaction or full rewrite).
+
+    The commit is atomic and lock-free: the document is fully written
+    to a temp file, then ``os.link``-ed into its version slot —
+    exclusive on POSIX, so two racing committers can't both claim one
+    version; the loser retries against the next number with its parent
+    listing re-read (optimistic concurrency, like Iceberg's
+    commit-retry loop)."""
+    if operation not in ("append", "overwrite"):
+        raise ValueError(f"unknown snapshot operation {operation!r}")
+    new = [_entry(out_dir, r) for r in manifest_rows]
+    if not new and operation == "append":
+        raise ValueError("refusing to commit an empty append snapshot")
+    sd = _snap_dir(out_dir)
+    os.makedirs(sd, exist_ok=True)
+
+    for _attempt in range(100):
+        cur = current_version(out_dir)
+        if parent is not None and cur is not None and cur != parent:
+            raise RuntimeError(
+                f"snapshot conflict: expected parent {parent}, current "
+                f"is {cur} (another writer committed); re-read and retry")
+        version = (cur or 0) + 1
+        if operation == "append" and cur is not None:
+            base = {e["path"]: e for e in load_snapshot(out_dir,
+                                                        cur)["files"]}
+            for e in new:
+                base[e["path"]] = e
+            files = [base[p] for p in sorted(base)]
+        else:
+            files = sorted(new, key=lambda e: e["path"])
+        doc = {
+            "version": version,
+            "parent": cur,
+            "operation": operation,
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                          time.gmtime()),
+            "total_files": len(files),
+            "total_rows": sum(e["rows"] for e in files),
+            "total_values": sum(e["values"] for e in files),
+            "total_bytes": sum(e["bytes"] for e in files),
+            "files": files,
+        }
+        tmp = os.path.join(sd, f".commit-{os.getpid()}-{version}.tmp")
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(doc, f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
+        final = os.path.join(sd, _FMT.format(version))
+        try:
+            os.link(tmp, final)      # atomic-exclusive claim
+            return doc
+        except FileExistsError:
+            continue                 # lost the race: recompute and retry
+        finally:
+            os.unlink(tmp)
+    raise RuntimeError("snapshot commit contention: 100 straight "
+                       "version-claim losses")
+
+
+def snapshot_paths(out_dir: str, version: "int | None" = None) -> list[str]:
+    """Absolute data-file paths of one snapshot (root-relative entries
+    joined back onto ``out_dir``, so a moved/renamed dataset directory
+    still resolves)."""
+    snap = load_snapshot(out_dir, version)
+    return [os.path.join(out_dir, e["path"]) for e in snap["files"]]
+
+
+def read_snapshot(spark, out_dir: str, version: "int | None" = None):
+    """Plan a Spark scan over EXACTLY one snapshot's files — no
+    directory listing, so files committed by later snapshots (or still
+    being written) are invisible: Iceberg-style read isolation."""
+    paths = snapshot_paths(out_dir, version)
+    if not paths:
+        raise ValueError(f"snapshot {version} of {out_dir!r} lists no "
+                         "files")
+    return spark.read.parquet(*paths)
+
+
+def changed_files(out_dir: str, from_version: "int | None",
+                  to_version: "int | None" = None) -> dict:
+    """Diff two snapshots for incremental consumers: files added,
+    removed, or replaced (same path, different sha) between
+    ``from_version`` (None = empty table) and ``to_version``
+    (None = current)."""
+    old = {} if from_version is None else \
+        {e["path"]: e for e in load_snapshot(out_dir,
+                                             from_version)["files"]}
+    new = {e["path"]: e for e in load_snapshot(out_dir,
+                                               to_version)["files"]}
+    return {
+        "added": sorted(p for p in new if p not in old),
+        "removed": sorted(p for p in old if p not in new),
+        "replaced": sorted(p for p in new
+                           if p in old and new[p]["sha256"]
+                           != old[p]["sha256"]),
+    }
