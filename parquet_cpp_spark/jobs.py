@@ -240,6 +240,48 @@ def cmd_scan(args) -> None:
     _stop(spark)
 
 
+def cmd_compact(args) -> None:
+    """Small-file compaction of an engine parquet dataset: read the
+    current snapshot's listing (or the directory when no log exists),
+    rewrite the rows as ~target-size files via the distributed sink,
+    and commit the result as a snapshot OVERWRITE — readers flip to the
+    compacted layout atomically while time travel to the pre-compaction
+    version keeps working until ``--vacuum`` expires it. Partitioning
+    is deterministic (range on the first column + sort within) so a
+    retried task rewrites identical bytes under the identical
+    content-hash name."""
+    spark = _spark(args)
+    from .sources import snapshots as snapmod
+    from .sources.parquet_sink import emit_parquet_dataset
+
+    has_log = bool(snapmod.list_versions(args.dir))
+    if has_log:
+        cur = snapmod.load_snapshot(args.dir)
+        df = snapmod.read_snapshot(spark, args.dir)
+        total_bytes = cur["total_bytes"]
+    else:
+        df = spark.read.parquet(args.dir)
+        total_bytes = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _d, fs in os.walk(args.dir) for f in fs
+            if f.endswith(".parquet") and not f.startswith("."))
+    n_files = max(1, round(total_bytes / (args.target_mb * (1 << 20))))
+    key = df.columns[0]
+    out = (df.repartitionByRange(n_files, key)
+             .sortWithinPartitions(key))
+    man = emit_parquet_dataset(out, args.dir,
+                               name_prefix="compact-",
+                               encodings="auto").collect()
+    doc = snapmod.commit_snapshot(args.dir, man, operation="overwrite")
+    res = {"snapshot_version": doc["version"],
+           "files": doc["total_files"], "rows": doc["total_rows"],
+           "bytes": doc["total_bytes"]}
+    if args.vacuum:
+        res["vacuum"] = snapmod.vacuum(args.dir, keep_versions=1)
+    print(json.dumps(res))
+    _stop(spark)
+
+
 def cmd_snapshot(args) -> None:
     """Inspect a dataset's Iceberg-style snapshot log (no Spark
     session): list versions, show one listing, or diff two."""
@@ -329,6 +371,18 @@ def main(argv=None) -> None:
                      help="commit the output manifest as a new snapshot "
                           "version of the output dataset")
     scn.set_defaults(fn=cmd_scan)
+
+    cmp = sub.add_parser("compact")
+    cmp.add_argument("--dir", required=True,
+                     help="dataset directory to compact in place")
+    cmp.add_argument("--target-mb", type=int, default=128,
+                     help="target output file size (MiB of current "
+                          "encoded bytes per file)")
+    cmp.add_argument("--vacuum", action="store_true",
+                     help="after committing the compacted snapshot, "
+                          "expire prior versions and delete their "
+                          "now-unreferenced files")
+    cmp.set_defaults(fn=cmd_compact)
 
     snp = sub.add_parser("snapshot")
     snp.add_argument("--dir", required=True,

@@ -185,6 +185,48 @@ def read_snapshot(spark, out_dir: str, version: "int | None" = None):
     return spark.read.parquet(*paths)
 
 
+def vacuum(out_dir: str, keep_versions: int = 1) -> dict:
+    """Expire data files no retained snapshot references (Iceberg's
+    expire-snapshots + orphan-file cleanup, folded into one op).
+
+    Keeps the newest ``keep_versions`` snapshot documents; deletes (a)
+    older snapshot documents and (b) ``*.parquet`` files under the
+    dataset root that none of the retained snapshots list. Non-parquet
+    files, dotfiles (in-flight ``.inprogress`` temps), and the
+    ``_snapshots`` dir itself are never touched — vacuum only reclaims
+    what a snapshot once referenced or a writer abandoned as a final
+    ``.parquet``. Time travel to expired versions stops working, by
+    design. Returns ``{"removed_files": [...], "removed_versions":
+    [...], "kept_version": N}``."""
+    if keep_versions < 1:
+        raise ValueError("keep_versions must be >= 1")
+    versions = list_versions(out_dir)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots under {out_dir!r}")
+    keep = versions[-keep_versions:]
+    referenced: set = set()
+    for v in keep:
+        referenced.update(e["path"] for e in load_snapshot(out_dir,
+                                                           v)["files"])
+    removed_files = []
+    for root, dirs, files in os.walk(out_dir):
+        dirs[:] = [d for d in dirs if d != SNAP_DIR and
+                   not d.startswith(".")]
+        for name in files:
+            if not name.endswith(".parquet") or name.startswith("."):
+                continue
+            rel = os.path.relpath(os.path.join(root, name), out_dir)
+            if rel not in referenced:
+                os.unlink(os.path.join(out_dir, rel))
+                removed_files.append(rel)
+    removed_versions = [v for v in versions if v not in keep]
+    for v in removed_versions:
+        os.unlink(os.path.join(_snap_dir(out_dir), _FMT.format(v)))
+    return {"removed_files": sorted(removed_files),
+            "removed_versions": removed_versions,
+            "kept_version": keep[-1]}
+
+
 def changed_files(out_dir: str, from_version: "int | None",
                   to_version: "int | None" = None) -> dict:
     """Diff two snapshots for incremental consumers: files added,

@@ -161,6 +161,57 @@ def test_jobs_scan_snapshot_and_cli_inspection(spark, tmp_path, capsys):
     assert snap.read_snapshot(spark, out).count() == res["rows"]
 
 
+def test_compact_overwrite_and_vacuum(spark, tmp_path, capsys):
+    """`jobs compact` rewrites a many-small-files dataset as ~target-size
+    files and commits a snapshot OVERWRITE: the table contents are
+    unchanged, time travel to the pre-compaction version still works,
+    and `vacuum` then expires old versions and deletes exactly the
+    now-unreferenced data files (a directory scan agrees with the
+    snapshot again afterwards)."""
+    from pyspark.sql import functions as F
+
+    from parquet_cpp_spark import jobs
+    from parquet_cpp_spark.sources.parquet_sink import write_parquet_dataset
+    from parquet_cpp_spark.sources.tokens import synthesize_tokens_parquet
+
+    src = synthesize_tokens_parquet(str(tmp_path / "tok.parquet"),
+                                    1200, 41, row_group_size=200)
+    out = str(tmp_path / "ds")
+    man = write_parquet_dataset(spark, src, out).collect()
+    assert len(man) == 6            # six small files
+    snap.commit_snapshot(out, man)
+
+    def _sig(df):
+        return df.agg(
+            F.sum(F.xxhash64("doc_id", "tokens", "n_tok", "source")
+                  .cast("decimal(38,0)")).alias("s"),
+            F.count("*").alias("n")).collect()[0]
+
+    before = _sig(snap.read_snapshot(spark, out))
+    jobs.main(["compact", "--dir", out, "--target-mb", "128"])
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["snapshot_version"] == 2
+    assert res["files"] < 6 and res["rows"] == 1200
+    after = _sig(snap.read_snapshot(spark, out))
+    assert (before.s, before.n) == (after.s, after.n)
+    # pre-compaction version still readable (old files not deleted yet)
+    assert snap.read_snapshot(spark, out, 1).count() == 1200
+    # the directory now holds BOTH layouts — only the snapshot is truth
+    n_parquet = len([f for f in os.listdir(out) if f.endswith(".parquet")])
+    assert n_parquet == 6 + res["files"]
+
+    vac = snap.vacuum(out, keep_versions=1)
+    assert len(vac["removed_files"]) == 6
+    assert vac["removed_versions"] == [1]
+    # snapshot read unchanged; a plain directory scan agrees again
+    assert _sig(snap.read_snapshot(spark, out)) == (after.s, after.n)
+    assert _sig(spark.read.parquet(out)) == (after.s, after.n)
+    # the log itself survives vacuum
+    assert snap.current_version(out) == 2
+    with pytest.raises(FileNotFoundError):
+        snap.load_snapshot(out, 1)
+
+
 def test_sink_manifest_rows_commit_end_to_end(spark, tmp_path):
     """The real pipeline: write_parquet_dataset manifest rows feed
     commit_snapshot directly; read_snapshot equals the directory scan
