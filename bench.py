@@ -435,14 +435,22 @@ def main() -> None:
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         **extras,
     }
-    # sf1 scale proof (tools/bench_sf1.py: 45M rows = 10x this table,
-    # run separately on an idle box — too long to rerun per-round): embed
-    # the recorded section so the per-round artifact carries it
+    # Recorded proof sections from the separate idle-box measurement
+    # tools (too long / too contention-sensitive to rerun per-round):
+    # embed them so the per-round artifact carries the full scorecard.
+    # sf1 = tools/bench_sf1.py (45M rows, 10x this table); sf1_oracle =
+    # tools/check_sf1_oracle.py (DuckDB digest match at 45M rows);
+    # sink_vs_jvm / scan_vs_jvm = tools/measure_{sink,scan}_vs_jvm.py;
+    # sf1_scan = the 1800-file engine-scan digest proof.
     try:
         with open(os.path.join(REPO, "BENCH_local.json")) as f:
-            sf1 = json.load(f).get("sf1")
-        if sf1:
-            out["sf1_proof"] = sf1
+            recorded = json.load(f)
+        if recorded.get("sf1"):
+            out["sf1_proof"] = recorded["sf1"]
+        for key in ("sf1_oracle", "sink_vs_jvm", "scan_vs_jvm",
+                    "sf1_scan"):
+            if recorded.get(key):
+                out[key] = recorded[key]
     except Exception:
         pass
     print(json.dumps(out))
