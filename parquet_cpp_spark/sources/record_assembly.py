@@ -819,7 +819,8 @@ def _plan_file(f: str, conjuncts):
 
 def read_parquet_dataset(spark, src: str, columns=None, predicate=None,
                          plan_out: "dict | None" = None,
-                         distributed_plan: "bool | None" = None):
+                         distributed_plan: "bool | None" = None,
+                         snapshot_version: "int | None" = None):
     """Distributed ENGINE-NATIVE scan of a parquet dataset directory:
     executors assemble whole nested Arrow batches from rep/def levels
     (``assemble_file``) — no Spark JVM parquet reader, no
@@ -858,16 +859,37 @@ def read_parquet_dataset(spark, src: str, columns=None, predicate=None,
     footers and applies the stats pruning, returning only small
     (path, n_rg, kept, signature) tuples — so planning a 10^5-file
     directory costs no driver I/O (the analog of Spark's own
-    distributed parquet footer reading in ParquetFileFormat)."""
+    distributed parquet footer reading in ParquetFileFormat).
+
+    ``snapshot_version``: when the dataset carries a ``_snapshots/``
+    log (``sources/snapshots.py``), the scan plans from the committed
+    listing instead of a directory glob — ``None`` reads the CURRENT
+    version (automatic once a log exists), ``N`` time-travels to
+    version N, ``0`` forces the raw directory glob (log ignored)."""
     import glob as _glob
     import os as _os
 
     from ..shipping import ensure_shipped
     ensure_shipped(spark)
 
-    files = sorted(
-        f for f in _glob.glob(_os.path.join(src, "*.parquet"))
-        if not _os.path.basename(f).startswith("."))
+    use_snapshot = (
+        snapshot_version not in (None, 0)
+        or (snapshot_version is None
+            and _os.path.isdir(_os.path.join(src, "_snapshots"))))
+    if use_snapshot:
+        # snapshot-aware planning: the version's listing IS the file
+        # set — read isolation from in-flight writers, time travel, and
+        # no directory glob over 10^6 files. snapshot_version=None with
+        # a _snapshots/ log present reads the CURRENT version (the
+        # directory may legitimately hold uncommitted or pre-compaction
+        # files); pass snapshot_version=0 to force the raw directory.
+        from .snapshots import snapshot_paths
+        files = sorted(snapshot_paths(
+            src, None if snapshot_version is None else snapshot_version))
+    else:
+        files = sorted(
+            f for f in _glob.glob(_os.path.join(src, "*.parquet"))
+            if not _os.path.basename(f).startswith("."))
     if not files:
         raise ValueError(f"no parquet files under {src!r}")
     aschema = file_schema(files[0], columns=columns)

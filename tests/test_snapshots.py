@@ -161,6 +161,28 @@ def test_jobs_scan_snapshot_and_cli_inspection(spark, tmp_path, capsys):
     assert snap.read_snapshot(spark, out).count() == res["rows"]
 
 
+def test_engine_scan_is_snapshot_aware(spark, tmp_path):
+    """Once a dataset carries a _snapshots/ log, the ENGINE scan
+    (record_assembly.read_parquet_dataset) plans from the committed
+    listing automatically: an uncommitted decoy file is invisible,
+    snapshot_version=N time-travels, and snapshot_version=0 forces the
+    raw directory glob (which does see the decoy)."""
+    from parquet_cpp_spark.sources.record_assembly import \
+        read_parquet_dataset
+
+    out = str(tmp_path / "ds")
+    os.makedirs(out)
+    snap.commit_snapshot(out, [_write_file(out, "a.parquet", 0, 40)])
+    snap.commit_snapshot(out, [_write_file(out, "b.parquet", 40, 60)])
+    _write_file(out, "decoy.parquet", 1000, 1010)   # never committed
+
+    assert read_parquet_dataset(spark, out).count() == 60
+    assert read_parquet_dataset(spark, out,
+                                snapshot_version=1).count() == 40
+    assert read_parquet_dataset(spark, out,
+                                snapshot_version=0).count() == 70
+
+
 def test_compact_overwrite_and_vacuum(spark, tmp_path, capsys):
     """`jobs compact` rewrites a many-small-files dataset as ~target-size
     files and commits a snapshot OVERWRITE: the table contents are
