@@ -129,14 +129,20 @@ def commit_snapshot(out_dir: str, manifest_rows,
                 f"snapshot conflict: expected parent {parent}, current "
                 f"is {cur} (another writer committed); re-read and retry")
         version = (cur or 0) + 1
-        if operation == "append" and cur is not None:
-            base = {e["path"]: e for e in load_snapshot(out_dir,
-                                                        cur)["files"]}
+        prev = load_snapshot(out_dir, cur) if cur is not None else None
+        if operation == "append" and prev is not None:
+            base = {e["path"]: e for e in prev["files"]}
             for e in new:
                 base[e["path"]] = e
             files = [base[p] for p in sorted(base)]
         else:
             files = sorted(new, key=lambda e: e["path"])
+        if prev is not None and files == prev["files"]:
+            # idempotent replay (a retried micro-batch re-emitting the
+            # same bytes under the same content-hash names): the table
+            # state is unchanged — return the current snapshot instead
+            # of minting a new identical version
+            return prev
         doc = {
             "version": version,
             "parent": cur,

@@ -64,6 +64,7 @@ def start_parquet_emit_stream(spark: SparkSession, input_dir: str,
                               trigger_available_now: bool = True,
                               max_files_per_trigger: int = 16,
                               files_per_batch: int | None = None,
+                              snapshot: bool = True,
                               **writer_kw):
     """Streaming ENGINE-PARQUET emission: readStream over arriving token
     files -> foreachBatch -> executors write engine-format PAR1 files
@@ -79,7 +80,15 @@ def start_parquet_emit_stream(spark: SparkSession, input_dir: str,
     a batch replayed after a crash between manifest write and checkpoint
     commit REPLACES its own manifest rows instead of appending
     duplicates. The output dir is a plain parquet dataset Spark/DuckDB
-    scan directly, growing one micro-batch at a time."""
+    scan directly, growing one micro-batch at a time.
+
+    ``snapshot=True`` additionally commits each micro-batch's manifest
+    rows to the dataset's snapshot log (``sources/snapshots.py``) —
+    readers planning from the log (``record_assembly.
+    read_parquet_dataset``, ``snapshots.read_snapshot``) see whole
+    committed batches ATOMICALLY, never a batch's files mid-write;
+    a replayed batch re-emits identical bytes under identical names, so
+    its re-commit is a listing no-op and mints no duplicate version."""
     from ..sources.parquet_sink import emit_parquet_dataset
 
     manifest_path = os.path.join(out_dir, "_manifest")
@@ -98,10 +107,25 @@ def start_parquet_emit_stream(spark: SparkSession, input_dir: str,
         man = emit_parquet_dataset(part, data_dir,
                                    name_prefix=f"b{batch_id:06d}-",
                                    **writer_kw)
-        (man.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id").parquet(manifest_path))
+        if snapshot:
+            # materialize the (tiny, one-per-file) manifest rows on the
+            # driver: data files are written HERE, then the same rows
+            # feed both the manifest parquet and the snapshot commit
+            from ..sources.snapshots import commit_snapshot
+            rows = man.collect()
+            spark_b = batch_df.sparkSession
+            man = spark_b.createDataFrame(rows, man.schema)
+            (man.withColumn("batch_id", F.lit(batch_id))
+                .coalesce(1).write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id").parquet(manifest_path))
+            if rows:
+                commit_snapshot(data_dir, rows)
+        else:
+            (man.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id").parquet(manifest_path))
 
     writer = (stream.writeStream.foreachBatch(sink)
               .option("checkpointLocation", checkpoint_dir))

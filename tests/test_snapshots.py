@@ -73,6 +73,22 @@ def test_append_replaces_rewritten_path(tmp_path):
         "added": [], "removed": [], "replaced": ["a.parquet"]}
 
 
+def test_replay_recommit_is_a_noop(tmp_path):
+    """A retried micro-batch re-emits identical bytes under identical
+    content-hash names; re-committing the same rows must return the
+    CURRENT snapshot instead of minting an identical new version."""
+    out = str(tmp_path / "ds")
+    os.makedirs(out)
+    r = _write_file(out, "a.parquet", 0, 25)
+    d1 = snap.commit_snapshot(out, [r])
+    d2 = snap.commit_snapshot(out, [r])      # replay
+    assert d2["version"] == d1["version"] == 1
+    assert snap.list_versions(out) == [1]
+    # and an overwrite with the identical listing is also a no-op
+    d3 = snap.commit_snapshot(out, [r], operation="overwrite")
+    assert d3["version"] == 1
+
+
 def test_overwrite_drops_parent_listing(tmp_path):
     out = str(tmp_path / "ds")
     os.makedirs(out)

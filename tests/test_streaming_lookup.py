@@ -102,10 +102,24 @@ def test_streaming_parquet_emission(spark, tmp_path):
     for r in man:
         with open(r.file, "rb") as fh:
             assert hashlib.sha256(fh.read()).hexdigest() == r.checksum
-    n_files = len(os.listdir(os.path.join(out, "data")))
+    data_dir = os.path.join(out, "data")
+    n_files = len([f for f in os.listdir(data_dir)
+                   if f.endswith(".parquet")])
     assert n_files == len(man)
 
-    # checkpoint resume: nothing new -> no new files
+    # per-batch snapshot commits: one version per micro-batch, the
+    # current version lists every emitted file, and a log-planned read
+    # equals the directory scan
+    from parquet_cpp_spark.sources import snapshots as snap
+    versions = snap.list_versions(data_dir)
+    assert len(versions) == len({r.batch_id for r in man})
+    cur = snap.load_snapshot(data_dir)
+    assert cur["total_files"] == n_files
+    assert snap.read_snapshot(spark, data_dir).count() == data.count()
+
+    # checkpoint resume: nothing new -> no new files, no new snapshot
     q2 = start_parquet_emit_stream(spark, in_dir, out)
     q2.awaitTermination(120)
-    assert len(os.listdir(os.path.join(out, "data"))) == n_files
+    assert len([f for f in os.listdir(data_dir)
+                if f.endswith(".parquet")]) == n_files
+    assert snap.list_versions(data_dir) == versions
