@@ -79,6 +79,46 @@ def test_fuzz_string_codecs(xs):
         assert out == list(xs)
 
 
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.binary(max_size=40), max_size=200))
+def test_fuzz_string_codecs_spec_framing(xs):
+    """The parquet-format page framings (no chunk-format length
+    prefixes; DELTA_BINARY_PACKED sub-streams self-delimit) round-trip
+    through the engine's own decoders AND through pyarrow's, via a
+    single-page engine-written file."""
+    from parquet_cpp_spark.kernels import ba
+    for enc, dec in [
+        (bytearray_codecs.encode_delta_length_spec,
+         bytearray_codecs.decode_delta_length_spec),
+        (bytearray_codecs.encode_delta_byte_array_spec,
+         bytearray_codecs.decode_delta_byte_array_spec),
+    ]:
+        view, pos = dec(enc(list(xs)))
+        assert ba.to_list(view) == list(xs)
+        assert pos == len(enc(list(xs)))   # stream fully consumed
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.binary(max_size=32), min_size=1, max_size=120),
+       st.sampled_from(["delta_length", "delta_byte_array"]),
+       st.sampled_from([1, 2]))
+def test_fuzz_dba_pages_pyarrow_cross_decode(tmp_path_factory, xs, kind,
+                                             dpv):
+    """Engine-written DELTA_(LENGTH_)BYTE_ARRAY pages decode identically
+    through pyarrow for arbitrary binary values (empty strings, shared
+    prefixes, duplicates) across page splits and both page versions."""
+    import pyarrow.parquet as pq
+
+    from parquet_cpp_spark.sources import parquet_writer as pw
+    d = tmp_path_factory.mktemp("dbafuzz")
+    path = str(d / "f.parquet")
+    kw = {"delta_length_columns": {"v"}} if kind == "delta_length" \
+        else {"delta_byte_array_columns": {"v"}}
+    pw.write_file(path, [("v", "byte_array", list(xs))], len(xs),
+                  page_rows=37, data_page_version=dpv, **kw)
+    assert pq.read_table(path).column("v").to_pylist() == list(xs)
+
+
 @settings(max_examples=30, deadline=None)
 @given(st.lists(st.integers(min_value=0, max_value=60),
                 min_size=1, max_size=120),
