@@ -1225,6 +1225,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                    ("source", "==", "src7")]))
     q["pq_scan_pushdown"] = pq_scan_pushdown
 
+    def pq_partitioned_scan(spark: SparkSession, sf: str) -> DataFrame:
+        """Iceberg-style partitioned layout end-to-end (r7): executors
+        write the token table partitioned by source (one file per
+        col=value/ directory per task; partition columns STAY in the
+        data so every file is self-describing, per the public Iceberg
+        spec's identity-partition semantics), then read_parquet_dataset
+        prunes whole files on the partition predicate BEFORE any footer
+        I/O (layer 0 of the pushdown stack) and residual-filters the
+        value term exactly. At 10^12 sequences this is the layout
+        decision that turns a full-directory plan into a per-source
+        plan; proven against DuckDB running the same WHERE clause."""
+        import shutil
+        import tempfile
+
+        from parquet_cpp_spark.sources.parquet_sink import \
+            emit_parquet_dataset
+        from parquet_cpp_spark.sources.record_assembly import \
+            read_parquet_dataset
+        src = tokens_src.tokens_from_documents(spark, sf, _parts(sf))
+        df = (src.select("doc_id", "tokens", "n_tok", "source")
+              .repartition(4, "source")
+              .sortWithinPartitions("source", "doc_id"))
+        out = os.path.join(tempfile.gettempdir(),
+                           f"pcs_{os.getuid()}_partitioned")
+        shutil.rmtree(out, ignore_errors=True)
+        emit_parquet_dataset(df, out, encodings="auto",
+                             partition_by=["source"]).collect()
+        return _digest(read_parquet_dataset(
+            spark, out, predicate=[("source", "in", ["src3", "src7"]),
+                                   ("n_tok", ">=", 50)]))
+    q["pq_partitioned_scan"] = pq_partitioned_scan
+
     def rt_selective(spark: SparkSession, sf: str) -> DataFrame:
         """Predicate pushdown on the CHUNK format (r7): the token table is
         encoded with part_id banded on n_tok (the range-clustered layout a
@@ -1702,6 +1734,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # are driven end-to-end through three independent readers by the
         # in-window pq_writer_nested (null list slots + null elements).
         "rt_nullable",
+        # r7 (late): rt_rle rotates out to make window room for
+        # pq_partitioned_scan. The RLE/bit-packed hybrid core stays
+        # exercised by EVERY in-window query (all rep/def level streams)
+        # and by rt_dict's indices, and stays golden-pinned by
+        # tests/test_rle.py + test_chunk.py round-trips.
+        "rt_rle",
     ]
     ordered = {k: v for k, v in q.items() if k not in rotated_past_cap}
     for k in rotated_past_cap:
@@ -2057,6 +2095,12 @@ def oracle_sql() -> dict[str, str]:
         "pq_scan_pushdown": f"""
             SELECT * FROM ({identity}) t
             WHERE n_tok >= 20 AND n_tok < 90 AND source = 'src7'
+        """,
+        # partitioned layout: DuckDB applies the same WHERE the engine
+        # scan answered via partition-segment pruning + residual filter
+        "pq_partitioned_scan": f"""
+            SELECT * FROM ({identity}) t
+            WHERE source IN ('src3', 'src7') AND n_tok >= 50
         """,
         # chunk-format selective decode: same WHERE semantics in DuckDB
         "rt_selective": f"""

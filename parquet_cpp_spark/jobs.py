@@ -220,18 +220,24 @@ def cmd_scan(args) -> None:
 
     pred = _parse_where(args.where) if args.where else None
     cols = args.columns.split(",") if args.columns else None
+    part_by = args.partition_by.split(",") if args.partition_by else None
     plan: dict = {}
     df = read_parquet_dataset(spark, args.dir, columns=cols,
                               predicate=pred,
                               plan_out=plan if pred else None)
-    manifest = emit_parquet_dataset(df, args.out,
-                                    encodings="auto").collect()
+    if part_by:
+        # co-locate each partition value's rows so the layout gets one
+        # file per (value, task) instead of values x tasks fan-out
+        df = df.repartition(*part_by)
+    manifest = emit_parquet_dataset(df, args.out, encodings="auto",
+                                    partition_by=part_by).collect()
     rows = sum(r.n_rows for r in manifest)
     out = {"files": len(manifest), "rows": int(rows), "out": args.out}
     if pred:
         out["predicate"] = [list(p) for p in pred]
         out["rg_kept"] = plan.get("rg_kept")
         out["rg_total"] = plan.get("rg_total")
+        out["files_partition_pruned"] = plan.get("files_partition_pruned")
     if args.snapshot:
         from .sources import snapshots as snapmod
         out["snapshot_version"] = snapmod.commit_snapshot(
@@ -367,6 +373,10 @@ def main(argv=None) -> None:
                      help="predicate conjunct 'col OP value' (repeatable)")
     scn.add_argument("--columns", default=None,
                      help="comma-separated projection")
+    scn.add_argument("--partition-by", default=None,
+                     help="comma-separated columns: write the output as "
+                          "an Iceberg-style col=value/ partitioned layout "
+                          "(engine scans prune on it before footer I/O)")
     scn.add_argument("--snapshot", action="store_true",
                      help="commit the output manifest as a new snapshot "
                           "version of the output dataset")

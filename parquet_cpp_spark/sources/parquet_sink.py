@@ -517,6 +517,66 @@ def _encodings_tag(specs, delta_cols, ba_delta=None) -> str:
     return ",".join(parts)
 
 
+def hive_segment(col: str, value) -> str:
+    """One ``col=value`` path segment for a partition directory. Values
+    are percent-encoded (``urllib.parse.quote`` with no safe chars) so
+    separators, spaces, '=' and unicode survive the path round-trip —
+    the same escaping Hive/Spark apply to partition directory names.
+    Partition values must be non-null str/int/bool — the layout contract
+    is that the SEGMENT states the column's value for every row in the
+    file, which a lossy str() of floats or binary would break."""
+    from urllib.parse import quote
+    if value is None or isinstance(value, float) \
+            or not isinstance(value, (str, int, bool)):
+        raise ValueError(
+            f"partition column {col!r}: value {value!r} out of scope "
+            "(non-null str/int/bool only — floats and binary don't "
+            "round-trip through a path segment)")
+    return f"{col}={quote(str(value), safe='')}"
+
+
+def partition_values(root: str, path: str) -> dict:
+    """Parse ``col=value`` directory segments out of a data-file path
+    relative to the dataset root — the read-side inverse of
+    ``hive_segment`` (values percent-decoded, returned as strings)."""
+    from urllib.parse import unquote
+    vals: dict = {}
+    rel = os.path.relpath(path, root)
+    for seg in rel.split(os.sep)[:-1]:
+        if "=" in seg:
+            k, v = seg.split("=", 1)
+            vals[k] = unquote(v)
+    return vals
+
+
+def _partition_groups(tbl, partition_by):
+    """Split one Arrow table by its distinct partition-column combos:
+    yields (subdir-relative-path, sub-table). Vectorized: one group_by
+    for the distinct combos (bounded by the partition cardinality a task
+    sees — the caller repartitions by the partition columns so this is
+    normally 1), then one filter per combo. Null partition values fail
+    loudly — a null can't state itself in a path segment."""
+    import pyarrow.compute as pc
+
+    for c in partition_by:
+        if c not in tbl.column_names:
+            raise ValueError(f"partition column {c!r} not in "
+                             f"{tbl.column_names}")
+        if tbl.column(c).null_count:
+            raise ValueError(f"partition column {c!r} has null values")
+    combos = tbl.select(list(partition_by)) \
+        .group_by(list(partition_by)).aggregate([])
+    for i in range(combos.num_rows):
+        vals = [combos.column(c)[i].as_py() for c in partition_by]
+        mask = None
+        for c, v in zip(partition_by, vals):
+            m = pc.equal(tbl.column(c), v)
+            mask = m if mask is None else pc.and_(mask, m)
+        subdir = os.path.join(*[hive_segment(c, v)
+                                for c, v in zip(partition_by, vals)])
+        yield subdir, tbl.filter(mask)
+
+
 def _attempt_tag() -> str:
     """Unique-per-task-attempt suffix for temp names: two attempts of the
     same task (speculation, zombie executors on shared storage) must NEVER
@@ -670,7 +730,8 @@ def emit_parquet_dataset(df, out_dir: str,
                          encodings: str = "default",
                          data_page_version: int = 1,
                          bloom_filter_columns: "frozenset | set"
-                         = frozenset()):
+                         = frozenset(),
+                         partition_by: "list | tuple | None" = None):
     """DataFrame-in variant of ``write_parquet_dataset``: each task writes
     its partition's rows as ONE engine-format parquet file named by its
     CONTENT hash (``{prefix}part-{sha16}.parquet``) — a retried task that
@@ -681,10 +742,24 @@ def emit_parquet_dataset(df, out_dir: str,
     nondeterministic; the streaming sink does both) — or a retried task
     can emit the same rows in a different order under a different name,
     duplicating data. Returns the manifest DataFrame (lazy: files are
-    written when the manifest is consumed)."""
+    written when the manifest is consumed).
+
+    ``partition_by``: ICEBERG-style partitioned layout — each task splits
+    its rows by the distinct values of these columns and writes one file
+    per combo under ``col=value/`` directories (values percent-encoded;
+    non-null str/int/bool only). Unlike Hive, the partition columns STAY
+    in the data files, so every file remains self-describing and any
+    plain parquet reader sees the full schema; the directory segments
+    are a pruning index, not the storage of record —
+    ``record_assembly.read_parquet_dataset`` drops whole files on
+    partition predicates before any footer I/O. At scale, repartition by
+    the partition columns first (``df.repartition(*partition_by)``) or
+    each task fans out one file per combo it happens to hold
+    (tasks x values small files)."""
     from ..shipping import ensure_shipped
     ensure_shipped(df.sparkSession)
     os.makedirs(out_dir, exist_ok=True)
+    part_cols = list(partition_by) if partition_by else None
 
     def task(batches):
         import pyarrow as pa
@@ -695,15 +770,23 @@ def emit_parquet_dataset(df, out_dir: str,
             return
         tbl = pa.Table.from_batches(batch_list)
         pid = TaskContext.get().partitionId()
-        tmp = os.path.join(
-            out_dir, f".emit-{name_prefix}{pid}-{_attempt_tag()}.inprogress")
-        dest = os.path.join(out_dir,
-                            name_prefix + "part-{sha}.parquet")
-        row = _write_one_file(tbl, tmp, dest, row_group_rows, page_rows,
-                              compression, delta_columns, encodings,
-                              data_page_version,
-                              frozenset(bloom_filter_columns))
-        yield _manifest_batch(row)
+        groups = [("", tbl)] if part_cols is None \
+            else _partition_groups(tbl, part_cols)
+        for gi, (subdir, sub) in enumerate(groups):
+            d = os.path.join(out_dir, subdir) if subdir else out_dir
+            if subdir:
+                os.makedirs(d, exist_ok=True)
+            # temp lives in the FINAL directory: os.replace must never
+            # cross a filesystem boundary
+            tmp = os.path.join(
+                d, f".emit-{name_prefix}{pid}-{gi}-"
+                   f"{_attempt_tag()}.inprogress")
+            dest = os.path.join(d, name_prefix + "part-{sha}.parquet")
+            row = _write_one_file(sub, tmp, dest, row_group_rows,
+                                  page_rows, compression, delta_columns,
+                                  encodings, data_page_version,
+                                  frozenset(bloom_filter_columns))
+            yield _manifest_batch(row)
 
     return df.mapInArrow(task, MANIFEST_SCHEMA)
 

@@ -802,6 +802,51 @@ def _rg_prunes(path: str, rg: int, eq_terms,
         m.close()
 
 
+def _partition_may_match(vals: dict, conjuncts) -> bool:
+    """False only when a file's ``col=value`` path segments PROVE no row
+    can satisfy the conjunction — the plan-time partition pruning layer
+    that drops whole files before any footer I/O. The layout contract
+    (``parquet_sink.hive_segment``) is that a segment states its column's
+    value for EVERY row of the file, so equality against the segment is
+    decisive. Segment values are strings: string predicates compare
+    directly (lexicographic ranges are exact string semantics); numeric
+    predicates compare after parsing the segment as a number, and an
+    unparsable segment conservatively keeps the file. Null-test
+    predicates never prune here (a foreign directory could break the
+    no-null-partition-values convention; the stats layer below proves
+    those instead)."""
+    for col, op, v in conjuncts:
+        pv = vals.get(col)
+        if pv is None or op in ("is_null", "not_null"):
+            continue
+        cands = v if op == "in" else (v,)
+        typed = []
+        for c in cands:
+            if isinstance(c, bytes):
+                typed.append((pv, c.decode()))
+            elif isinstance(c, str):
+                typed.append((pv, c))
+            else:
+                try:  # numeric predicate vs string segment: parse
+                    typed.append((int(pv) if isinstance(c, int)
+                                  and not isinstance(c, bool)
+                                  else float(pv), c))
+                except ValueError:
+                    typed.append(None)   # unparsable: not decisive
+        if any(t is None for t in typed):
+            continue
+        if op in ("==", "in"):
+            if not any(pvt == c for pvt, c in typed):
+                return False
+        elif ((op == "!=" and typed[0][0] == typed[0][1])
+                or (op == "<" and not typed[0][0] < typed[0][1])
+                or (op == "<=" and not typed[0][0] <= typed[0][1])
+                or (op == ">" and not typed[0][0] > typed[0][1])
+                or (op == ">=" and not typed[0][0] >= typed[0][1])):
+            return False
+    return True
+
+
 def _plan_file(f: str, conjuncts):
     """Footer-only plan for ONE file: (path, n_rg, kept rg indices,
     schema signature). Runs on the driver for small directories and
@@ -843,11 +888,14 @@ def read_parquet_dataset(spark, src: str, columns=None, predicate=None,
     ``predicate`` pushes a conjunction of ``(column, op, value)`` terms
     (ops ``== != < <= > >= in is_null not_null``; columns are flat or
     dotted struct-field paths; ``in`` takes a non-empty collection, the
-    null tests take value None) INTO the scan, three layers deep:
-    (1) plan-time row-group pruning on footer chunk Statistics — pruned
-    groups never become tasks; (2) task-time bloom-filter skip for
-    ``==``/``in`` terms on bloom-carrying chunks — the split is dropped
-    before any data page I/O; (3) an exact vectorized
+    null tests take value None) INTO the scan, four layers deep:
+    (0) plan-time PARTITION pruning — ``col=value`` path segments
+    (``parquet_sink.emit_parquet_dataset(partition_by=...)`` layouts)
+    drop whole files before any footer I/O, driver-side string work
+    only; (1) plan-time row-group pruning on footer chunk Statistics —
+    pruned groups never become tasks; (2) task-time bloom-filter skip
+    for ``==``/``in`` terms on bloom-carrying chunks — the split is
+    dropped before any data page I/O; (3) an exact vectorized
     residual filter on the assembled Arrow batches (null-rejecting, SQL
     semantics), so the result is precise regardless of how coarse the
     stats are. ``plan_out`` (a dict, optional) receives the audit
@@ -887,8 +935,11 @@ def read_parquet_dataset(spark, src: str, columns=None, predicate=None,
         files = sorted(snapshot_paths(
             src, None if snapshot_version is None else snapshot_version))
     else:
+        # recursive: partitioned layouts (col=value/ subdirectories,
+        # parquet_sink partition_by) list their leaf files too
         files = sorted(
-            f for f in _glob.glob(_os.path.join(src, "*.parquet"))
+            f for f in _glob.glob(_os.path.join(src, "**", "*.parquet"),
+                                  recursive=True)
             if not _os.path.basename(f).startswith("."))
     if not files:
         raise ValueError(f"no parquet files under {src!r}")
@@ -898,6 +949,7 @@ def read_parquet_dataset(spark, src: str, columns=None, predicate=None,
 
     conjuncts = None
     read_cols = list(columns) if columns is not None else None
+    files_listed = len(files)
     if predicate:
         fm0 = footer_meta(files[0])
         leaves_by_name = {lf.name: lf for lf in fm0.leaves}
@@ -907,6 +959,13 @@ def read_parquet_dataset(spark, src: str, columns=None, predicate=None,
             read_cols += [root for root in
                           (c.split(".", 1)[0] for c, _o, _v in conjuncts)
                           if root not in read_cols]
+        # partition pruning: col=value path segments decide whole files
+        # BEFORE any footer is parsed — the cheapest layer, O(files)
+        # string work on the driver, no I/O at all
+        from .parquet_sink import partition_values
+        files = [f for f in files
+                 if _partition_may_match(partition_values(src, f),
+                                         conjuncts)]
 
     # footer planning: below the threshold the driver reads footers
     # itself; above it (100-TB directories are 10^4-10^6 files) the
@@ -916,6 +975,13 @@ def read_parquet_dataset(spark, src: str, columns=None, predicate=None,
     # the cluster while the driver collects O(files) metadata rows
     if distributed_plan is None:
         distributed_plan = len(files) > 64
+    if not files:       # every file partition-pruned: empty, right schema
+        if plan_out is not None:
+            plan_out.update(rg_total=0, rg_kept=0,
+                            files_total=files_listed, files_kept=0,
+                            files_partition_pruned=files_listed,
+                            plan_mode="partition_pruned")
+        return spark.createDataFrame([], sschema)
     if distributed_plan:
         sc = spark.sparkContext
         n_slices = min(len(files), max(1, sc.defaultParallelism * 2))
@@ -943,8 +1009,9 @@ def read_parquet_dataset(spark, src: str, columns=None, predicate=None,
     rg_kept = len(splits)
     if plan_out is not None:
         plan_out.update(rg_total=rg_total, rg_kept=rg_kept,
-                        files_total=len(files),
+                        files_total=files_listed,
                         files_kept=len(kept_files),
+                        files_partition_pruned=files_listed - len(files),
                         plan_mode=("distributed" if distributed_plan
                                    else "driver"))
     cols = list(columns) if columns is not None else None
