@@ -39,7 +39,8 @@ from __future__ import annotations
 import os
 
 MANIFEST_SCHEMA = ("file string, n_rows bigint, n_values bigint, "
-                   "bytes bigint, checksum string, encodings string")
+                   "bytes bigint, checksum string, encodings string, "
+                   "stats string")
 
 _FLAT_PHYS = {"int32": "int32", "int64": "int64", "float": "float",
               "double": "double", "bool": "boolean"}
@@ -599,9 +600,74 @@ def _manifest_batch(row):
          pa.array([row[2]], pa.int64()),
          pa.array([row[3]], pa.int64()),
          pa.array([row[4]], pa.string()),
-         pa.array([row[5]], pa.string())],
+         pa.array([row[5]], pa.string()),
+         pa.array([row[6] if len(row) > 6 else None], pa.string())],
         names=["file", "n_rows", "n_values", "bytes", "checksum",
-               "encodings"])
+               "encodings", "stats"])
+
+
+def file_stats_json(meta) -> "str | None":
+    """File-level per-column stats for the manifest/snapshot — the
+    engine's analog of an Iceberg manifest entry's column bounds. For
+    every FLAT leaf (max_rep 0) whose chunk Statistics are complete
+    across all row groups: ``{col: {"min": v, "max": v, "nulls": n,
+    "n": num_values}}`` with values JSON-typed (ints/floats/bools as-is,
+    byte_array bounds as utf-8 text — UTF-8 byte order equals code-point
+    order, so string comparison downstream matches the writer's
+    lexicographic byte order). Columns with missing/NaN/FLBA/INT96 or
+    non-utf8 bounds are omitted (pruning then falls through to the
+    footer layer); all-null columns keep their null counts without
+    bounds. Returns None when nothing is representable."""
+    import json
+    import math
+
+    from . import parquet_format as pf
+
+    cols = {}
+    for lf in meta.leaves:
+        if lf.max_rep:
+            continue
+        mn = mx = None
+        nulls = nvals = 0
+        ok = True
+        for rg in meta.row_groups:
+            chunk = next((c for c in rg if c.path == lf.name), None)
+            if chunk is None or chunk.stats is None \
+                    or chunk.stats[2] is None:
+                ok = False
+                break
+            cmn, cmx, cn = chunk.stats
+            nvals += chunk.num_values
+            nulls += cn
+            if chunk.num_values == cn:
+                continue                       # all-null chunk: no bounds
+            tmn, tmx = pf.stat_typed(cmn, lf), pf.stat_typed(cmx, lf)
+            if tmn is None or tmx is None or tmn != tmn or tmx != tmx:
+                ok = False
+                break
+            mn = tmn if mn is None else min(mn, tmn)
+            mx = tmx if mx is None else max(mx, tmx)
+        if not ok:
+            continue
+        ent: dict = {"nulls": int(nulls), "n": int(nvals)}
+        if mn is not None:
+            if isinstance(mn, bytes):
+                try:
+                    mn, mx = mn.decode(), mx.decode()
+                except UnicodeDecodeError:
+                    continue                   # binary bounds: omit
+            elif isinstance(mn, bool):
+                pass
+            elif isinstance(mx, float) or hasattr(mn, "dtype") \
+                    and mn.dtype.kind == "f":
+                mn, mx = float(mn), float(mx)
+                if not (math.isfinite(mn) and math.isfinite(mx)):
+                    continue
+            else:
+                mn, mx = int(mn), int(mx)
+            ent["min"], ent["max"] = mn, mx
+        cols[lf.name] = ent
+    return json.dumps(cols, separators=(",", ":")) if cols else None
 
 
 def _write_one_file(tbl, tmp: str, dest: str, row_group_rows, page_rows,
@@ -673,12 +739,16 @@ def _write_one_file(tbl, tmp: str, dest: str, row_group_rows, page_rows,
     with open(tmp, "rb") as fh:
         data = fh.read()
     sha = hashlib.sha256(data).hexdigest()
+    # file-level column bounds for the manifest/snapshot (Iceberg-style
+    # manifest pruning): one footer parse of the bytes already in hand
+    from . import parquet_format as pf
+    stats = file_stats_json(pf.read_footer(memoryview(data)))
     # literal-sentinel substitution, NOT str.format: an out_dir containing
     # '{'/'}' must pass through untouched (str.format on the whole path
     # raised KeyError / mangled destinations with no placeholder at all)
     dest = dest.replace("{sha}", sha[:16])
     os.replace(tmp, dest)  # atomic; retries overwrite
-    return (dest, tbl.num_rows, n_values, len(data), sha, enc_tag)
+    return (dest, tbl.num_rows, n_values, len(data), sha, enc_tag, stats)
 
 
 def _params_tag(row_group_rows, page_rows, compression, delta_columns,
@@ -716,7 +786,8 @@ def _manifest_from_existing(dest: str, expected_params: "str | None" = None):
                 kv.get("pcs.params") != expected_params:
             return None   # written with different knobs: re-encode
         return (dest, meta.num_rows, int(kv["pcs.n_values"]), len(data),
-                hashlib.sha256(data).hexdigest(), kv["pcs.encodings"])
+                hashlib.sha256(data).hexdigest(), kv["pcs.encodings"],
+                file_stats_json(meta))
     except Exception:
         return None
 

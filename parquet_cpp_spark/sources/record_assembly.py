@@ -718,14 +718,66 @@ def _rg_may_match(chunks_by_path, leaves_by_name, conjuncts) -> bool:
         mx = fmt.stat_typed(mx_b, leaves_by_name[col])  # comparison
         if mn is None or mx is None or mn != mn or mx != mx:
             continue     # absent or NaN-poisoned bounds: keep the group
-        if ((op == "==" and (v < mn or v > mx))
-                or (op == "in" and all(x < mn or x > mx for x in v))
-                or (op == "!=" and mn == mx == v)
-                or (op == "<" and not mn < v)
-                or (op == "<=" and not mn <= v)
-                or (op == ">" and not mx > v)
-                or (op == ">=" and not mx >= v)):
+        if _bounds_disprove(op, v, mn, mx):
             return False
+    return True
+
+
+def _bounds_disprove(op, v, mn, mx) -> bool:
+    """True when [mn, mx] bounds PROVE a comparison can match no value —
+    the one decision table shared by chunk-Statistics row-group pruning
+    and snapshot-entry file pruning."""
+    return ((op == "==" and (v < mn or v > mx))
+            or (op == "in" and all(x < mn or x > mx for x in v))
+            or (op == "!=" and mn == mx == v)
+            or (op == "<" and not mn < v)
+            or (op == "<=" and not mn <= v)
+            or (op == ">" and not mx > v)
+            or (op == ">=" and not mx >= v))
+
+
+def _snapshot_stats_may_match(st: "dict | None", conjuncts) -> bool:
+    """False only when a snapshot entry's column bounds
+    (``parquet_sink.file_stats_json``) PROVE no row of the file can
+    satisfy the conjunction — Iceberg-manifest-style pruning from the
+    committed listing alone, zero file I/O. byte_array bounds live as
+    utf-8 text in the snapshot; predicate values were normalized to
+    bytes, so they decode back for comparison (UTF-8 byte order equals
+    code-point order). Type-incomparable or absent entries keep the
+    file — the footer-stats layer below re-proves with full fidelity."""
+    if not st:
+        return True
+    for col, op, v in conjuncts:
+        ent = st.get(col)
+        if not isinstance(ent, dict):
+            continue
+        nulls, n = ent.get("nulls"), ent.get("n")
+        if op == "is_null":
+            if nulls == 0:
+                return False
+            continue
+        if op == "not_null":
+            if nulls is not None and nulls == n:
+                return False
+            continue
+        if nulls is not None and nulls == n:
+            return False        # all-null (or empty) file vs a
+        mn, mx = ent.get("min"), ent.get("max")   # null-rejecting op
+        if mn is None or mx is None:
+            continue
+        vv = v
+        if isinstance(mn, str):
+            try:
+                vv = tuple(x.decode() if isinstance(x, bytes) else x
+                           for x in v) if op == "in" else \
+                    (v.decode() if isinstance(v, bytes) else v)
+            except UnicodeDecodeError:
+                continue        # non-utf8 key can't be proven absent here
+        try:
+            if _bounds_disprove(op, vv, mn, mx):
+                return False
+        except TypeError:
+            continue            # incomparable types: not decisive
     return True
 
 
@@ -888,11 +940,15 @@ def read_parquet_dataset(spark, src: str, columns=None, predicate=None,
     ``predicate`` pushes a conjunction of ``(column, op, value)`` terms
     (ops ``== != < <= > >= in is_null not_null``; columns are flat or
     dotted struct-field paths; ``in`` takes a non-empty collection, the
-    null tests take value None) INTO the scan, four layers deep:
+    null tests take value None) INTO the scan, five layers deep:
     (0) plan-time PARTITION pruning — ``col=value`` path segments
     (``parquet_sink.emit_parquet_dataset(partition_by=...)`` layouts)
     drop whole files before any footer I/O, driver-side string work
-    only; (1) plan-time row-group pruning on footer chunk Statistics —
+    only; (0b) plan-time SNAPSHOT-STATS pruning — when planning from a
+    ``_snapshots/`` log, the column bounds committed with each entry
+    (``parquet_sink.file_stats_json``, Iceberg-manifest-style) drop
+    files from the listing alone; (1) plan-time row-group pruning on
+    footer chunk Statistics —
     pruned groups never become tasks; (2) task-time bloom-filter skip
     for ``==``/``in`` terms on bloom-carrying chunks — the split is
     dropped before any data page I/O; (3) an exact vectorized
@@ -924,6 +980,7 @@ def read_parquet_dataset(spark, src: str, columns=None, predicate=None,
         snapshot_version not in (None, 0)
         or (snapshot_version is None
             and _os.path.isdir(_os.path.join(src, "_snapshots"))))
+    stats_by_path: dict = {}
     if use_snapshot:
         # snapshot-aware planning: the version's listing IS the file
         # set — read isolation from in-flight writers, time travel, and
@@ -931,9 +988,16 @@ def read_parquet_dataset(spark, src: str, columns=None, predicate=None,
         # a _snapshots/ log present reads the CURRENT version (the
         # directory may legitimately hold uncommitted or pre-compaction
         # files); pass snapshot_version=0 to force the raw directory.
-        from .snapshots import snapshot_paths
-        files = sorted(snapshot_paths(
-            src, None if snapshot_version is None else snapshot_version))
+        from .snapshots import load_snapshot
+        snap = load_snapshot(
+            src, None if snapshot_version is None else snapshot_version)
+        files = sorted(_os.path.join(src, e["path"])
+                       for e in snap["files"])
+        # Iceberg-manifest-style bounds: committed with each entry by
+        # the sink, they let predicates drop files from the LISTING
+        # alone — before partition parsing, before any footer I/O
+        stats_by_path = {_os.path.join(src, e["path"]): e["stats"]
+                         for e in snap["files"] if e.get("stats")}
     else:
         # recursive: partitioned layouts (col=value/ subdirectories,
         # parquet_sink partition_by) list their leaf files too
@@ -966,6 +1030,16 @@ def read_parquet_dataset(spark, src: str, columns=None, predicate=None,
         files = [f for f in files
                  if _partition_may_match(partition_values(src, f),
                                          conjuncts)]
+        # snapshot-stats pruning: committed column bounds decide files
+        # from the listing alone (Iceberg manifest pruning) — still no
+        # footer I/O for the dropped files
+        pre_stats = len(files)
+        if stats_by_path:
+            files = [f for f in files if _snapshot_stats_may_match(
+                stats_by_path.get(f), conjuncts)]
+        files_snapshot_pruned = pre_stats - len(files)
+    else:
+        files_snapshot_pruned = 0
 
     # footer planning: below the threshold the driver reads footers
     # itself; above it (100-TB directories are 10^4-10^6 files) the
@@ -975,12 +1049,15 @@ def read_parquet_dataset(spark, src: str, columns=None, predicate=None,
     # the cluster while the driver collects O(files) metadata rows
     if distributed_plan is None:
         distributed_plan = len(files) > 64
-    if not files:       # every file partition-pruned: empty, right schema
+    if not files:       # every file plan-pruned: empty df, right schema
         if plan_out is not None:
-            plan_out.update(rg_total=0, rg_kept=0,
-                            files_total=files_listed, files_kept=0,
-                            files_partition_pruned=files_listed,
-                            plan_mode="partition_pruned")
+            plan_out.update(
+                rg_total=0, rg_kept=0,
+                files_total=files_listed, files_kept=0,
+                files_partition_pruned=(files_listed
+                                        - files_snapshot_pruned),
+                files_snapshot_pruned=files_snapshot_pruned,
+                plan_mode="plan_pruned")
         return spark.createDataFrame([], sschema)
     if distributed_plan:
         sc = spark.sparkContext
@@ -1011,7 +1088,9 @@ def read_parquet_dataset(spark, src: str, columns=None, predicate=None,
         plan_out.update(rg_total=rg_total, rg_kept=rg_kept,
                         files_total=files_listed,
                         files_kept=len(kept_files),
-                        files_partition_pruned=files_listed - len(files),
+                        files_partition_pruned=(files_listed - len(files)
+                                                - files_snapshot_pruned),
+                        files_snapshot_pruned=files_snapshot_pruned,
                         plan_mode=("distributed" if distributed_plan
                                    else "driver"))
     cols = list(columns) if columns is not None else None

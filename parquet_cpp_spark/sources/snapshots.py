@@ -85,16 +85,24 @@ def _entry(out_dir: str, row) -> dict:
         file, n_rows, n_values = row["file"], row["n_rows"], row["n_values"]
         nbytes, sha = row["bytes"], row["checksum"]
         enc = row.get("encodings")
+        stats = row.get("stats")
     else:
         file, n_rows, n_values, nbytes, sha = row[0], row[1], row[2], \
             row[3], row[4]
         enc = row[5] if len(row) > 5 else None
+        stats = row[6] if len(row) > 6 else None
     rel = os.path.relpath(file, out_dir)
     if rel.startswith(".."):
         raise ValueError(f"manifest file {file!r} is outside the dataset "
                          f"root {out_dir!r}")
-    return {"path": rel, "rows": int(n_rows), "values": int(n_values),
-            "bytes": int(nbytes), "sha256": sha, "encodings": enc}
+    entry = {"path": rel, "rows": int(n_rows), "values": int(n_values),
+             "bytes": int(nbytes), "sha256": sha, "encodings": enc}
+    if stats:
+        # Iceberg-manifest-style column bounds: parsed into the snapshot
+        # document so planners prune files from the listing alone
+        entry["stats"] = json.loads(stats) if isinstance(stats, str) \
+            else stats
+    return entry
 
 
 def commit_snapshot(out_dir: str, manifest_rows,

@@ -102,7 +102,7 @@ def test_engine_scan_all_pruned_keeps_schema(spark, dataset):
                                plan_out=plan)
     assert res.count() == 0
     assert res.schema == read_parquet_dataset(spark, out).schema
-    assert plan["rg_total"] == 0 and plan["plan_mode"] == "partition_pruned"
+    assert plan["rg_total"] == 0 and plan["plan_mode"] == "plan_pruned"
 
 
 def test_value_predicate_composes_with_partition_layer(spark, dataset):
