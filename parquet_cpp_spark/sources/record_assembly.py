@@ -899,6 +899,19 @@ def _partition_may_match(vals: dict, conjuncts) -> bool:
     return True
 
 
+def _probe_schema(files, columns):
+    """Arrow schema for a possibly-evolving dataset when no plan exists
+    (the everything-pruned early return): the first file carrying every
+    requested column wins, probing a bounded prefix."""
+    err = None
+    for f in files[:64]:
+        try:
+            return file_schema(f, columns=columns)
+        except ValueError as e:
+            err = e
+    raise err if err is not None else ValueError("no files to probe")
+
+
 def _plan_file(f: str, conjuncts):
     """Footer-only plan for ONE file: (path, n_rg, kept rg indices,
     schema signature). Runs on the driver for small directories and
@@ -965,6 +978,16 @@ def read_parquet_dataset(spark, src: str, columns=None, predicate=None,
     directory costs no driver I/O (the analog of Spark's own
     distributed parquet footer reading in ParquetFileFormat).
 
+    ADD-COLUMN SCHEMA EVOLUTION (Iceberg add-column semantics by
+    column name): files written before a column existed read back with
+    nulls there — the plan unions top-level columns across files
+    (first-appearance order), marks evolved columns nullable, and each
+    task null-fills what its file predates. A null-rejecting predicate
+    on a column a file lacks proves that file empty at plan time (it
+    never becomes a task); ``is_null`` matches all its rows. Same-named
+    columns whose leaf shapes differ (type evolution) still fail loudly
+    at plan time, naming both files.
+
     ``snapshot_version``: when the dataset carries a ``_snapshots/``
     log (``sources/snapshots.py``), the scan plans from the committed
     listing instead of a directory glob — ``None`` reads the CURRENT
@@ -1007,16 +1030,23 @@ def read_parquet_dataset(spark, src: str, columns=None, predicate=None,
             if not _os.path.basename(f).startswith("."))
     if not files:
         raise ValueError(f"no parquet files under {src!r}")
-    aschema = file_schema(files[0], columns=columns)
     from pyspark.sql.pandas.types import from_arrow_schema
-    sschema = from_arrow_schema(aschema)
 
     conjuncts = None
     read_cols = list(columns) if columns is not None else None
     files_listed = len(files)
+    all_files = files          # pre-pruning listing (rebound, not mutated)
     if predicate:
-        fm0 = footer_meta(files[0])
-        leaves_by_name = {lf.name: lf for lf in fm0.leaves}
+        # schema evolution means files[0] may predate a predicate column:
+        # probe footers (bounded) until every referenced column resolves
+        leaves_by_name = {}
+        want = {t[0] for t in predicate if isinstance(t, (tuple, list))
+                and len(t) == 3}
+        for f in files[:64]:
+            for lf in footer_meta(f).leaves:
+                leaves_by_name.setdefault(lf.name, lf)
+            if want <= set(leaves_by_name):
+                break
         conjuncts = _normalize_predicate(predicate, leaves_by_name)
         if read_cols is not None:
             # a dotted predicate path needs its TOP-LEVEL column read
@@ -1058,7 +1088,8 @@ def read_parquet_dataset(spark, src: str, columns=None, predicate=None,
                                         - files_snapshot_pruned),
                 files_snapshot_pruned=files_snapshot_pruned,
                 plan_mode="plan_pruned")
-        return spark.createDataFrame([], sschema)
+        return spark.createDataFrame(
+            [], from_arrow_schema(_probe_schema(all_files, columns)))
     if distributed_plan:
         sc = spark.sparkContext
         n_slices = min(len(files), max(1, sc.defaultParallelism * 2))
@@ -1068,20 +1099,78 @@ def read_parquet_dataset(spark, src: str, columns=None, predicate=None,
     else:
         plans = [_plan_file(f, conjuncts) for f in files]
 
-    splits = []
-    ref_leaves = None
+    # per-COLUMN schema union (add-column evolution): a column's leaf
+    # signature must be identical across every file that HAS it (type
+    # evolution is out of scope and fails loudly, at plan time), but a
+    # file may simply LACK columns that later files added — its rows
+    # read back with nulls there, Iceberg add-column semantics
     rg_total = 0
-    kept_files: set = set()
+    col_sigs: dict = {}      # top-level column -> leaf signature tuple
+    col_order: list = []     # first-appearance order across sorted files
+    col_rep: dict = {}       # column -> a file that carries it
+    file_cols: dict = {}     # file -> frozenset of its top-level columns
+    file_kept: dict = {}
     for f, n_rg, kept, leaves in plans:
-        if ref_leaves is None:
-            ref_leaves = leaves
-        elif leaves != ref_leaves:   # heterogeneous dir: fail at plan
-            raise ValueError(         # time, not inside an executor
-                f"schema mismatch in {src!r}: {plans[0][0]!r} has "
-                f"{ref_leaves}, {f!r} has {leaves}")
+        by_root: dict = {}
+        for lf in leaves:
+            by_root.setdefault(lf[0].split(".")[0], []).append(lf)
+        for c, sig in by_root.items():
+            sig = tuple(sig)
+            if c not in col_sigs:
+                col_sigs[c] = sig
+                col_order.append(c)
+                col_rep[c] = f
+            elif col_sigs[c] != sig:  # incompatible same-name column:
+                raise ValueError(      # fail at plan, not in an executor
+                    f"schema mismatch in {src!r}: column {c!r} is "
+                    f"{col_sigs[c]} in {col_rep[c]!r} but {sig} in {f!r}")
+        file_cols[f] = frozenset(by_root)
+        if conjuncts is not None and any(
+                c.split(".")[0] not in by_root and o != "is_null"
+                for c, o, _v in conjuncts):
+            # a null-rejecting predicate on a column this file predates:
+            # every row there is null — the whole file is provably empty
+            kept = []
         rg_total += n_rg
+        file_kept[f] = (n_rg, kept)
+
+    if columns is not None:
+        absent = [c for c in columns if c not in col_sigs]
+        if absent:
+            raise ValueError(f"columns not in file: {absent} "
+                             f"(no file of {src!r} has them; "
+                             f"have {col_order})")
+    union_cols = list(columns) if columns is not None else col_order
+    evolved = any(fc != frozenset(col_order)
+                  for fc in file_cols.values())
+    if evolved:
+        import pyarrow as pa
+        fields = []
+        for c in union_cols:
+            fld = file_schema(col_rep[c], columns=[c]).field(0)
+            if any(c not in fc for fc in file_cols.values()):
+                fld = fld.with_nullable(True)   # some file lacks it
+            fields.append(fld)
+        aschema = pa.schema(fields)
+    else:
+        aschema = file_schema(plans[0][0], columns=columns)
+    sschema = from_arrow_schema(aschema)
+    union_types = {fld.name: fld.type for fld in aschema}
+    need = read_cols if read_cols is not None else union_cols
+    for c in need:
+        # predicate roots outside the projection still need a union type
+        # for the evolution null-fill in the task
+        if c not in union_types and c in col_rep:
+            union_types[c] = file_schema(
+                col_rep[c], columns=[c]).field(0).type
+
+    splits = []
+    kept_files: set = set()
+    for f, n_rg, _kept0, _leaves in plans:
+        n_rg, kept = file_kept[f]
+        miss = ",".join(c for c in need if c not in file_cols[f])
         for rg in kept:
-            splits.append((f, rg, n_rg))
+            splits.append((f, rg, n_rg, miss))
             kept_files.add(f)
     rg_kept = len(splits)
     if plan_out is not None:
@@ -1104,7 +1193,7 @@ def read_parquet_dataset(spark, src: str, columns=None, predicate=None,
     n_parts = min(len(splits), max(1, cores * 2))
     splits_df = spark.createDataFrame(
         spark.sparkContext.parallelize(splits, n_parts),
-        "path string, rg int, n_rg int")
+        "path string, rg int, n_rg int, miss string")
 
     def task(batches):
         import pyarrow as pa
@@ -1114,14 +1203,25 @@ def read_parquet_dataset(spark, src: str, columns=None, predicate=None,
             paths = batch.column("path").to_pylist()
             rgs = batch.column("rg").to_pylist()
             n_rgs = batch.column("n_rg").to_pylist()
-            for p, rg, n_rg in zip(paths, rgs, n_rgs):
+            misses = batch.column("miss").to_pylist()
+            for p, rg, n_rg, miss in zip(paths, rgs, n_rgs, misses):
                 if eq_terms and _rg_prunes(p, rg, eq_terms, meta_cache):
                     continue
+                missing = miss.split(",") if miss else []
+                cols_here = read_cols if not missing else (
+                    None if read_cols is None
+                    else [c for c in read_cols if c not in missing])
                 # single-rg file: whole-file buffered read (one syscall,
                 # no per-page mmap faults); multi-rg: mmap + rg ranges
                 tbl = assemble_file(
-                    p, columns=read_cols,
+                    p, columns=cols_here,
                     row_groups=[rg] if n_rg > 1 else None)
+                # add-column evolution: columns this file predates read
+                # back as nulls of the union type
+                for c in missing:
+                    tbl = tbl.append_column(
+                        pa.field(c, union_types[c], nullable=True),
+                        pa.nulls(tbl.num_rows, union_types[c]))
                 if conjuncts is not None:
                     mask = None
                     for c, o, v in conjuncts:
