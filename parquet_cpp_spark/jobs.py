@@ -273,11 +273,20 @@ def cmd_compact(args) -> None:
             if f.endswith(".parquet") and not f.startswith("."))
     n_files = max(1, round(total_bytes / (args.target_mb * (1 << 20))))
     key = df.columns[0]
-    out = (df.repartitionByRange(n_files, key)
-             .sortWithinPartitions(key))
+    part_by = args.partition_by.split(",") if args.partition_by else None
+    if part_by:
+        # preserve (or introduce) the partitioned layout: co-locate each
+        # partition value, keep row order deterministic for content-hash
+        # idempotency
+        out = (df.repartition(n_files, *part_by)
+                 .sortWithinPartitions(*part_by, key))
+    else:
+        out = (df.repartitionByRange(n_files, key)
+                 .sortWithinPartitions(key))
     man = emit_parquet_dataset(out, args.dir,
                                name_prefix="compact-",
-                               encodings="auto").collect()
+                               encodings="auto",
+                               partition_by=part_by).collect()
     doc = snapmod.commit_snapshot(args.dir, man, operation="overwrite")
     res = {"snapshot_version": doc["version"],
            "files": doc["total_files"], "rows": doc["total_rows"],
@@ -388,6 +397,10 @@ def main(argv=None) -> None:
     cmp.add_argument("--target-mb", type=int, default=128,
                      help="target output file size (MiB of current "
                           "encoded bytes per file)")
+    cmp.add_argument("--partition-by", default=None,
+                     help="comma-separated columns: keep (or introduce) "
+                          "an Iceberg-style col=value/ layout in the "
+                          "compacted files")
     cmp.add_argument("--vacuum", action="store_true",
                      help="after committing the compacted snapshot, "
                           "expire prior versions and delete their "

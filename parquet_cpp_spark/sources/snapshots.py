@@ -233,6 +233,19 @@ def vacuum(out_dir: str, keep_versions: int = 1) -> dict:
             if rel not in referenced:
                 os.unlink(os.path.join(out_dir, rel))
                 removed_files.append(rel)
+    # prune partition directories (col=value/) the deletions emptied —
+    # deepest first so nested layouts collapse; rmdir refuses non-empty
+    # dirs, which is exactly the conservative behavior wanted
+    part_dirs = []
+    for root, dirs, _files in os.walk(out_dir):
+        dirs[:] = [d for d in dirs if d != SNAP_DIR
+                   and not d.startswith(".")]
+        part_dirs += [os.path.join(root, d) for d in dirs if "=" in d]
+    for d in sorted(part_dirs, key=len, reverse=True):
+        try:
+            os.rmdir(d)
+        except OSError:
+            pass
     removed_versions = [v for v in versions if v not in keep]
     for v in removed_versions:
         os.unlink(os.path.join(_snap_dir(out_dir), _FMT.format(v)))

@@ -229,6 +229,46 @@ def test_jobs_scan_partition_by_cli(spark, dataset, tmp_path, capsys):
     assert res2["files_partition_pruned"] > 0
 
 
+def test_compact_preserves_partition_layout_and_vacuum_prunes_dirs(
+        spark, tmp_path, capsys):
+    """`jobs compact --partition-by` rewrites small files INTO the
+    col=value/ layout; `--vacuum` then deletes the pre-compaction files
+    and removes any partition directory that emptied."""
+    import json
+
+    from parquet_cpp_spark import jobs
+    from parquet_cpp_spark.sources import snapshots as snap
+    from parquet_cpp_spark.sources.parquet_sink import emit_parquet_dataset
+    from parquet_cpp_spark.sources.record_assembly import \
+        read_parquet_dataset
+
+    df = spark.range(0, 200).selectExpr(
+        "cast(id as string) doc_id", "array(cast(id as int)) tokens",
+        "cast(1 as int) n_tok",
+        "concat('s', cast(id % 3 as string)) source")
+    out = str(tmp_path / "ds")
+    # many small UNpartitioned files + a snapshot
+    man = emit_parquet_dataset(df.repartition(8, "doc_id")
+                               .sortWithinPartitions("doc_id"),
+                               out).collect()
+    snap.commit_snapshot(out, man)
+    jobs.main(["compact", "--dir", out, "--target-mb", "1",
+               "--partition-by", "source", "--vacuum"])
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["rows"] == 200 and res["vacuum"]["removed_files"]
+    # layout now partitioned; only partition dirs + _snapshots at root
+    top = sorted(d for d in os.listdir(out) if not d.startswith("_"))
+    assert top == ["source=s0", "source=s1", "source=s2"]
+    plan = {}
+    back = read_parquet_dataset(spark, out,
+                                predicate=[("source", "==", "s1")],
+                                plan_out=plan)
+    # snapshot planning consumed the committed listing; the partition
+    # predicate pruned the other sources' files from it
+    assert back.count() == df.filter("source='s1'").count()
+    assert plan["files_kept"] < plan["files_total"]
+
+
 def test_unparsable_numeric_segment_keeps_file(tmp_path):
     """Conservative rule: a numeric predicate against a segment that
     doesn't parse as a number is NOT decisive — the file survives to the
