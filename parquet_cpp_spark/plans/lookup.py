@@ -285,6 +285,7 @@ def point_lookup_parquet(spark, dataset_dir: str, column: str, key):
     page-level skip WITHIN each surviving file — reference
     TypedColumnReader::Skip (column_reader.h:268-281) on the interchange
     format."""
+    import glob
     import os
 
     from ..shipping import ensure_shipped
@@ -294,9 +295,12 @@ def point_lookup_parquet(spark, dataset_dir: str, column: str, key):
               "pages_total int")
     if not os.path.isdir(dataset_dir):
         raise FileNotFoundError(f"not a dataset dir: {dataset_dir}")
+    # recursive: partitioned layouts (col=value/ subdirectories) keep
+    # their files below the root; dotfiles are in-flight temps
     files = sorted(
-        os.path.join(dataset_dir, f) for f in os.listdir(dataset_dir)
-        if f.endswith(".parquet"))
+        f for f in glob.glob(os.path.join(dataset_dir, "**", "*.parquet"),
+                             recursive=True)
+        if not os.path.basename(f).startswith("."))
     if not files:
         # dir exists but holds no committed files (sink not yet run, or
         # only .inprogress temps): an empty result, not a crash

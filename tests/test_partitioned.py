@@ -269,6 +269,20 @@ def test_compact_preserves_partition_layout_and_vacuum_prunes_dirs(
     assert plan["files_kept"] < plan["files_total"]
 
 
+def test_point_lookup_descends_into_partition_dirs(spark, dataset):
+    """point_lookup_parquet lists partitioned layouts recursively: a key
+    that lives under source=src9/ is found, with page pruning intact."""
+    from parquet_cpp_spark.plans.lookup import point_lookup_parquet
+
+    out, df, _ = dataset
+    key = df.filter("source='src9'").select("doc_id").first().doc_id
+    res = point_lookup_parquet(spark, out, "doc_id", key) \
+        .filter("row_index >= 0").collect()
+    assert len(res) == 1
+    assert f"source=src9{os.sep}" in res[0].file
+    assert res[0].pages_decoded <= res[0].pages_total
+
+
 def test_unparsable_numeric_segment_keeps_file(tmp_path):
     """Conservative rule: a numeric predicate against a segment that
     doesn't parse as a number is NOT decisive — the file survives to the
