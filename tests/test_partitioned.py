@@ -144,6 +144,12 @@ def test_numeric_partition_values_prune_numerically(spark, tmp_path):
                                plan_out=plan)
     assert res.count() == df.filter("part >= 9").count()
     assert plan["files_kept"] == 3          # part=9,10,11 — numeric order
+    # the JVM reader agrees on type and content (data column wins over
+    # the discovered path value, so int stays int)
+    jvm = spark.read.parquet(out)
+    assert dict(jvm.dtypes)["part"] == "int"
+    assert jvm.groupBy().sum("part").collect()[0][0] == \
+        df.groupBy().sum("part").collect()[0][0]
 
 
 def test_segment_quoting_roundtrip(spark, tmp_path):
@@ -281,6 +287,43 @@ def test_point_lookup_descends_into_partition_dirs(spark, dataset):
     assert len(res) == 1
     assert f"source=src9{os.sep}" in res[0].file
     assert res[0].pages_decoded <= res[0].pages_total
+
+
+def test_streaming_emit_partitioned_layout(spark, tmp_path):
+    """partition_by flows through the streaming parquet emit's writer
+    kwargs: micro-batches land under col=value/ directories, per-batch
+    snapshots carry the relative paths, and a snapshot-planned read with
+    a partition predicate prunes files."""
+    from pyspark.sql import functions as F
+
+    from parquet_cpp_spark.sources import snapshots as snap
+    from parquet_cpp_spark.sources.record_assembly import \
+        read_parquet_dataset
+    from parquet_cpp_spark.sources.tokens import tokens_from_documents
+    from parquet_cpp_spark.streaming.encode_stream import \
+        start_parquet_emit_stream
+
+    src = tokens_from_documents(spark, "/root/testdata/sf0.001", 4) \
+        .select("doc_id", "tokens", "n_tok", "source")
+    in_dir = str(tmp_path / "in")
+    src.write.parquet(in_dir)
+    out = str(tmp_path / "out")
+    q = start_parquet_emit_stream(spark, in_dir, out, files_per_batch=2,
+                                  partition_by=["source"])
+    q.awaitTermination(120)
+
+    data_dir = os.path.join(out, "data")
+    subdirs = sorted(d for d in os.listdir(data_dir)
+                     if d.startswith("source="))
+    assert subdirs, "no partition directories emitted"
+    one = subdirs[0].split("=", 1)[1]
+    plan = {}
+    res = read_parquet_dataset(spark, data_dir,
+                               predicate=[("source", "==", one)],
+                               plan_out=plan)
+    assert res.count() == src.filter(F.col("source") == one).count()
+    assert plan["files_kept"] < plan["files_total"]
+    assert snap.read_snapshot(spark, data_dir).count() == src.count()
 
 
 def test_unparsable_numeric_segment_keeps_file(tmp_path):
