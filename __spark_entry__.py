@@ -1292,6 +1292,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.coalesce("source", F.lit("__none__")).alias("source"))
     q["pq_schema_evolution"] = pq_schema_evolution
 
+    def pq_dedup_deletes(spark: SparkSession, sf: str) -> DataFrame:
+        """Equality delete files end-to-end (r7): the token table is
+        snapshot-committed, a dedup-style kill list (every 7th doc_id)
+        lands as engine key files under _deletes/ + one snapshot commit
+        (snapshots.commit_equality_deletes — the public Iceberg v2
+        merge-on-read shape), and the engine scan excludes the keys via
+        a left-anti join with ZERO data-file rewrites. At 10^12
+        sequences this is how a dedup pass's losers die without
+        rewriting 100 TB; DuckDB reproduces the survivors with the same
+        modulus filter."""
+        import shutil
+        import tempfile
+
+        from parquet_cpp_spark.sources import snapshots as snap
+        from parquet_cpp_spark.sources.parquet_sink import \
+            emit_parquet_dataset
+        from parquet_cpp_spark.sources.record_assembly import \
+            read_parquet_dataset
+        src = tokens_src.tokens_from_documents(spark, sf, _parts(sf))
+        df = (src.select("doc_id", "tokens", "n_tok", "source")
+              .repartition(4, "doc_id").sortWithinPartitions("doc_id"))
+        out = os.path.join(tempfile.gettempdir(),
+                           f"pcs_{os.getuid()}_dedup_deletes")
+        shutil.rmtree(out, ignore_errors=True)
+        man = emit_parquet_dataset(df, out, encodings="auto").collect()
+        snap.commit_snapshot(out, man)
+        kill = df.filter("CAST(doc_id AS BIGINT) % 7 = 0") \
+            .select("doc_id")
+        snap.commit_equality_deletes(out, kill, "doc_id")
+        return _digest(read_parquet_dataset(spark, out))
+    q["pq_dedup_deletes"] = pq_dedup_deletes
+
     def rt_selective(spark: SparkSession, sf: str) -> DataFrame:
         """Predicate pushdown on the CHUNK format (r7): the token table is
         encoded with part_id banded on n_tok (the range-clustered layout a
@@ -1793,6 +1825,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_writer_roundtrip", "token_count", "lang_profile",
         "neardup_jaccard_dropped", "neardup_cosine_dropped",
         "ann_cosine_topk", "ann_cosine_lsh",
+        # r7 (late): events_hourly rotates out to make window room for
+        # pq_dedup_deletes. The relational family stays driver-checked
+        # via pricing_summary + top_customers + sessionization (whose
+        # window/lag plan subsumes the hourly groupBy shape); the query
+        # keeps its oracle in test_query_matches_oracle.
+        "events_hourly",
     ]
     ordered = {k: v for k, v in q.items() if k not in rotated_past_cap}
     for k in rotated_past_cap:
@@ -2163,6 +2201,12 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN CAST(doc_id AS BIGINT) % 2 = 0
                         THEN '__none__' ELSE source END AS source
             FROM ({identity}) t
+        """,
+        # equality deletes: the survivors after the kill list (every 7th
+        # doc_id) is committed as delete files and anti-joined by the scan
+        "pq_dedup_deletes": f"""
+            SELECT * FROM ({identity}) t
+            WHERE CAST(doc_id AS BIGINT) % 7 != 0
         """,
         # chunk-format selective decode: same WHERE semantics in DuckDB
         "rt_selective": f"""

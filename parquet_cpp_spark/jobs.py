@@ -297,6 +297,36 @@ def cmd_compact(args) -> None:
     _stop(spark)
 
 
+def cmd_delete(args) -> None:
+    """Equality-delete commit (Iceberg v2 merge-on-read as a kill list):
+    select the keys — by scanning the dataset itself under ``--where``,
+    or from an external ``--keys`` parquet (e.g. a dedup pass's loser
+    list) — write them as engine key files under ``_deletes/`` and
+    commit a snapshot version that excludes them from every read, with
+    ZERO data-file rewrites. ``jobs compact`` later applies the kill
+    list physically and drops it."""
+    spark = _spark(args)
+    from .sources import snapshots as snapmod
+    from .sources.record_assembly import read_parquet_dataset
+
+    pred = _parse_where(args.where) if args.where else None
+    if pred is None and not args.keys:
+        raise SystemExit("jobs delete needs --where or --keys")
+    if args.keys:
+        keys = spark.read.parquet(args.keys).select(args.column)
+    else:
+        keys = read_parquet_dataset(spark, args.dir,
+                                    columns=[args.column],
+                                    predicate=pred)
+    doc = snapmod.commit_equality_deletes(args.dir, keys, args.column)
+    dels = doc.get("deletes", [])
+    print(json.dumps({"snapshot_version": doc["version"],
+                      "delete_files": len(dels),
+                      "delete_keys": sum(e["rows"] for e in dels),
+                      "column": args.column}))
+    _stop(spark)
+
+
 def cmd_snapshot(args) -> None:
     """Inspect a dataset's Iceberg-style snapshot log (no Spark
     session): list versions, show one listing, or diff two."""
@@ -390,6 +420,19 @@ def main(argv=None) -> None:
                      help="commit the output manifest as a new snapshot "
                           "version of the output dataset")
     scn.set_defaults(fn=cmd_scan)
+
+    dele = sub.add_parser("delete")
+    dele.add_argument("--dir", required=True,
+                      help="snapshot-logged dataset directory")
+    dele.add_argument("--column", default="doc_id",
+                      help="equality-delete key column")
+    dele.add_argument("--where", action="append", default=[],
+                      help="predicate conjunct 'col OP value' selecting "
+                           "the rows to kill (repeatable)")
+    dele.add_argument("--keys", default=None,
+                      help="parquet file/dir of pre-computed keys "
+                           "(e.g. a dedup pass's loser list)")
+    dele.set_defaults(fn=cmd_delete)
 
     cmp = sub.add_parser("compact")
     cmp.add_argument("--dir", required=True,

@@ -930,7 +930,8 @@ def _plan_file(f: str, conjuncts):
 def read_parquet_dataset(spark, src: str, columns=None, predicate=None,
                          plan_out: "dict | None" = None,
                          distributed_plan: "bool | None" = None,
-                         snapshot_version: "int | None" = None):
+                         snapshot_version: "int | None" = None,
+                         apply_deletes: bool = True):
     """Distributed ENGINE-NATIVE scan of a parquet dataset directory:
     executors assemble whole nested Arrow batches from rep/def levels
     (``assemble_file``) — no Spark JVM parquet reader, no
@@ -992,7 +993,15 @@ def read_parquet_dataset(spark, src: str, columns=None, predicate=None,
     log (``sources/snapshots.py``), the scan plans from the committed
     listing instead of a directory glob — ``None`` reads the CURRENT
     version (automatic once a log exists), ``N`` time-travels to
-    version N, ``0`` forces the raw directory glob (log ignored)."""
+    version N, ``0`` forces the raw directory glob (log ignored).
+
+    EQUALITY DELETES (Iceberg v2 merge-on-read as a kill list): when
+    the planned snapshot carries delete entries
+    (``snapshots.commit_equality_deletes`` — the shape a dedup pass
+    emits), kill-listed keys are excluded via a left-anti join per
+    delete column; the key column rides the task output even when the
+    projection excludes it and is dropped after the join.
+    ``apply_deletes=False`` scans the raw data files."""
     import glob as _glob
     import os as _os
 
@@ -1004,6 +1013,7 @@ def read_parquet_dataset(spark, src: str, columns=None, predicate=None,
         or (snapshot_version is None
             and _os.path.isdir(_os.path.join(src, "_snapshots"))))
     stats_by_path: dict = {}
+    delete_groups: dict = {}   # delete column -> its key-file paths
     if use_snapshot:
         # snapshot-aware planning: the version's listing IS the file
         # set — read isolation from in-flight writers, time travel, and
@@ -1021,13 +1031,20 @@ def read_parquet_dataset(spark, src: str, columns=None, predicate=None,
         # alone — before partition parsing, before any footer I/O
         stats_by_path = {_os.path.join(src, e["path"]): e["stats"]
                          for e in snap["files"] if e.get("stats")}
+        if apply_deletes:
+            for e in snap.get("deletes", []):
+                delete_groups.setdefault(e["column"], []).append(
+                    _os.path.join(src, e["path"]))
     else:
         # recursive: partitioned layouts (col=value/ subdirectories,
-        # parquet_sink partition_by) list their leaf files too
+        # parquet_sink partition_by) list their leaf files too; metadata
+        # directories (_snapshots/, _deletes/, _manifest/) hold parquet
+        # that is NOT table data — any _/.-prefixed segment is skipped
         files = sorted(
             f for f in _glob.glob(_os.path.join(src, "**", "*.parquet"),
                                   recursive=True)
-            if not _os.path.basename(f).startswith("."))
+            if not any(seg.startswith((".", "_")) for seg in
+                       _os.path.relpath(f, src).split(_os.sep)))
     if not files:
         raise ValueError(f"no parquet files under {src!r}")
     from pyspark.sql.pandas.types import from_arrow_schema
@@ -1070,6 +1087,11 @@ def read_parquet_dataset(spark, src: str, columns=None, predicate=None,
         files_snapshot_pruned = pre_stats - len(files)
     else:
         files_snapshot_pruned = 0
+    if delete_groups and read_cols is not None:
+        # equality-delete key columns ride the task output even when the
+        # projection excludes them; dropped again after the anti-join
+        read_cols += [c for c in sorted(delete_groups)
+                      if c not in read_cols]
 
     # footer planning: below the threshold the driver reads footers
     # itself; above it (100-TB directories are 10^4-10^6 files) the
@@ -1154,9 +1176,25 @@ def read_parquet_dataset(spark, src: str, columns=None, predicate=None,
         aschema = pa.schema(fields)
     else:
         aschema = file_schema(plans[0][0], columns=columns)
+    # equality deletes join on their key column: it must exist in the
+    # data (our sink keeps delete keys as real data columns), be read by
+    # every task, and ride the task output even when the caller's
+    # projection excludes it (dropped again after the anti-join)
+    for c in delete_groups:
+        if c not in col_sigs:
+            raise ValueError(f"snapshot delete column {c!r} is not a "
+                             f"column of any data file in {src!r}")
+    del_extra = [c for c in sorted(delete_groups)
+                 if c not in {fld.name for fld in aschema}]
+    for c in del_extra:
+        fld = file_schema(col_rep[c], columns=[c]).field(0)
+        if any(c not in fc for fc in file_cols.values()):
+            fld = fld.with_nullable(True)
+        aschema = aschema.append(fld)
     sschema = from_arrow_schema(aschema)
     union_types = {fld.name: fld.type for fld in aschema}
-    need = read_cols if read_cols is not None else union_cols
+    need = (read_cols if read_cols is not None else list(union_cols)) \
+        + del_extra
     for c in need:
         # predicate roots outside the projection still need a union type
         # for the evolution null-fill in the task
@@ -1183,12 +1221,28 @@ def read_parquet_dataset(spark, src: str, columns=None, predicate=None,
                         plan_mode=("distributed" if distributed_plan
                                    else "driver"))
     cols = list(columns) if columns is not None else None
-    final_cols = cols if cols is not None else [f.name for f in aschema]
+    # the TASK emits every aschema field (incl. delete-key extras); the
+    # caller's projection is re-applied after the anti-join
+    final_cols = [f.name for f in aschema]
+    user_cols = cols if cols is not None \
+        else [c for c in final_cols if c not in set(del_extra)]
     eq_terms = [(c, (v,) if o == "==" else v)
                 for c, o, v in (conjuncts or []) if o in ("==", "in")]
 
+    def _post(df):
+        """Equality deletes: left-anti join each delete column's key set
+        out of the scan (Catalyst/AQE picks broadcast vs shuffle from
+        the kill list's real size), then restore the caller's
+        projection."""
+        for column, paths in sorted(delete_groups.items()):
+            keys = spark.read.parquet(*paths).select(column).distinct()
+            df = df.join(keys, on=column, how="left_anti")
+        if list(df.columns) != user_cols:
+            df = df.select(user_cols)
+        return df
+
     if not splits:        # everything pruned: empty df, correct schema
-        return spark.createDataFrame([], sschema)
+        return _post(spark.createDataFrame([], sschema))
     cores = spark.sparkContext.defaultParallelism
     n_parts = min(len(splits), max(1, cores * 2))
     splits_df = spark.createDataFrame(
@@ -1253,4 +1307,4 @@ def read_parquet_dataset(spark, src: str, columns=None, predicate=None,
                 tbl = tbl.select(final_cols)   # caller's column order
                 yield from tbl.to_batches()
 
-    return splits_df.mapInArrow(task, schema=sschema)
+    return _post(splits_df.mapInArrow(task, schema=sschema))

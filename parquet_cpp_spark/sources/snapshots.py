@@ -107,7 +107,9 @@ def _entry(out_dir: str, row) -> dict:
 
 def commit_snapshot(out_dir: str, manifest_rows,
                     operation: str = "append",
-                    parent: "int | None" = None) -> dict:
+                    parent: "int | None" = None,
+                    delete_manifest_rows=None,
+                    delete_column: "str | None" = None) -> dict:
     """Commit the sink manifest rows of one finished write as a new
     snapshot version and return the committed document.
 
@@ -115,6 +117,21 @@ def commit_snapshot(out_dir: str, manifest_rows,
     the new ones (a re-written path replaces its parent entry — the
     sink's resume/retry overwrite case). ``operation='overwrite'``: the
     listing is exactly ``manifest_rows`` (a compaction or full rewrite).
+
+    EQUALITY DELETES (the Iceberg v2 merge-on-read shape, applied as a
+    whole-table kill list — exactly what a dedup pass produces):
+    ``delete_manifest_rows`` are sink manifest rows for key files
+    written under ``{out_dir}/_deletes/`` (single ``delete_column``
+    each); readers of the committed version exclude every data row
+    whose ``delete_column`` value appears in any delete file — no data
+    file is rewritten. ``append`` carries the parent's delete entries
+    forward and adds the new ones; ``overwrite`` DROPS the parent's
+    deletes (the rewrite is expected to have applied them — compaction
+    consumes the kill list) and records only newly-passed ones. NOTE
+    one deliberate simplification vs Iceberg sequence numbers: deletes
+    here apply to ALL data files of the version, including ones
+    appended after the delete committed — a kill-listed key stays dead,
+    which is the dedup contract.
 
     The commit is atomic and lock-free: the document is fully written
     to a temp file, then ``os.link``-ed into its version slot —
@@ -125,7 +142,17 @@ def commit_snapshot(out_dir: str, manifest_rows,
     if operation not in ("append", "overwrite"):
         raise ValueError(f"unknown snapshot operation {operation!r}")
     new = [_entry(out_dir, r) for r in manifest_rows]
-    if not new and operation == "append":
+    new_deletes = []
+    for r in (delete_manifest_rows or []):
+        if not delete_column:
+            raise ValueError("delete_manifest_rows needs delete_column")
+        e = _entry(out_dir, r)
+        if not e["path"].startswith("_deletes" + os.sep):
+            raise ValueError(f"delete file {e['path']!r} must live under "
+                             f"{out_dir}/_deletes/")
+        e["column"] = delete_column
+        new_deletes.append(e)
+    if not new and not new_deletes and operation == "append":
         raise ValueError("refusing to commit an empty append snapshot")
     sd = _snap_dir(out_dir)
     os.makedirs(sd, exist_ok=True)
@@ -143,9 +170,15 @@ def commit_snapshot(out_dir: str, manifest_rows,
             for e in new:
                 base[e["path"]] = e
             files = [base[p] for p in sorted(base)]
+            dbase = {e["path"]: e for e in prev.get("deletes", [])}
+            for e in new_deletes:
+                dbase[e["path"]] = e
+            deletes = [dbase[p] for p in sorted(dbase)]
         else:
             files = sorted(new, key=lambda e: e["path"])
-        if prev is not None and files == prev["files"]:
+            deletes = sorted(new_deletes, key=lambda e: e["path"])
+        if prev is not None and files == prev["files"] \
+                and deletes == prev.get("deletes", []):
             # idempotent replay (a retried micro-batch re-emitting the
             # same bytes under the same content-hash names): the table
             # state is unchanged — return the current snapshot instead
@@ -163,6 +196,8 @@ def commit_snapshot(out_dir: str, manifest_rows,
             "total_bytes": sum(e["bytes"] for e in files),
             "files": files,
         }
+        if deletes:
+            doc["deletes"] = deletes
         tmp = os.path.join(sd, f".commit-{os.getpid()}-{version}.tmp")
         with open(tmp, "w", encoding="utf-8") as f:
             json.dump(doc, f, indent=1)
@@ -188,15 +223,61 @@ def snapshot_paths(out_dir: str, version: "int | None" = None) -> list[str]:
     return [os.path.join(out_dir, e["path"]) for e in snap["files"]]
 
 
-def read_snapshot(spark, out_dir: str, version: "int | None" = None):
+def read_snapshot(spark, out_dir: str, version: "int | None" = None,
+                  apply_deletes: bool = True):
     """Plan a Spark scan over EXACTLY one snapshot's files — no
     directory listing, so files committed by later snapshots (or still
-    being written) are invisible: Iceberg-style read isolation."""
-    paths = snapshot_paths(out_dir, version)
+    being written) are invisible: Iceberg-style read isolation. When the
+    snapshot carries equality-delete entries, kill-listed keys are
+    excluded via a left-anti join per delete column (Catalyst/AQE picks
+    broadcast vs shuffle from the kill list's actual size);
+    ``apply_deletes=False`` reads the raw data files."""
+    snap = load_snapshot(out_dir, version)
+    paths = [os.path.join(out_dir, e["path"]) for e in snap["files"]]
     if not paths:
         raise ValueError(f"snapshot {version} of {out_dir!r} lists no "
                          "files")
-    return spark.read.parquet(*paths)
+    df = spark.read.parquet(*paths)
+    if apply_deletes:
+        df = _apply_deletes(spark, out_dir, snap, df)
+    return df
+
+
+def _apply_deletes(spark, out_dir: str, snap: dict, df):
+    """Left-anti join the snapshot's equality-delete keys out of ``df``
+    (grouped per delete column; no-op when the snapshot has none)."""
+    by_col: dict = {}
+    for e in snap.get("deletes", []):
+        by_col.setdefault(e["column"], []).append(
+            os.path.join(out_dir, e["path"]))
+    for column, paths in sorted(by_col.items()):
+        keys = spark.read.parquet(*paths).select(column).distinct()
+        df = df.join(keys, on=column, how="left_anti")
+    return df
+
+
+def commit_equality_deletes(out_dir: str, keys_df, column: str,
+                            **emit_kw) -> dict:
+    """The dedup-to-table-format bridge: write ``keys_df``'s distinct
+    ``column`` values as engine parquet under ``{out_dir}/_deletes/``
+    (executors write, same sink contract as data files) and commit them
+    as a new snapshot version's equality-delete entries. Readers of
+    that version exclude the keys with ZERO data-file rewrites — at
+    100 TB a dedup pass's kill list lands as a few key files + one JSON
+    commit instead of a full-table rewrite. Returns the committed
+    snapshot document."""
+    from .parquet_sink import emit_parquet_dataset
+    if current_version(out_dir) is None:
+        # without a parent listing the new version would list NO data
+        # files and silently hide the directory's contents
+        raise ValueError(f"{out_dir!r} has no committed snapshot; commit "
+                         "the data files first, then the deletes")
+    ddir = os.path.join(out_dir, "_deletes")
+    man = emit_parquet_dataset(
+        keys_df.select(column).distinct(), ddir,
+        name_prefix="del-", **emit_kw).collect()
+    return commit_snapshot(out_dir, [], delete_manifest_rows=man,
+                           delete_column=column)
 
 
 def vacuum(out_dir: str, keep_versions: int = 1) -> dict:
@@ -220,8 +301,9 @@ def vacuum(out_dir: str, keep_versions: int = 1) -> dict:
     keep = versions[-keep_versions:]
     referenced: set = set()
     for v in keep:
-        referenced.update(e["path"] for e in load_snapshot(out_dir,
-                                                           v)["files"])
+        snap = load_snapshot(out_dir, v)
+        referenced.update(e["path"] for e in snap["files"])
+        referenced.update(e["path"] for e in snap.get("deletes", []))
     removed_files = []
     for root, dirs, files in os.walk(out_dir):
         dirs[:] = [d for d in dirs if d != SNAP_DIR and

@@ -1,0 +1,181 @@
+"""Equality delete files (Iceberg v2 merge-on-read as a kill list): a
+dedup pass's loser list commits as key files under ``_deletes/`` + one
+snapshot version; every reader of that version excludes the keys with
+zero data-file rewrites; compaction applies the kill list physically and
+drops it.
+
+Reference parity: the reference has no table format (single-file
+library); semantics follow the public Iceberg v2 spec's equality deletes,
+simplified to whole-version kill lists (documented in
+``snapshots.commit_snapshot``).
+"""
+
+import json
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from parquet_cpp_spark.session import get_spark
+    return get_spark(master="local[4]", app_name="pcs-deletes",
+                     shuffle_partitions=4)
+
+
+@pytest.fixture()
+def dataset(spark, tmp_path):
+    """Snapshot-logged token dataset + a doc_id kill list (every 7th)."""
+    from parquet_cpp_spark.sources import snapshots as snap
+    from parquet_cpp_spark.sources.parquet_sink import emit_parquet_dataset
+    from parquet_cpp_spark.sources.tokens import tokens_from_documents
+
+    src = tokens_from_documents(spark, "/root/testdata/sf0.01", 8) \
+        .select("doc_id", "tokens", "n_tok", "source")
+    out = str(tmp_path / "ds")
+    man = emit_parquet_dataset(
+        src.repartition(4, "doc_id").sortWithinPartitions("doc_id"),
+        out, encodings="auto").collect()
+    snap.commit_snapshot(out, man)
+    kill = src.filter("CAST(doc_id AS BIGINT) % 7 = 0").select("doc_id")
+    return out, src, kill
+
+
+def test_commit_and_scan_excludes_keys(spark, dataset):
+    from parquet_cpp_spark.sources import snapshots as snap
+    from parquet_cpp_spark.sources.record_assembly import \
+        read_parquet_dataset
+
+    out, src, kill = dataset
+    doc = snap.commit_equality_deletes(out, kill, "doc_id")
+    assert doc["version"] == 2 and len(doc["deletes"]) >= 1
+    assert all(e["path"].startswith("_deletes" + os.sep)
+               and e["column"] == "doc_id" for e in doc["deletes"])
+
+    n_live = src.count() - kill.count()
+    assert read_parquet_dataset(spark, out).count() == n_live
+    assert snap.read_snapshot(spark, out).count() == n_live
+    # opt-outs and time travel see the raw rows
+    assert read_parquet_dataset(spark, out,
+                                apply_deletes=False).count() == src.count()
+    assert read_parquet_dataset(spark, out,
+                                snapshot_version=1).count() == src.count()
+    assert snap.read_snapshot(spark, out,
+                              apply_deletes=False).count() == src.count()
+
+
+def test_projection_and_predicate_compose_with_deletes(spark, dataset):
+    from parquet_cpp_spark.sources import snapshots as snap
+    from parquet_cpp_spark.sources.record_assembly import \
+        read_parquet_dataset
+
+    out, src, kill = dataset
+    snap.commit_equality_deletes(out, kill, "doc_id")
+    n_live = src.count() - kill.count()
+    # projection excluding the key column: key rides the task output,
+    # dropped after the anti-join
+    d = read_parquet_dataset(spark, out, columns=["n_tok", "source"])
+    assert d.columns == ["n_tok", "source"] and d.count() == n_live
+    # predicate + deletes
+    d2 = read_parquet_dataset(spark, out,
+                              predicate=[("source", "==", "src7")])
+    exp = src.filter(
+        "source='src7' AND CAST(doc_id AS BIGINT) % 7 != 0").count()
+    assert d2.count() == exp
+
+
+def test_raw_glob_never_reads_delete_files_as_data(spark, dataset):
+    from parquet_cpp_spark.sources import snapshots as snap
+    from parquet_cpp_spark.sources.record_assembly import \
+        read_parquet_dataset
+
+    out, src, kill = dataset
+    snap.commit_equality_deletes(out, kill, "doc_id")
+    raw = read_parquet_dataset(spark, out, snapshot_version=0)
+    assert raw.count() == src.count()
+    assert sorted(raw.columns) == sorted(src.columns)
+
+
+def test_incremental_deletes_accumulate(spark, dataset):
+    from parquet_cpp_spark.sources import snapshots as snap
+    from parquet_cpp_spark.sources.record_assembly import \
+        read_parquet_dataset
+
+    out, src, kill = dataset
+    snap.commit_equality_deletes(out, kill, "doc_id")
+    more = src.filter("CAST(doc_id AS BIGINT) % 5 = 0").select("doc_id")
+    doc = snap.commit_equality_deletes(out, more, "doc_id")
+    assert doc["version"] == 3 and len(doc["deletes"]) >= 2
+    exp = src.filter("CAST(doc_id AS BIGINT) % 7 != 0 AND "
+                     "CAST(doc_id AS BIGINT) % 5 != 0").count()
+    assert read_parquet_dataset(spark, out).count() == exp
+
+
+def test_compact_applies_and_drops_the_kill_list(spark, dataset, capsys):
+    """Compaction = merge-on-read made physical: the rewrite excludes
+    killed keys, the overwrite snapshot carries NO delete entries, and
+    vacuum reclaims the consumed key files."""
+    from parquet_cpp_spark import jobs
+    from parquet_cpp_spark.sources import snapshots as snap
+    from parquet_cpp_spark.sources.record_assembly import \
+        read_parquet_dataset
+
+    out, src, kill = dataset
+    snap.commit_equality_deletes(out, kill, "doc_id")
+    jobs.main(["compact", "--dir", out, "--target-mb", "1", "--vacuum"])
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    n_live = src.count() - kill.count()
+    assert res["rows"] == n_live
+    cur = snap.load_snapshot(out)
+    assert "deletes" not in cur
+    assert read_parquet_dataset(spark, out).count() == n_live
+    # the consumed key files are gone from disk
+    ddir = os.path.join(out, "_deletes")
+    assert not os.path.isdir(ddir) or not any(
+        f.endswith(".parquet") for f in os.listdir(ddir))
+
+
+def test_jobs_delete_cli_where_and_dedup_keys(spark, dataset, tmp_path,
+                                              capsys):
+    """`jobs delete --where` kills by predicate; `--keys` commits an
+    external loser list (the exact_dedup composition)."""
+    from parquet_cpp_spark import jobs
+    from parquet_cpp_spark.sources.record_assembly import \
+        read_parquet_dataset
+
+    out, src, kill = dataset
+    jobs.main(["delete", "--dir", out, "--column", "doc_id",
+               "--where", "source==src3"])
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    n_src3 = src.filter("source='src3'").count()
+    assert res["delete_keys"] == n_src3
+    assert read_parquet_dataset(spark, out).count() == \
+        src.count() - n_src3
+
+    keys_path = str(tmp_path / "losers")
+    kill.write.parquet(keys_path)
+    jobs.main(["delete", "--dir", out, "--column", "doc_id",
+               "--keys", keys_path])
+    res2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res2["snapshot_version"] == res["snapshot_version"] + 1
+    exp = src.filter("source != 'src3' AND "
+                     "CAST(doc_id AS BIGINT) % 7 != 0").count()
+    assert read_parquet_dataset(spark, out).count() == exp
+
+
+def test_guards(spark, dataset, tmp_path):
+    from parquet_cpp_spark.sources import snapshots as snap
+
+    out, src, kill = dataset
+    # no snapshot yet -> loud error instead of hiding the data
+    bare = str(tmp_path / "bare")
+    os.makedirs(bare)
+    with pytest.raises(ValueError, match="no committed snapshot"):
+        snap.commit_equality_deletes(bare, kill, "doc_id")
+    # delete rows without a column -> loud error
+    with pytest.raises(ValueError, match="delete_column"):
+        snap.commit_snapshot(out, [], delete_manifest_rows=[
+            ("x", 1, 1, 1, "sha", "tag", None)])
