@@ -166,6 +166,41 @@ def test_jobs_delete_cli_where_and_dedup_keys(spark, dataset, tmp_path,
     assert read_parquet_dataset(spark, out).count() == exp
 
 
+def test_exact_dedup_losers_feed_the_kill_list(spark, tmp_path):
+    """The literal pipeline: token-content dedup losers -> equality
+    deletes -> the scan serves exactly one copy per content group, no
+    data file rewritten."""
+    from pyspark.sql import functions as F
+
+    from parquet_cpp_spark.sources import snapshots as snap
+    from parquet_cpp_spark.sources.parquet_sink import emit_parquet_dataset
+    from parquet_cpp_spark.sources.record_assembly import \
+        read_parquet_dataset
+
+    # 90 docs over 30 distinct token streams -> 60 losers
+    df = spark.range(0, 90).selectExpr(
+        "cast(id as string) doc_id",
+        "array(cast(id % 30 as int), cast((id % 30) * 2 as int)) tokens",
+        "cast(2 as int) n_tok", "cast('web' as string) source")
+    out = str(tmp_path / "ds")
+    man = emit_parquet_dataset(
+        df.repartition(3, "doc_id").sortWithinPartitions("doc_id"),
+        out).collect()
+    snap.commit_snapshot(out, man)
+
+    content = F.md5(F.array_join(
+        F.transform("tokens", lambda x: x.cast("string")), " "))
+    keepers = (df.groupBy(content.alias("h"))
+               .agg(F.min("doc_id").alias("doc_id")).select("doc_id"))
+    losers = df.select("doc_id").exceptAll(keepers)
+    doc = snap.commit_equality_deletes(out, losers, "doc_id")
+    assert sum(e["rows"] for e in doc["deletes"]) == 60
+
+    live = read_parquet_dataset(spark, out)
+    assert live.count() == 30
+    assert live.select(content.alias("h")).distinct().count() == 30
+
+
 def test_guards(spark, dataset, tmp_path):
     from parquet_cpp_spark.sources import snapshots as snap
 
