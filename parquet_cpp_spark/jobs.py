@@ -341,12 +341,17 @@ def cmd_snapshot(args) -> None:
         rows = []
         for v in snap.list_versions(args.dir):
             s = snap.load_snapshot(args.dir, v)
-            rows.append({"version": v, "parent": s["parent"],
-                         "operation": s["operation"],
-                         "files": s["total_files"],
-                         "rows": s["total_rows"],
-                         "bytes": s["total_bytes"],
-                         "committed_at": s["committed_at"]})
+            row = {"version": v, "parent": s["parent"],
+                   "operation": s["operation"],
+                   "files": s["total_files"],
+                   "rows": s["total_rows"],
+                   "bytes": s["total_bytes"],
+                   "committed_at": s["committed_at"]}
+            dels = s.get("deletes", [])
+            if dels:
+                row["delete_files"] = len(dels)
+                row["delete_keys"] = sum(e["rows"] for e in dels)
+            rows.append(row)
         print(json.dumps(rows))
 
 

@@ -341,16 +341,26 @@ def changed_files(out_dir: str, from_version: "int | None",
     """Diff two snapshots for incremental consumers: files added,
     removed, or replaced (same path, different sha) between
     ``from_version`` (None = empty table) and ``to_version``
-    (None = current)."""
-    old = {} if from_version is None else \
-        {e["path"]: e for e in load_snapshot(out_dir,
-                                             from_version)["files"]}
-    new = {e["path"]: e for e in load_snapshot(out_dir,
-                                               to_version)["files"]}
+    (None = current). ``deletes_added``/``deletes_removed`` surface
+    equality-delete key files the interval committed or consumed — an
+    incremental consumer must re-apply its copy of the kill list (or
+    reprocess) when these are non-empty, since killed keys change the
+    live row set without touching any data file."""
+    old_doc = None if from_version is None else \
+        load_snapshot(out_dir, from_version)
+    new_doc = load_snapshot(out_dir, to_version)
+    old = {} if old_doc is None else {e["path"]: e
+                                      for e in old_doc["files"]}
+    new = {e["path"]: e for e in new_doc["files"]}
+    old_del = set() if old_doc is None else \
+        {e["path"] for e in old_doc.get("deletes", [])}
+    new_del = {e["path"] for e in new_doc.get("deletes", [])}
     return {
         "added": sorted(p for p in new if p not in old),
         "removed": sorted(p for p in old if p not in new),
         "replaced": sorted(p for p in new
                            if p in old and new[p]["sha256"]
                            != old[p]["sha256"]),
+        "deletes_added": sorted(new_del - old_del),
+        "deletes_removed": sorted(old_del - new_del),
     }

@@ -201,6 +201,26 @@ def test_exact_dedup_losers_feed_the_kill_list(spark, tmp_path):
     assert live.select(content.alias("h")).distinct().count() == 30
 
 
+def test_changed_files_surfaces_delete_diffs(spark, dataset, capsys):
+    """Incremental consumers see kill-list changes between versions,
+    and the CLI listing reports delete file/key counts."""
+    from parquet_cpp_spark import jobs
+    from parquet_cpp_spark.sources import snapshots as snap
+
+    out, src, kill = dataset
+    snap.commit_equality_deletes(out, kill, "doc_id")
+    diff = snap.changed_files(out, 1, 2)
+    assert len(diff["deletes_added"]) >= 1 and not diff["added"]
+    assert all(p.startswith("_deletes") for p in diff["deletes_added"])
+
+    jobs.main(["snapshot", "--dir", out])
+    listing = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    v2 = [r for r in listing if r["version"] == 2][0]
+    assert v2["delete_keys"] == kill.count()
+    assert "delete_keys" not in [r for r in listing
+                                 if r["version"] == 1][0]
+
+
 def test_guards(spark, dataset, tmp_path):
     from parquet_cpp_spark.sources import snapshots as snap
 

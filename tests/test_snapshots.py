@@ -56,7 +56,8 @@ def test_commit_read_isolation_and_diff(spark, tmp_path):
     assert snap.read_snapshot(spark, out, 1).count() == 100
 
     d = snap.changed_files(out, 1, 2)
-    assert d == {"added": ["b.parquet"], "removed": [], "replaced": []}
+    assert d == {"added": ["b.parquet"], "removed": [], "replaced": [],
+                 "deletes_added": [], "deletes_removed": []}
     d0 = snap.changed_files(out, None, 1)
     assert d0["added"] == ["a.parquet"]
 
@@ -70,7 +71,8 @@ def test_append_replaces_rewritten_path(tmp_path):
     doc = snap.commit_snapshot(out, [r])
     assert doc["total_files"] == 1 and doc["total_rows"] == 20
     assert snap.changed_files(out, 1, 2) == {
-        "added": [], "removed": [], "replaced": ["a.parquet"]}
+        "added": [], "removed": [], "replaced": ["a.parquet"],
+        "deletes_added": [], "deletes_removed": []}
 
 
 def test_replay_recommit_is_a_noop(tmp_path):
