@@ -1324,6 +1324,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _digest(read_parquet_dataset(spark, out))
     q["pq_dedup_deletes"] = pq_dedup_deletes
 
+    def pq_rename_evolution(spark: SparkSession, sf: str) -> DataFrame:
+        """Column rename without rewrites (r7): the token table commits
+        under column name `source`, a metadata-only snapshot commit
+        renames it to `origin` (snapshots.rename_column — Iceberg rename
+        semantics via name chains), and the engine scan presents the
+        UNTOUCHED old files under the new name. DuckDB reproduces it
+        with a column alias. Runs past the driver's 50-query cap; pinned
+        by test_query_matches_oracle + tests/test_rename_evolution.py."""
+        import shutil
+        import tempfile
+
+        from parquet_cpp_spark.sources import snapshots as snap
+        from parquet_cpp_spark.sources.parquet_sink import \
+            emit_parquet_dataset
+        from parquet_cpp_spark.sources.record_assembly import \
+            read_parquet_dataset
+        src = tokens_src.tokens_from_documents(spark, sf, _parts(sf))
+        df = (src.select("doc_id", "tokens", "n_tok", "source")
+              .repartition(4, "doc_id").sortWithinPartitions("doc_id"))
+        out = os.path.join(tempfile.gettempdir(),
+                           f"pcs_{os.getuid()}_rename_evo")
+        shutil.rmtree(out, ignore_errors=True)
+        man = emit_parquet_dataset(df, out, encodings="auto").collect()
+        snap.commit_snapshot(out, man)
+        snap.rename_column(out, "source", "origin")
+        uni = read_parquet_dataset(spark, out)
+        tok_str = F.array_join(
+            F.transform("tokens", lambda x: x.cast("string")), " ")
+        return uni.select("doc_id", F.md5(tok_str).alias("tok_hash"),
+                          "n_tok", "origin")
+    q["pq_rename_evolution"] = pq_rename_evolution
+
     def rt_selective(spark: SparkSession, sf: str) -> DataFrame:
         """Predicate pushdown on the CHUNK format (r7): the token table is
         encoded with part_id banded on n_tok (the range-clustered layout a
@@ -1831,6 +1863,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window/lag plan subsumes the hourly groupBy shape); the query
         # keeps its oracle in test_query_matches_oracle.
         "events_hourly",
+        # r7 (late): pq_rename_evolution is born past the cap — the
+        # window is full and its scan machinery (snapshot planning +
+        # per-file remap) is driven in-window by pq_dedup_deletes /
+        # pq_snapshot_read; oracle runs in test_query_matches_oracle
+        # and tests/test_rename_evolution.py pins the semantics.
+        "pq_rename_evolution",
     ]
     ordered = {k: v for k, v in q.items() if k not in rotated_past_cap}
     for k in rotated_past_cap:
@@ -2207,6 +2245,11 @@ def oracle_sql() -> dict[str, str]:
         "pq_dedup_deletes": f"""
             SELECT * FROM ({identity}) t
             WHERE CAST(doc_id AS BIGINT) % 7 != 0
+        """,
+        # rename evolution: the untouched files read under the new name
+        "pq_rename_evolution": f"""
+            SELECT doc_id, tok_hash, n_tok, source AS origin
+            FROM ({identity}) t
         """,
         # chunk-format selective decode: same WHERE semantics in DuckDB
         "rt_selective": f"""

@@ -263,7 +263,14 @@ def cmd_compact(args) -> None:
     has_log = bool(snapmod.list_versions(args.dir))
     if has_log:
         cur = snapmod.load_snapshot(args.dir)
-        df = snapmod.read_snapshot(spark, args.dir)
+        if cur.get("renames"):
+            # mixed stored names: only the engine scan unions them; the
+            # rewrite then stores CURRENT names and the overwrite
+            # snapshot drops the rename map (like it consumes deletes)
+            from .sources.record_assembly import read_parquet_dataset
+            df = read_parquet_dataset(spark, args.dir)
+        else:
+            df = snapmod.read_snapshot(spark, args.dir)
         total_bytes = cur["total_bytes"]
     else:
         df = spark.read.parquet(args.dir)
@@ -325,6 +332,17 @@ def cmd_delete(args) -> None:
                       "delete_keys": sum(e["rows"] for e in dels),
                       "column": args.column}))
     _stop(spark)
+
+
+def cmd_rename(args) -> None:
+    """Metadata-only column rename: one snapshot commit, zero file
+    rewrites (no Spark session needed). Old files keep their stored
+    names; the engine scan presents every file under the current
+    names."""
+    from .sources import snapshots as snapmod
+    doc = snapmod.rename_column(args.dir, getattr(args, "from"), args.to)
+    print(json.dumps({"snapshot_version": doc["version"],
+                      "renames": doc["renames"]}))
 
 
 def cmd_snapshot(args) -> None:
@@ -425,6 +443,14 @@ def main(argv=None) -> None:
                      help="commit the output manifest as a new snapshot "
                           "version of the output dataset")
     scn.set_defaults(fn=cmd_scan)
+
+    ren = sub.add_parser("rename")
+    ren.add_argument("--dir", required=True,
+                     help="snapshot-logged dataset directory")
+    ren.add_argument("--from", required=True,
+                     help="current column name to rename")
+    ren.add_argument("--to", required=True, help="new column name")
+    ren.set_defaults(fn=cmd_rename)
 
     dele = sub.add_parser("delete")
     dele.add_argument("--dir", required=True,

@@ -830,11 +830,15 @@ def _rg_prunes(path: str, rg: int, eq_terms,
         leaves = {lf.name: lf for lf in meta.leaves}
         chunks = {c.path: c for c in meta.row_groups[rg]}
         for col, keys in eq_terms:
+            # renamed/evolved files store the column under another name
+            # (or not at all): not decisive here — plan-time layers and
+            # the residual filter own those cases
             chunk = chunks.get(col)
-            phys = leaves[col].phys
-            if chunk is None or phys not in ("byte_array",
-                                             "int32", "int64"):
+            leaf = leaves.get(col)
+            if chunk is None or leaf is None or \
+                    leaf.phys not in ("byte_array", "int32", "int64"):
                 continue
+            phys = leaf.phys
             if chunk.bloom_filter is not None:
                 bf = fmt.read_bloom(mv, chunk)
                 if bf is not None and not any(
@@ -912,19 +916,44 @@ def _probe_schema(files, columns):
     raise err if err is not None else ValueError("no files to probe")
 
 
-def _plan_file(f: str, conjuncts):
+def _ren_leaf(name: str, renames: "dict | None") -> str:
+    """Rewrite a dotted leaf path's TOP-LEVEL root through the
+    snapshot's stored-name -> current-name rename map."""
+    if not renames:
+        return name
+    root, sep, rest = name.partition(".")
+    cur = renames.get(root, root)
+    return cur + sep + rest
+
+
+def _plan_file(f: str, conjuncts, renames: "dict | None" = None):
     """Footer-only plan for ONE file: (path, n_rg, kept rg indices,
-    schema signature). Runs on the driver for small directories and
-    inside executor tasks for large ones — identical logic either way."""
+    schema signature, stored->current rename pairs this file needs).
+    Runs on the driver for small directories and inside executor tasks
+    for large ones — identical logic either way. ``renames`` is the
+    snapshot's rename map: leaf names and chunk paths are presented
+    under their CURRENT names so all downstream planning (union,
+    evolution, stats pruning) is rename-blind; a file carrying BOTH a
+    stored name and its current name is ambiguous and fails loudly."""
     fm = footer_meta(f)
-    leaves = tuple((lf.name, lf.phys, lf.max_def, lf.max_rep)
-                   for lf in fm.leaves)
-    leaves_by_name = {lf.name: lf for lf in fm.leaves}
+    roots = {lf.name.partition(".")[0] for lf in fm.leaves}
+    ren_pairs = tuple(sorted(
+        (k, v) for k, v in (renames or {}).items() if k in roots))
+    for k, v in ren_pairs:
+        if v in roots:
+            raise ValueError(
+                f"{f!r} carries both stored column {k!r} and its "
+                f"current name {v!r} — by-name rename is ambiguous here")
+    leaves = tuple((_ren_leaf(lf.name, renames), lf.phys, lf.max_def,
+                    lf.max_rep) for lf in fm.leaves)
+    leaves_by_name = {_ren_leaf(lf.name, renames): lf
+                      for lf in fm.leaves}
     kept = [rg for rg in range(len(fm.row_groups))
             if conjuncts is None or _rg_may_match(
-                {c.path: c for c in fm.row_groups[rg]},
+                {_ren_leaf(c.path, renames): c
+                 for c in fm.row_groups[rg]},
                 leaves_by_name, conjuncts)]
-    return f, len(fm.row_groups), kept, leaves
+    return f, len(fm.row_groups), kept, leaves, ren_pairs
 
 
 def read_parquet_dataset(spark, src: str, columns=None, predicate=None,
@@ -1014,6 +1043,7 @@ def read_parquet_dataset(spark, src: str, columns=None, predicate=None,
             and _os.path.isdir(_os.path.join(src, "_snapshots"))))
     stats_by_path: dict = {}
     delete_groups: dict = {}   # delete column -> its key-file paths
+    rename_map: dict = {}      # stored column name -> current name
     if use_snapshot:
         # snapshot-aware planning: the version's listing IS the file
         # set — read isolation from in-flight writers, time travel, and
@@ -1031,9 +1061,15 @@ def read_parquet_dataset(spark, src: str, columns=None, predicate=None,
         # alone — before partition parsing, before any footer I/O
         stats_by_path = {_os.path.join(src, e["path"]): e["stats"]
                          for e in snap["files"] if e.get("stats")}
+        # snapshot-declared renames (stored name -> current name): all
+        # planning below runs on CURRENT names; tasks remap per file
+        rename_map = dict(snap.get("renames", {}))
         if apply_deletes:
             for e in snap.get("deletes", []):
-                delete_groups.setdefault(e["column"], []).append(
+                # a delete's key column may itself have been renamed
+                # since its commit: join on the CURRENT name
+                col = rename_map.get(e["column"], e["column"])
+                delete_groups.setdefault(col, []).append(
                     _os.path.join(src, e["path"]))
     else:
         # recursive: partitioned layouts (col=value/ subdirectories,
@@ -1061,7 +1097,8 @@ def read_parquet_dataset(spark, src: str, columns=None, predicate=None,
                 and len(t) == 3}
         for f in files[:64]:
             for lf in footer_meta(f).leaves:
-                leaves_by_name.setdefault(lf.name, lf)
+                leaves_by_name.setdefault(_ren_leaf(lf.name, rename_map),
+                                          lf)
             if want <= set(leaves_by_name):
                 break
         conjuncts = _normalize_predicate(predicate, leaves_by_name)
@@ -1074,16 +1111,22 @@ def read_parquet_dataset(spark, src: str, columns=None, predicate=None,
         # BEFORE any footer is parsed — the cheapest layer, O(files)
         # string work on the driver, no I/O at all
         from .parquet_sink import partition_values
+
+        def _cur_keys(d):
+            """Remap a stored-name-keyed dict to current names."""
+            if not d or not rename_map:
+                return d
+            return {rename_map.get(k, k): v for k, v in d.items()}
         files = [f for f in files
-                 if _partition_may_match(partition_values(src, f),
-                                         conjuncts)]
+                 if _partition_may_match(
+                     _cur_keys(partition_values(src, f)), conjuncts)]
         # snapshot-stats pruning: committed column bounds decide files
         # from the listing alone (Iceberg manifest pruning) — still no
         # footer I/O for the dropped files
         pre_stats = len(files)
         if stats_by_path:
             files = [f for f in files if _snapshot_stats_may_match(
-                stats_by_path.get(f), conjuncts)]
+                _cur_keys(stats_by_path.get(f)), conjuncts)]
         files_snapshot_pruned = pre_stats - len(files)
     else:
         files_snapshot_pruned = 0
@@ -1116,10 +1159,11 @@ def read_parquet_dataset(spark, src: str, columns=None, predicate=None,
         sc = spark.sparkContext
         n_slices = min(len(files), max(1, sc.defaultParallelism * 2))
         plans = sc.parallelize(files, n_slices).map(
-            lambda f, _c=conjuncts: _plan_file(f, _c)).collect()
+            lambda f, _c=conjuncts, _r=rename_map:
+            _plan_file(f, _c, _r)).collect()
         plans.sort()                       # deterministic split order
     else:
-        plans = [_plan_file(f, conjuncts) for f in files]
+        plans = [_plan_file(f, conjuncts, rename_map) for f in files]
 
     # per-COLUMN schema union (add-column evolution): a column's leaf
     # signature must be identical across every file that HAS it (type
@@ -1129,10 +1173,12 @@ def read_parquet_dataset(spark, src: str, columns=None, predicate=None,
     rg_total = 0
     col_sigs: dict = {}      # top-level column -> leaf signature tuple
     col_order: list = []     # first-appearance order across sorted files
-    col_rep: dict = {}       # column -> a file that carries it
+    col_rep: dict = {}       # column -> (file carrying it, stored name)
     file_cols: dict = {}     # file -> frozenset of its top-level columns
     file_kept: dict = {}
-    for f, n_rg, kept, leaves in plans:
+    file_ren: dict = {}      # file -> its (stored, current) rename pairs
+    for f, n_rg, kept, leaves, ren_pairs in plans:
+        rev = {v: k for k, v in ren_pairs}
         by_root: dict = {}
         for lf in leaves:
             by_root.setdefault(lf[0].split(".")[0], []).append(lf)
@@ -1141,12 +1187,14 @@ def read_parquet_dataset(spark, src: str, columns=None, predicate=None,
             if c not in col_sigs:
                 col_sigs[c] = sig
                 col_order.append(c)
-                col_rep[c] = f
+                col_rep[c] = (f, rev.get(c, c))
             elif col_sigs[c] != sig:  # incompatible same-name column:
                 raise ValueError(      # fail at plan, not in an executor
                     f"schema mismatch in {src!r}: column {c!r} is "
-                    f"{col_sigs[c]} in {col_rep[c]!r} but {sig} in {f!r}")
+                    f"{col_sigs[c]} in {col_rep[c][0]!r} but {sig} "
+                    f"in {f!r}")
         file_cols[f] = frozenset(by_root)
+        file_ren[f] = ren_pairs
         if conjuncts is not None and any(
                 c.split(".")[0] not in by_root and o != "is_null"
                 for c, o, _v in conjuncts):
@@ -1155,6 +1203,14 @@ def read_parquet_dataset(spark, src: str, columns=None, predicate=None,
             kept = []
         rg_total += n_rg
         file_kept[f] = (n_rg, kept)
+
+    def _rep_field(c):
+        """Arrow field for one union column from its representative
+        file, presented under the CURRENT name (the file may store it
+        under a pre-rename name)."""
+        f, stored = col_rep[c]
+        fld = file_schema(f, columns=[stored]).field(0)
+        return fld.with_name(c) if stored != c else fld
 
     if columns is not None:
         absent = [c for c in columns if c not in col_sigs]
@@ -1165,11 +1221,11 @@ def read_parquet_dataset(spark, src: str, columns=None, predicate=None,
     union_cols = list(columns) if columns is not None else col_order
     evolved = any(fc != frozenset(col_order)
                   for fc in file_cols.values())
-    if evolved:
+    if evolved or any(file_ren.values()):
         import pyarrow as pa
         fields = []
         for c in union_cols:
-            fld = file_schema(col_rep[c], columns=[c]).field(0)
+            fld = _rep_field(c)
             if any(c not in fc for fc in file_cols.values()):
                 fld = fld.with_nullable(True)   # some file lacks it
             fields.append(fld)
@@ -1187,7 +1243,7 @@ def read_parquet_dataset(spark, src: str, columns=None, predicate=None,
     del_extra = [c for c in sorted(delete_groups)
                  if c not in {fld.name for fld in aschema}]
     for c in del_extra:
-        fld = file_schema(col_rep[c], columns=[c]).field(0)
+        fld = _rep_field(c)
         if any(c not in fc for fc in file_cols.values()):
             fld = fld.with_nullable(True)
         aschema = aschema.append(fld)
@@ -1199,16 +1255,16 @@ def read_parquet_dataset(spark, src: str, columns=None, predicate=None,
         # predicate roots outside the projection still need a union type
         # for the evolution null-fill in the task
         if c not in union_types and c in col_rep:
-            union_types[c] = file_schema(
-                col_rep[c], columns=[c]).field(0).type
+            union_types[c] = _rep_field(c).type
 
     splits = []
     kept_files: set = set()
-    for f, n_rg, _kept0, _leaves in plans:
+    for f, n_rg, _kept0, _leaves, _rp in plans:
         n_rg, kept = file_kept[f]
         miss = ",".join(c for c in need if c not in file_cols[f])
+        ren = ",".join(f"{k}:{v}" for k, v in file_ren[f])
         for rg in kept:
-            splits.append((f, rg, n_rg, miss))
+            splits.append((f, rg, n_rg, miss, ren))
             kept_files.add(f)
     rg_kept = len(splits)
     if plan_out is not None:
@@ -1235,7 +1291,9 @@ def read_parquet_dataset(spark, src: str, columns=None, predicate=None,
         the kill list's real size), then restore the caller's
         projection."""
         for column, paths in sorted(delete_groups.items()):
-            keys = spark.read.parquet(*paths).select(column).distinct()
+            # positional read: single-column key files join correctly
+            # even when committed under a pre-rename column name
+            keys = spark.read.parquet(*paths).toDF(column).distinct()
             df = df.join(keys, on=column, how="left_anti")
         if list(df.columns) != user_cols:
             df = df.select(user_cols)
@@ -1247,7 +1305,7 @@ def read_parquet_dataset(spark, src: str, columns=None, predicate=None,
     n_parts = min(len(splits), max(1, cores * 2))
     splits_df = spark.createDataFrame(
         spark.sparkContext.parallelize(splits, n_parts),
-        "path string, rg int, n_rg int, miss string")
+        "path string, rg int, n_rg int, miss string, ren string")
 
     def task(batches):
         import pyarrow as pa
@@ -1258,18 +1316,30 @@ def read_parquet_dataset(spark, src: str, columns=None, predicate=None,
             rgs = batch.column("rg").to_pylist()
             n_rgs = batch.column("n_rg").to_pylist()
             misses = batch.column("miss").to_pylist()
-            for p, rg, n_rg, miss in zip(paths, rgs, n_rgs, misses):
+            rens = batch.column("ren").to_pylist()
+            for p, rg, n_rg, miss, ren in zip(paths, rgs, n_rgs, misses,
+                                              rens):
                 if eq_terms and _rg_prunes(p, rg, eq_terms, meta_cache):
                     continue
                 missing = miss.split(",") if miss else []
+                fwd = dict(pair.split(":") for pair in ren.split(",")) \
+                    if ren else {}             # stored -> current
+                rev = {v: k for k, v in fwd.items()}
                 cols_here = read_cols if not missing else (
                     None if read_cols is None
                     else [c for c in read_cols if c not in missing])
+                if cols_here is not None and rev:
+                    # the file stores pre-rename names: assemble those
+                    cols_here = [rev.get(c, c) for c in cols_here]
                 # single-rg file: whole-file buffered read (one syscall,
                 # no per-page mmap faults); multi-rg: mmap + rg ranges
                 tbl = assemble_file(
                     p, columns=cols_here,
                     row_groups=[rg] if n_rg > 1 else None)
+                if fwd:
+                    # snapshot-declared renames: present current names
+                    tbl = tbl.rename_columns(
+                        [fwd.get(n, n) for n in tbl.column_names])
                 # add-column evolution: columns this file predates read
                 # back as nulls of the union type
                 for c in missing:

@@ -109,7 +109,8 @@ def commit_snapshot(out_dir: str, manifest_rows,
                     operation: str = "append",
                     parent: "int | None" = None,
                     delete_manifest_rows=None,
-                    delete_column: "str | None" = None) -> dict:
+                    delete_column: "str | None" = None,
+                    renames: "dict | None" = None) -> dict:
     """Commit the sink manifest rows of one finished write as a new
     snapshot version and return the committed document.
 
@@ -152,7 +153,8 @@ def commit_snapshot(out_dir: str, manifest_rows,
                              f"{out_dir}/_deletes/")
         e["column"] = delete_column
         new_deletes.append(e)
-    if not new and not new_deletes and operation == "append":
+    if not new and not new_deletes and renames is None \
+            and operation == "append":
         raise ValueError("refusing to commit an empty append snapshot")
     sd = _snap_dir(out_dir)
     os.makedirs(sd, exist_ok=True)
@@ -177,8 +179,13 @@ def commit_snapshot(out_dir: str, manifest_rows,
         else:
             files = sorted(new, key=lambda e: e["path"])
             deletes = sorted(new_deletes, key=lambda e: e["path"])
+        ren = dict(prev.get("renames", {})) if prev is not None \
+            and operation == "append" else {}
+        if renames is not None:
+            ren = dict(renames)
         if prev is not None and files == prev["files"] \
-                and deletes == prev.get("deletes", []):
+                and deletes == prev.get("deletes", []) \
+                and ren == prev.get("renames", {}):
             # idempotent replay (a retried micro-batch re-emitting the
             # same bytes under the same content-hash names): the table
             # state is unchanged — return the current snapshot instead
@@ -198,6 +205,8 @@ def commit_snapshot(out_dir: str, manifest_rows,
         }
         if deletes:
             doc["deletes"] = deletes
+        if ren:
+            doc["renames"] = ren
         tmp = os.path.join(sd, f".commit-{os.getpid()}-{version}.tmp")
         with open(tmp, "w", encoding="utf-8") as f:
             json.dump(doc, f, indent=1)
@@ -237,6 +246,15 @@ def read_snapshot(spark, out_dir: str, version: "int | None" = None,
     if not paths:
         raise ValueError(f"snapshot {version} of {out_dir!r} lists no "
                          "files")
+    if snap.get("renames"):
+        # files store mixed pre/post-rename names; the JVM reader would
+        # silently drop or misalign them — the engine scan remaps per
+        # file and is the supported reader for renamed datasets
+        raise ValueError(
+            f"snapshot of {out_dir!r} carries column renames "
+            f"({snap['renames']}); read it with "
+            "record_assembly.read_parquet_dataset, which remaps stored "
+            "names per file")
     df = spark.read.parquet(*paths)
     if apply_deletes:
         df = _apply_deletes(spark, out_dir, snap, df)
@@ -245,15 +263,50 @@ def read_snapshot(spark, out_dir: str, version: "int | None" = None,
 
 def _apply_deletes(spark, out_dir: str, snap: dict, df):
     """Left-anti join the snapshot's equality-delete keys out of ``df``
-    (grouped per delete column; no-op when the snapshot has none)."""
+    (grouped per delete column; no-op when the snapshot has none). Key
+    files are single-column by construction; they're read positionally
+    (``toDF``) so a delete committed under a pre-rename column name
+    still joins after the data column was renamed."""
+    ren = snap.get("renames", {})
     by_col: dict = {}
     for e in snap.get("deletes", []):
-        by_col.setdefault(e["column"], []).append(
+        col = ren.get(e["column"], e["column"])
+        by_col.setdefault(col, []).append(
             os.path.join(out_dir, e["path"]))
     for column, paths in sorted(by_col.items()):
-        keys = spark.read.parquet(*paths).select(column).distinct()
+        keys = spark.read.parquet(*paths).toDF(column).distinct()
         df = df.join(keys, on=column, how="left_anti")
     return df
+
+
+def rename_column(out_dir: str, old: str, new: str) -> dict:
+    """Rename a top-level column with ZERO file rewrites: commit a new
+    snapshot version whose ``renames`` map sends every STORED name that
+    currently reads as ``old`` to ``new`` (Iceberg rename semantics,
+    tracked by name chains in the snapshot instead of field ids —
+    metadata-only, one JSON commit at any table size). Readers planning
+    from the snapshot remap each file's stored columns to their current
+    names before the union, so old files keep working untouched.
+
+    By-name tracking has one honest limitation field ids would not: a
+    name that was ever renamed AWAY can never be reintroduced for a
+    different column (the scan could not tell a file's stored column
+    apart from the reintroduced one) — that commit is refused here, and
+    the scan fails loudly if a file somehow carries both a stored name
+    and its current name."""
+    cur = load_snapshot(out_dir)            # raises when no log exists
+    if old == new:
+        raise ValueError("rename to the same name")
+    ren = dict(cur.get("renames", {}))
+    if new in ren:
+        raise ValueError(
+            f"column name {new!r} was previously renamed away "
+            f"(-> {ren[new]!r}); by-name rename cannot reintroduce it")
+    for k, v in list(ren.items()):
+        if v == old:            # chain: stored k read as old, now as new
+            ren[k] = new
+    ren[old] = new
+    return commit_snapshot(out_dir, [], renames=ren)
 
 
 def commit_equality_deletes(out_dir: str, keys_df, column: str,
