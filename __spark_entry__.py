@@ -808,6 +808,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select(F.col("keep_id").cast("string").alias("doc_id")))
     q["dedup_tokens"] = dedup_tokens
 
+    def dedup_token_spans(spark: SparkSession, sf: str) -> DataFrame:
+        """ExactSubstr-style duplicated TOKEN-SPAN detection (r7): every
+        8-token span shared verbatim by >= 2 documents, winnow-sampled
+        (w=4, so any shared run >= 11 tokens is guaranteed a hit) — the
+        Lee et al. 'Deduplicating Training Data' recipe re-expressed as
+        row-local array HOFs + ONE fingerprint shuffle. DuckDB replays
+        the identical shingle/winnow grammar over the same token
+        expression."""
+        from parquet_cpp_spark.functions.dedup import \
+            duplicated_token_spans
+        src = tokens_src.tokens_from_documents(spark, sf, _parts(sf))
+        return duplicated_token_spans(src, k=8, w=4)
+    q["dedup_token_spans"] = dedup_token_spans
+
     def vocab_topk(spark: SparkSession, sf: str) -> DataFrame:
         """Vocabulary histogram over the token table: the 100 most frequent
         token ids (count desc, id asc) — the first statistic any training
@@ -1863,6 +1877,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window/lag plan subsumes the hourly groupBy shape); the query
         # keeps its oracle in test_query_matches_oracle.
         "events_hourly",
+        # r7 (late): dedup_tokens rotates out to make window room for
+        # dedup_token_spans — both are md5-groupBy exact dedups and the
+        # in-window dedup_exact drives the identical machinery on the
+        # text column; the span query adds NEW machinery (array-HOF
+        # shingling + winnowing + fingerprint shuffle) and takes the
+        # checked slot. dedup_tokens keeps its oracle in
+        # test_query_matches_oracle.
+        "dedup_tokens",
         # r7 (late): pq_rename_evolution is born past the cap — the
         # window is full and its scan machinery (snapshot planning +
         # per-file remap) is driven in-window by pq_dedup_deletes /
@@ -2033,6 +2055,32 @@ def oracle_sql() -> dict[str, str]:
                              AS content_hash
                   FROM documents)
             GROUP BY content_hash
+        """,
+        # duplicated token spans: the same k=8 shingle md5 + w=4 winnow
+        # grammar replayed over the identical token expression
+        "dedup_token_spans": f"""
+            WITH tok AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     {tokens_src._TOKEN_EXPR_DUCKDB} AS tokens
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     list_transform(generate_series(1, len(tokens) - 7),
+                        i -> md5(array_to_string(
+                               list_transform(tokens[i:i+7],
+                                              x -> CAST(x AS VARCHAR)),
+                               ' '))) AS hashes
+              FROM tok WHERE len(tokens) >= 8
+            ), fp AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(hashes) - 3, 1)),
+                       j -> list_min(hashes[j:j+3]))) AS fps
+              FROM sh
+            ), x AS (SELECT doc_id, unnest(fps) AS fp FROM fp)
+            SELECT fp, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+            FROM x GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2
         """,
         "training_subset": """
             WITH keep AS (

@@ -253,3 +253,49 @@ def decontaminate(docs: DataFrame, bench: DataFrame,
                          "(auto | broadcast | shuffle)")
     return (joined.groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_hits")))
+
+
+def token_span_fingerprints(tokens_col: str = "tokens", k: int = 8,
+                            w: int = 4):
+    """Winnowed fingerprints of k-TOKEN spans as a column expression:
+    hash every k-token shingle of the token stream (md5 over the
+    space-joined decimal tokens — the engine's SQL-reproducible hash
+    grammar), then keep each w-window's minimum and dedupe (classic
+    winnowing: guarantees any shared span of length >= k+w-1 tokens
+    yields at least one shared fingerprint, while sampling ~1/w of
+    positions). Pure built-in array HOFs — JVM-side, zero shuffle,
+    no UDFs. Docs shorter than k tokens produce an empty set."""
+    sh = (f"transform(sequence(1, size({tokens_col}) - {k - 1}), "
+          f"i -> md5(array_join(transform(slice({tokens_col}, i, {k}), "
+          f"x -> cast(x as string)), ' ')))")
+    wins = (f"transform(sequence(1, greatest(size(__sh) - {w - 1}, 1)), "
+            f"j -> array_min(slice(__sh, j, {w})))")
+    return F.when(
+        F.size(F.col(tokens_col)) >= k,
+        F.expr(f"array_distinct({wins.replace('__sh', sh)})")
+    ).otherwise(F.expr("array()"))
+
+
+def duplicated_token_spans(docs: DataFrame, tokens_col: str = "tokens",
+                           id_col: str = "doc_id", k: int = 8,
+                           w: int = 4) -> DataFrame:
+    """ExactSubstr-style duplicated-span detection over TOKEN streams
+    (the Lee et al. 'Deduplicating Training Data' public recipe, made
+    shuffle-bounded by winnowing): fingerprints of k-token spans shared
+    VERBATIM by >= 2 documents, with how many docs share each and the
+    id range. Scale shape: fingerprinting is row-local (array HOFs, no
+    UDFs, sampling ~1/w of span positions), then ONE shuffle on the
+    fingerprint for the group-by; the output is a bounded summary per
+    duplicated span (no pair fan-out, so no bucket cap is needed —
+    downstream span removal joins this back by fingerprint)."""
+    fps = token_span_fingerprints(tokens_col, k=k, w=w)
+    # (doc, fp) pairs are unique by construction (the fingerprint set is
+    # array_distinct per doc), so a plain COUNT equals COUNT(DISTINCT
+    # doc) — and costs ONE shuffle instead of the distinct-aggregate's
+    # two (pinned by the plan test)
+    return (docs.select(F.col(id_col), F.explode(fps).alias("fp"))
+            .groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min(id_col).alias("first_doc"),
+                 F.max(id_col).alias("last_doc"))
+            .filter(F.col("n_docs") >= 2))

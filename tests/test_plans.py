@@ -311,3 +311,31 @@ def test_prune_parts_predicate_edges(spark):
     kept = {r.part_id for r in lookup.prune_parts_predicate(
         meta, [("x", "==", big)]).collect()}
     assert kept == {0}
+
+
+def test_duplicated_token_spans_one_shuffle_and_winnow_guarantee(spark):
+    """Span dedup shuffles exactly once (the fingerprint groupBy — the
+    shingle/winnow stage is row-local HOFs, no UDFs), and winnowing's
+    guarantee holds: two docs sharing a run of >= k+w-1 tokens always
+    share a fingerprint; docs shorter than k produce none."""
+    from parquet_cpp_spark.functions import dedup
+
+    # shared 11-token run (k=8, w=4 -> guaranteed hit) inside different
+    # contexts, plus a short doc and an unrelated doc
+    shared = list(range(100, 111))
+    rows = [("a", [1, 2, 3] + shared + [4, 5]),
+            ("b", [9, 8] + shared + [7]),
+            ("c", [1, 2, 3]),                      # shorter than k
+            ("d", [i * 3 for i in range(40)])]     # no shared span
+    docs = spark.createDataFrame(
+        [(i, t, len(t), "s") for i, t in rows],
+        "doc_id string, tokens array<int>, n_tok int, source string")
+    res = dedup.duplicated_token_spans(docs, k=8, w=4)
+    plan = _plan(res)
+    assert plan.count("Exchange") == 1, plan
+    got = res.collect()
+    assert got and all(r.n_docs == 2 and {r.first_doc, r.last_doc}
+                       == {"a", "b"} for r in got)
+    # the shared-run guarantee: at least one fingerprint from the run
+    assert dedup.duplicated_token_spans(
+        docs.filter("doc_id in ('c', 'd')"), k=8, w=4).count() == 0
