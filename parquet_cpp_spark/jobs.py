@@ -178,7 +178,17 @@ def cmd_verify_parquet(args) -> None:
     plan: dict = {}
     eng = read_parquet_dataset(spark, args.dir, predicate=pred,
                                plan_out=plan if pred else None)
-    jvm = spark.read.parquet(args.dir)
+    from .sources import snapshots as snapmod
+    if snapmod.list_versions(args.dir):
+        # like-for-like: the engine scan plans from the snapshot (and
+        # applies its equality deletes) — the JVM side must read the
+        # same version's files with the same deletes, not a raw
+        # directory listing that would also sweep up uncommitted or
+        # pre-compaction files. Renamed datasets raise loudly here (the
+        # JVM reader cannot union mixed stored names).
+        jvm = snapmod.read_snapshot(spark, args.dir)
+    else:
+        jvm = spark.read.parquet(args.dir)
     if pred:
         for col, op, val in pred:
             c = F.col(col)      # dotted paths = struct access, like

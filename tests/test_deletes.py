@@ -221,6 +221,22 @@ def test_changed_files_surfaces_delete_diffs(spark, dataset, capsys):
                                  if r["version"] == 1][0]
 
 
+def test_verify_parquet_like_for_like_under_deletes(spark, dataset,
+                                                    capsys):
+    """jobs verify-parquet on a snapshot-logged dataset with a kill list
+    compares the engine scan against the SNAPSHOT's delete-aware JVM
+    read (not the raw directory) — digests match."""
+    from parquet_cpp_spark import jobs
+    from parquet_cpp_spark.sources import snapshots as snap
+
+    out, src, kill = dataset
+    snap.commit_equality_deletes(out, kill, "doc_id")
+    jobs.main(["verify-parquet", "--dir", out])
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["digest_match"] is True
+    assert res["rows_engine"] == src.count() - kill.count()
+
+
 def test_guards(spark, dataset, tmp_path):
     from parquet_cpp_spark.sources import snapshots as snap
 
