@@ -164,6 +164,33 @@ class FileMeta:
     schema_raw: list = field(default_factory=list)
 
 
+def top_level_field_ids(meta: "FileMeta") -> dict:
+    """TOP-LEVEL column name -> parquet field_id (SchemaElement field 9)
+    for the file's direct root children; columns written without an id
+    are absent. The id is what Iceberg-family table formats track
+    columns by across renames."""
+    out: dict = {}
+    els = meta.schema_raw
+    if not els:
+        return out
+    idx = 1                              # skip the root element
+
+    def skip(i: int) -> int:
+        n = els[i].get(5, 0)
+        i += 1
+        for _ in range(n):
+            i = skip(i)
+        return i
+
+    for _ in range(els[0].get(5, 0)):
+        el = els[idx]
+        fid = el.get(9)
+        if fid is not None:
+            out[el.get(4, b"").decode()] = fid
+        idx = skip(idx)
+    return out
+
+
 def _parse_schema(elements: list[dict]) -> list[LeafColumn]:
     """SchemaElement list (preorder) -> leaves with max_def/max_rep.
     Repetition: 0 REQUIRED, 1 OPTIONAL, 2 REPEATED."""

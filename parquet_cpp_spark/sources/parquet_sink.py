@@ -672,7 +672,8 @@ def file_stats_json(meta) -> "str | None":
 
 def _write_one_file(tbl, tmp: str, dest: str, row_group_rows, page_rows,
                     compression, delta_columns, encodings,
-                    data_page_version, bloom_filter_columns=frozenset()):
+                    data_page_version, bloom_filter_columns=frozenset(),
+                    field_ids: "dict | None" = None):
     """Write one Arrow table as one engine PAR1 file (dot-prefixed temp +
     atomic rename) and return its manifest tuple."""
     import hashlib
@@ -733,6 +734,7 @@ def _write_one_file(tbl, tmp: str, dest: str, row_group_rows, page_rows,
                   data_page_version=data_page_version,
                   annotations=annotations, decimal_columns=decimals,
                   bloom_filter_columns=frozenset(bloom_filter_columns),
+                  field_ids=field_ids,
                   key_value_metadata={"pcs.n_values": str(n_values),
                                       "pcs.encodings": enc_tag,
                                       "pcs.params": params})
@@ -802,7 +804,8 @@ def emit_parquet_dataset(df, out_dir: str,
                          data_page_version: int = 1,
                          bloom_filter_columns: "frozenset | set"
                          = frozenset(),
-                         partition_by: "list | tuple | None" = None):
+                         partition_by: "list | tuple | None" = None,
+                         field_ids: "dict | None" = None):
     """DataFrame-in variant of ``write_parquet_dataset``: each task writes
     its partition's rows as ONE engine-format parquet file named by its
     CONTENT hash (``{prefix}part-{sha16}.parquet``) — a retried task that
@@ -856,7 +859,8 @@ def emit_parquet_dataset(df, out_dir: str,
             row = _write_one_file(sub, tmp, dest, row_group_rows,
                                   page_rows, compression, delta_columns,
                                   encodings, data_page_version,
-                                  frozenset(bloom_filter_columns))
+                                  frozenset(bloom_filter_columns),
+                                  field_ids)
             yield _manifest_batch(row)
 
     return df.mapInArrow(task, MANIFEST_SCHEMA)

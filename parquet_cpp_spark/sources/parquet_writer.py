@@ -1210,8 +1210,15 @@ def write_file(path: str, columns: list[tuple], num_rows: int,
                key_value_metadata: "dict[str, str] | None" = None,
                bloom_filter_columns: "frozenset[str] | set[str]"
                = frozenset(),
-               bloom_fpp: float = 0.01) -> None:
+               bloom_fpp: float = 0.01,
+               field_ids: "dict[str, int] | None" = None) -> None:
     """Write flat columns as a readable PAR1 file.
+
+    ``field_ids``: optional TOP-LEVEL column name -> parquet field_id
+    (SchemaElement field 9 — the id Iceberg-family table formats track
+    columns by across renames; pyarrow surfaces it as the
+    ``PARQUET:field_id`` field metadata). Emitted on the column's
+    top-level schema element only.
 
     ``columns``: (name, phys, values[, valid[, use_dictionary]]) tuples.
     ``values`` are slot-aligned when ``valid`` is given (entries at null
@@ -1450,7 +1457,10 @@ def write_file(path: str, columns: list[tuple], num_rows: int,
     # their leaves hang beneath them), schema.h:106-303 tree shape
     schema = [[(3, _I32, 0), (4, _BINARY, "schema"),
                (5, _I32, len(spec_list))]]
+    top_elements: list = []   # (top-level element index, column name)
     for s in spec_list:
+        top_elements.append(
+            (len(schema), s[0] if isinstance(s, tuple) else s.name))
         if hasattr(s, "pcs_schema"):
             # general-walker spec: it emits its own schema subtree (group
             # skeletons + leaves through _leaf_el for the annotations)
@@ -1538,6 +1548,18 @@ def write_file(path: str, columns: list[tuple], num_rows: int,
             name, phys = s[0], s[1]
             rep = 1 if len(s) > 3 and s[3] is not None else 0
             schema.append(_leaf_el(phys, rep, name, name))
+    if field_ids:
+        unknown = set(field_ids) - {n for _i, n in top_elements}
+        if unknown:
+            raise ValueError(f"field_ids for absent columns: "
+                             f"{sorted(unknown)}")
+        for idx, name in top_elements:
+            fid = field_ids.get(name)
+            if fid is not None:
+                # SchemaElement.field_id (field 9) on the TOP-LEVEL
+                # element; compact protocol needs ascending field order
+                schema[idx].append((9, _I32, int(fid)))
+                schema[idx].sort(key=lambda t: t[0])
     fmd = bytearray()
     # column_orders: TYPE_DEFINED_ORDER per leaf — without it readers must
     # ignore min_value/max_value (parquet-format Statistics contract)
