@@ -288,18 +288,24 @@ def cmd_compact(args) -> None:
             os.path.getsize(os.path.join(r, f))
             for r, _d, fs in os.walk(args.dir) for f in fs
             if f.endswith(".parquet") and not f.startswith("."))
-    n_files = max(1, round(total_bytes / (args.target_mb * (1 << 20))))
-    key = df.columns[0]
+    n_files = args.files or \
+        max(1, round(total_bytes / (args.target_mb * (1 << 20))))
+    # --sort-by: rewrite range-clustered on these columns (Iceberg's
+    # rewrite-with-sort-order) so per-file stats bounds get TIGHT and
+    # the scan's snapshot/footer pruning layers actually prune; default
+    # is the first column (stable deterministic order for idempotency)
+    sort_cols = args.sort_by.split(",") if args.sort_by \
+        else [df.columns[0]]
     part_by = args.partition_by.split(",") if args.partition_by else None
     if part_by:
         # preserve (or introduce) the partitioned layout: co-locate each
         # partition value, keep row order deterministic for content-hash
         # idempotency
         out = (df.repartition(n_files, *part_by)
-                 .sortWithinPartitions(*part_by, key))
+                 .sortWithinPartitions(*part_by, *sort_cols))
     else:
-        out = (df.repartitionByRange(n_files, key)
-                 .sortWithinPartitions(key))
+        out = (df.repartitionByRange(n_files, *sort_cols)
+                 .sortWithinPartitions(*sort_cols))
     man = emit_parquet_dataset(out, args.dir,
                                name_prefix="compact-",
                                encodings="auto",
@@ -485,6 +491,14 @@ def main(argv=None) -> None:
                      help="comma-separated columns: keep (or introduce) "
                           "an Iceberg-style col=value/ layout in the "
                           "compacted files")
+    cmp.add_argument("--sort-by", default=None,
+                     help="comma-separated columns to range-cluster the "
+                          "rewrite on (tightens per-file stats bounds "
+                          "so snapshot/footer pruning prunes); default: "
+                          "first column")
+    cmp.add_argument("--files", type=int, default=None,
+                     help="explicit output file count (overrides "
+                          "--target-mb sizing)")
     cmp.add_argument("--vacuum", action="store_true",
                      help="after committing the compacted snapshot, "
                           "expire prior versions and delete their "

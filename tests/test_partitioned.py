@@ -326,6 +326,45 @@ def test_streaming_emit_partitioned_layout(spark, tmp_path):
     assert snap.read_snapshot(spark, data_dir).count() == src.count()
 
 
+def test_compact_sort_by_tightens_pruning(spark, tmp_path, capsys):
+    """`jobs compact --sort-by n_tok` range-clusters the rewrite: a
+    selective n_tok predicate afterwards prunes most files from the
+    snapshot listing, where the shuffled pre-compaction layout pruned
+    none."""
+    import json
+
+    from parquet_cpp_spark import jobs
+    from parquet_cpp_spark.sources import snapshots as snap
+    from parquet_cpp_spark.sources.parquet_sink import emit_parquet_dataset
+    from parquet_cpp_spark.sources.record_assembly import \
+        read_parquet_dataset
+    from parquet_cpp_spark.sources.tokens import tokens_from_documents
+
+    src = tokens_from_documents(spark, "/root/testdata/sf0.01", 8) \
+        .select("doc_id", "tokens", "n_tok", "source")
+    out = str(tmp_path / "ds")
+    # hash layout: every file spans the full n_tok range
+    man = emit_parquet_dataset(src.repartition(8, "doc_id")
+                               .sortWithinPartitions("doc_id"),
+                               out).collect()
+    snap.commit_snapshot(out, man)
+    hi = src.selectExpr("percentile_approx(n_tok, 0.9) p").collect()[0].p
+    plan0 = {}
+    read_parquet_dataset(spark, out, predicate=[("n_tok", ">=", int(hi))],
+                         plan_out=plan0).count()
+    assert plan0["files_snapshot_pruned"] == 0    # shuffled: no pruning
+
+    jobs.main(["compact", "--dir", out, "--files", "8",
+               "--sort-by", "n_tok,doc_id"])
+    json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    plan1 = {}
+    res = read_parquet_dataset(spark, out,
+                               predicate=[("n_tok", ">=", int(hi))],
+                               plan_out=plan1)
+    assert res.count() == src.filter(f"n_tok >= {int(hi)}").count()
+    assert plan1["files_snapshot_pruned"] > 0     # clustered: prunes
+
+
 def test_unparsable_numeric_segment_keeps_file(tmp_path):
     """Conservative rule: a numeric predicate against a segment that
     doesn't parse as a number is NOT decisive — the file survives to the
