@@ -441,14 +441,16 @@ def main() -> None:
     # sf1 = tools/bench_sf1.py (45M rows, 10x this table); sf1_oracle =
     # tools/check_sf1_oracle.py (DuckDB digest match at 45M rows);
     # sink_vs_jvm / scan_vs_jvm = tools/measure_{sink,scan}_vs_jvm.py;
-    # sf1_scan = the 1800-file engine-scan digest proof.
+    # sf1_scan = the 1800-file engine-scan digest proof; plan_pruning /
+    # merge_on_read = tools/measure_plan_pruning.py (600-file snapshot
+    # planning vs footer planning; equality-delete anti-join cost).
     try:
         with open(os.path.join(REPO, "BENCH_local.json")) as f:
             recorded = json.load(f)
         if recorded.get("sf1"):
             out["sf1_proof"] = recorded["sf1"]
         for key in ("sf1_oracle", "sink_vs_jvm", "scan_vs_jvm",
-                    "sf1_scan"):
+                    "sf1_scan", "plan_pruning", "merge_on_read"):
             if recorded.get(key):
                 out[key] = recorded[key]
     except Exception:
