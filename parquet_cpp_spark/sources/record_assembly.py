@@ -1259,6 +1259,13 @@ def read_parquet_dataset(spark, src: str, columns=None, predicate=None,
 
     splits = []
     kept_files: set = set()
+    # the miss/ren split fields are ','/':'-delimited: a column name
+    # containing the delimiters would corrupt them — fail at plan time
+    bad = [c for c in set(need) | set(rename_map) | set(rename_map.values())
+           if "," in c or ":" in c]
+    if bad:
+        raise ValueError(f"column names {bad!r} contain ',' or ':' — "
+                         "unsupported in evolved/renamed scans")
     for f, n_rg, _kept0, _leaves, _rp in plans:
         n_rg, kept = file_kept[f]
         miss = ",".join(c for c in need if c not in file_cols[f])
