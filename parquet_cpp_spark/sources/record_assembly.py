@@ -1153,8 +1153,23 @@ def read_parquet_dataset(spark, src: str, columns=None, predicate=None,
                                         - files_snapshot_pruned),
                 files_snapshot_pruned=files_snapshot_pruned,
                 plan_mode="plan_pruned")
-        return spark.createDataFrame(
-            [], from_arrow_schema(_probe_schema(all_files, columns)))
+        if rename_map:
+            # a renamed dataset stores pre-rename names: probe the full
+            # schema, present it under current names, then project
+            import pyarrow as pa
+            base = _probe_schema(all_files, None)
+            by_cur = {rename_map.get(f.name, f.name):
+                      f.with_name(rename_map.get(f.name, f.name))
+                      for f in base}
+            want = columns if columns is not None else list(by_cur)
+            absent = [c for c in want if c not in by_cur]
+            if absent:
+                raise ValueError(f"columns not in file: {absent} "
+                                 f"(have {sorted(by_cur)})")
+            empty_schema = pa.schema([by_cur[c] for c in want])
+        else:
+            empty_schema = _probe_schema(all_files, columns)
+        return spark.createDataFrame([], from_arrow_schema(empty_schema))
     if distributed_plan:
         sc = spark.sparkContext
         n_slices = min(len(files), max(1, sc.defaultParallelism * 2))

@@ -129,6 +129,24 @@ def test_compact_materializes_current_names(spark, dataset, capsys):
     assert "source" in df.columns and df.count() == 60
 
 
+def test_all_pruned_on_renamed_dataset_returns_empty(spark, dataset):
+    """A predicate that prunes every file of a RENAMED dataset at plan
+    time still returns an empty frame with the current-name schema
+    (the schema probe presents stored names under the rename map)."""
+    from parquet_cpp_spark.sources.record_assembly import \
+        read_parquet_dataset
+
+    plan = {}
+    d = read_parquet_dataset(spark, dataset,
+                             predicate=[("doc_id", ">", "zzzz")],
+                             plan_out=plan)
+    assert d.count() == 0 and "source" in d.columns
+    assert plan["plan_mode"] == "plan_pruned"
+    d2 = read_parquet_dataset(spark, dataset, columns=["doc_id", "source"],
+                              predicate=[("doc_id", ">", "zzzz")])
+    assert d2.columns == ["doc_id", "source"] and d2.count() == 0
+
+
 def test_jobs_rename_cli(spark, dataset, capsys):
     from parquet_cpp_spark import jobs
     from parquet_cpp_spark.sources.record_assembly import \
