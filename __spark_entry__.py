@@ -1370,6 +1370,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           "n_tok", "origin")
     q["pq_rename_evolution"] = pq_rename_evolution
 
+    def doc_packing(spark: SparkSession, sf: str) -> DataFrame:
+        """Boundary-respecting document packing plan (r7): whole docs
+        assigned greedily to 512-token bins, never split — the
+        complement of the in-window seq_packing's stream slicing;
+        oversize docs isolated in flagged single-doc bins, nothing
+        silently truncated. The greedy recurrence is replayed exactly by
+        a DuckDB RECURSIVE CTE, so every (doc, bin) assignment is
+        oracle-checked. Runs past the driver cap (the packing family's
+        window slot belongs to seq_packing); pinned by
+        test_query_matches_oracle."""
+        from parquet_cpp_spark.functions.packing import pack_documents
+        src = tokens_src.tokens_from_documents(spark, sf, _parts(sf))
+        return pack_documents(src, 512)
+    q["doc_packing"] = doc_packing
+
     def rt_selective(spark: SparkSession, sf: str) -> DataFrame:
         """Predicate pushdown on the CHUNK format (r7): the token table is
         encoded with part_id banded on n_tok (the range-clustered layout a
@@ -1885,6 +1900,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # checked slot. dedup_tokens keeps its oracle in
         # test_query_matches_oracle.
         "dedup_tokens",
+        # r7 (late): doc_packing is born past the cap — the packing
+        # family's window slot belongs to seq_packing (stream slicing),
+        # and the boundary-respecting plan keeps its full recursive-CTE
+        # oracle in test_query_matches_oracle.
+        "doc_packing",
         # r7 (late): pq_rename_evolution is born past the cap — the
         # window is full and its scan machinery (snapshot planning +
         # per-file remap) is driven in-window by pq_dedup_deletes /
@@ -2298,6 +2318,47 @@ def oracle_sql() -> dict[str, str]:
         "pq_rename_evolution": f"""
             SELECT doc_id, tok_hash, n_tok, source AS origin
             FROM ({identity}) t
+        """,
+        # boundary-respecting packing: the greedy per-partition bin
+        # recurrence (open bin b with fill f; oversize -> own bin;
+        # overflow -> fresh bin) replayed as a recursive CTE
+        "doc_packing": f"""
+            WITH RECURSIVE base AS (
+              SELECT doc_id % {NUM_PARTS} AS part_id,
+                     CAST(doc_id AS VARCHAR) AS doc_id,
+                     CAST(len(string_split(text, ' ')) AS BIGINT)
+                         AS n_tok,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id % {NUM_PARTS}
+                                        ORDER BY doc_id) AS rn
+              FROM documents
+            ), r AS (
+              SELECT part_id, doc_id, n_tok, rn,
+                     CAST(0 AS BIGINT) AS bin_id,
+                     CASE WHEN n_tok > 512 THEN CAST(1 AS BIGINT)
+                          ELSE CAST(0 AS BIGINT) END AS b,
+                     CASE WHEN n_tok > 512 THEN CAST(0 AS BIGINT)
+                          ELSE n_tok END AS f
+              FROM base WHERE rn = 1
+              UNION ALL
+              SELECT q.part_id, q.doc_id, q.n_tok, q.rn,
+                     CASE WHEN q.n_tok > 512
+                          THEN r.b + CASE WHEN r.f > 0 THEN 1 ELSE 0 END
+                          WHEN r.f + q.n_tok <= 512 THEN r.b
+                          ELSE r.b + 1 END AS bin_id,
+                     CASE WHEN q.n_tok > 512
+                          THEN r.b + CASE WHEN r.f > 0 THEN 1 ELSE 0 END
+                               + 1
+                          WHEN r.f + q.n_tok <= 512 THEN r.b
+                          ELSE r.b + 1 END AS b,
+                     CASE WHEN q.n_tok > 512 THEN CAST(0 AS BIGINT)
+                          WHEN r.f + q.n_tok <= 512 THEN r.f + q.n_tok
+                          ELSE q.n_tok END AS f
+              FROM base q JOIN r ON q.part_id = r.part_id
+                                AND q.rn = r.rn + 1
+            )
+            SELECT part_id, doc_id, bin_id, n_tok,
+                   CASE WHEN n_tok > 512 THEN 1 ELSE 0 END AS oversize
+            FROM r
         """,
         # chunk-format selective decode: same WHERE semantics in DuckDB
         "rt_selective": f"""

@@ -85,3 +85,62 @@ def sample_mixture(docs: DataFrame, rates: dict[str, float],
     thresh = F.coalesce(mapping[F.col(source_col)], F.lit(0.0)) \
         * MIX_BUCKETS
     return docs.filter(_mix_bucket(id_col) < thresh)
+
+
+DOC_PACK_SCHEMA = ("part_id bigint, doc_id string, bin_id bigint, "
+                   "n_tok bigint, oversize int")
+
+
+def pack_documents(tokens_df: DataFrame, seq_len: int,
+                   part_col: str = "part_id",
+                   order_col: str = "doc_id") -> DataFrame:
+    """Boundary-respecting packing PLAN: assign whole documents to
+    fixed-capacity bins without ever splitting a document (the
+    complement of ``pack_sequences``, which slices the stream). Within
+    each partition, docs in integer ``order_col`` order fill the open
+    bin greedily; a doc that would overflow opens a fresh bin; a doc
+    LONGER than ``seq_len`` gets a bin of its own, flagged ``oversize``
+    (kept whole — truncation/splitting is an explicit downstream
+    choice, never silent). Deterministic: same input -> same assignment
+    on any cluster layout. Returns one row per doc (part_id, doc_id,
+    bin_id, n_tok, oversize) — the assignment IS the packing decision;
+    materializing token bins is a groupBy away.
+
+    Scale shape: one shuffle on ``part_col``; the greedy recurrence is
+    inherently sequential per partition, so it runs as a single linear
+    pass over two int64 arrays per task (a planner row per doc, no
+    token bytes touched)."""
+    from ..shipping import ensure_shipped
+    ensure_shipped(tokens_df.sparkSession)
+
+    def plan(pdf: pd.DataFrame):
+        order = pdf[order_col].astype(np.int64).to_numpy()
+        idx = np.argsort(order, kind="stable")
+        doc = pdf[order_col].to_numpy()[idx]
+        n = pdf["n_tok"].astype(np.int64).to_numpy()[idx]
+        bins = np.empty(len(n), dtype=np.int64)
+        b, f = 0, 0
+        for i, ln in enumerate(n):
+            ln = int(ln)
+            if ln > seq_len:
+                bid = b + (1 if f > 0 else 0)
+                bins[i] = bid
+                b, f = bid + 1, 0
+            elif f + ln <= seq_len:
+                bins[i] = b
+                f += ln
+            else:
+                b += 1
+                bins[i] = b
+                f = ln
+        part = int(pdf[part_col].iloc[0])
+        return pd.DataFrame({
+            "part_id": np.full(len(n), part, dtype=np.int64),
+            "doc_id": doc,
+            "bin_id": bins,
+            "n_tok": n,
+            "oversize": (n > seq_len).astype(np.int32),
+        })
+
+    return tokens_df.groupBy(part_col).applyInPandas(plan,
+                                                     DOC_PACK_SCHEMA)

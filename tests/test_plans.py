@@ -339,3 +339,31 @@ def test_duplicated_token_spans_one_shuffle_and_winnow_guarantee(spark):
     # the shared-run guarantee: at least one fingerprint from the run
     assert dedup.duplicated_token_spans(
         docs.filter("doc_id in ('c', 'd')"), k=8, w=4).count() == 0
+
+
+def test_pack_documents_invariants(spark):
+    """Boundary-respecting packing: no bin exceeds capacity unless it
+    holds exactly one flagged oversize doc; bin ids are contiguous per
+    partition; every doc appears exactly once; one shuffle."""
+    from pyspark.sql import functions as F
+
+    from parquet_cpp_spark.functions.packing import pack_documents
+    from parquet_cpp_spark.sources import tokens as T
+
+    src = T.tokens_from_documents(spark, SF_DIR, 4)
+    res = pack_documents(src, 128).cache()
+    try:
+        assert res.count() == src.count()
+        agg = res.groupBy("part_id", "bin_id").agg(
+            F.sum("n_tok").alias("s"), F.max("oversize").alias("o"),
+            F.count("*").alias("c"))
+        assert agg.filter("s > 128 and not (o = 1 and c = 1)").count() == 0
+        # oversize docs are ALWAYS alone in their bin
+        assert agg.filter("o = 1 and c > 1").count() == 0
+        # contiguous bin ids from 0 per partition
+        bad = res.groupBy("part_id").agg(
+            F.min("bin_id").alias("lo"), F.max("bin_id").alias("hi"),
+            F.countDistinct("bin_id").alias("n"))
+        assert bad.filter("lo != 0 or n != hi + 1").count() == 0
+    finally:
+        res.unpersist()
