@@ -1781,6 +1781,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(spark, sf))
     q["lang_id"] = lambda spark, sf: text.lang_id(_docs(spark, sf))
     q["fingerprints"] = lambda spark, sf: text.fingerprints(_docs(spark, sf))
+    # Gopher-style repetition gates (dup-word / dup-3gram / top-word
+    # shares as integer ppm): row-local HOFs, zero shuffle
+    q["repetition_stats"] = lambda spark, sf: text.repetition_stats(
+        _docs(spark, sf))
     q["shingle_fingerprints"] = lambda spark, sf: text.shingle_fingerprints(
         _docs(spark, sf))
     q["ann_ip_topk"] = lambda spark, sf: similarity.topk_inner_product_quantized(
@@ -1900,6 +1904,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # checked slot. dedup_tokens keeps its oracle in
         # test_query_matches_oracle.
         "dedup_tokens",
+        # r7 (late): fingerprints rotates out to make window room for
+        # repetition_stats (a NEW quality-gate family — Gopher
+        # repetition filters — vs fingerprints' md5 projections, whose
+        # machinery the in-window shingle_fingerprints also drives);
+        # keeps its oracle in test_query_matches_oracle.
+        "fingerprints",
         # r7 (late): doc_packing is born past the cap — the packing
         # family's window slot belongs to seq_packing (stream slicing),
         # and the boundary-respecting plan keeps its full recursive-CTE
@@ -2255,6 +2265,36 @@ def oracle_sql() -> dict[str, str]:
                    md5(array_to_string(string_split(text, ' ')[1:8], ' '))
                        AS fp_prefix
             FROM documents
+        """,
+        # Gopher repetition gates: same word/3-gram grammars, integer ppm
+        # via truncating division (// here, div on the Spark side)
+        "repetition_stats": """
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ), g AS (
+              SELECT doc_id, ws,
+                     list_transform(
+                       generate_series(1, greatest(len(ws) - 2, 0)),
+                       i -> array_to_string(ws[i:i+2], ' ')) AS g3
+              FROM w
+            )
+            SELECT doc_id,
+                   CAST(len(ws) AS BIGINT) AS n_words,
+                   CASE WHEN len(ws) > 0 THEN
+                     (CAST(1000000 AS BIGINT)
+                      * (len(ws) - len(list_distinct(ws)))) // len(ws)
+                   ELSE 0 END AS dup_word_ppm,
+                   CASE WHEN len(g3) > 0 THEN
+                     (CAST(1000000 AS BIGINT)
+                      * (len(g3) - len(list_distinct(g3)))) // len(g3)
+                   ELSE 0 END AS dup_3gram_ppm,
+                   CASE WHEN len(ws) > 0 THEN
+                     (CAST(1000000 AS BIGINT) * coalesce(list_max(
+                        list_transform(list_distinct(ws),
+                          ww -> len(list_filter(ws, x -> x = ww)))), 0))
+                     // len(ws)
+                   ELSE 0 END AS top_word_ppm
+            FROM g
         """,
         # LSH scale path oracle (the exact cross-join baseline lives in
         # tests/test_similarity.py, not in the driver set)

@@ -113,3 +113,35 @@ def fingerprints(docs: DataFrame, text_col: str = "text",
         id_col,
         F.md5(F.col(text_col)).alias("fp_full"),
         F.md5(prefix).alias("fp_prefix"))
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style intra-document repetition gates (Rae et al. 2021's
+    public repetition filters, §A1.1): duplicate-word fraction,
+    duplicate-3-gram fraction, and the top single word's share of the
+    doc — the standard signals for cutting boilerplate / degenerate
+    pages from training data. All pure row-local array HOFs (zero
+    shuffle), reported as INTEGER parts-per-million (truncating
+    division) so DuckDB reproduces every value exactly."""
+    n = F.size(_words(text_col))
+    g3 = (f"transform(sequence(1, greatest(size(split({text_col}, ' ')) "
+          f"- 2, 0)), i -> array_join(slice(split({text_col}, ' '), i, "
+          f"3), ' '))")
+
+    def _ppm(num_sql: str, den_sql: str) -> F.Column:
+        return F.expr(f"CASE WHEN {den_sql} > 0 THEN "
+                      f"(CAST(1000000 AS BIGINT) * ({num_sql})) "
+                      f"div ({den_sql}) ELSE 0 END")
+
+    w = f"split({text_col}, ' ')"
+    return docs.select(
+        id_col,
+        n.cast("long").alias("n_words"),
+        _ppm(f"size({w}) - size(array_distinct({w}))", f"size({w})")
+        .alias("dup_word_ppm"),
+        _ppm(f"size({g3}) - size(array_distinct({g3}))", f"size({g3})")
+        .alias("dup_3gram_ppm"),
+        _ppm("coalesce(array_max(transform(array_distinct("
+             f"{w}), ww -> size(filter({w}, x -> x = ww)))), 0)",
+             f"size({w})").alias("top_word_ppm"))
