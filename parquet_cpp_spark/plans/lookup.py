@@ -271,6 +271,15 @@ def point_lookup(chunks_df: DataFrame, doc_id: str) -> DataFrame:
     return pruned.mapInArrow(task, DECODED_SCHEMA)
 
 
+def _delete_leaf_path(path: str) -> str:
+    """The single leaf column of an equality-delete key file (stored
+    name — key files are one-column by construction)."""
+    from ..sources import parquet_format as pf
+    with open(path, "rb") as fh:
+        meta = pf.read_footer(memoryview(fh.read()))
+    return meta.leaves[0].name
+
+
 def point_lookup_parquet(spark, dataset_dir: str, column: str, key):
     """Distributed point lookup over an ENGINE-WRITTEN parquet dataset
     (sources.parquet_sink output): tasks receive file paths, prune data
@@ -295,12 +304,42 @@ def point_lookup_parquet(spark, dataset_dir: str, column: str, key):
               "pages_total int")
     if not os.path.isdir(dataset_dir):
         raise FileNotFoundError(f"not a dataset dir: {dataset_dir}")
-    # recursive: partitioned layouts (col=value/ subdirectories) keep
-    # their files below the root; dotfiles are in-flight temps
-    files = sorted(
-        f for f in glob.glob(os.path.join(dataset_dir, "**", "*.parquet"),
-                             recursive=True)
-        if not os.path.basename(f).startswith("."))
+    if os.path.isdir(os.path.join(dataset_dir, "_snapshots")):
+        # snapshot-logged dataset: look up against the committed cut —
+        # uncommitted/pre-compaction files are invisible, and a key on
+        # the kill list resolves to NO rows (merge-on-read applies to
+        # point lookups too; one stats/bloom-pruned pass over the tiny
+        # key files decides membership before any data file is touched)
+        from ..sources import snapshots as snap
+        doc = snap.load_snapshot(dataset_dir)
+        if snap_renames := doc.get("renames", {}):
+            # the caller names the CURRENT column; files store pre-rename
+            # names — resolve the stored name for the lookup
+            rev = {v: k for k, v in snap_renames.items()}
+            column = rev.get(column, column)
+        for e in doc.get("deletes", []):
+            if snap_renames.get(e["column"], e["column"]) != column \
+                    and e["column"] != column:
+                continue
+            from ..sources import parquet_format as pf
+            rows, _d, _t = pf.lookup_rows(
+                os.path.join(dataset_dir, e["path"]),
+                _delete_leaf_path(os.path.join(dataset_dir, e["path"])),
+                key)
+            if rows:
+                return spark.createDataFrame([], schema)
+        files = sorted(os.path.join(dataset_dir, e["path"])
+                       for e in doc["files"])
+    else:
+        # recursive: partitioned layouts (col=value/ subdirectories) keep
+        # their files below the root; dotfiles are in-flight temps and
+        # _/.-prefixed dirs are metadata, not data
+        files = sorted(
+            f for f in glob.glob(
+                os.path.join(dataset_dir, "**", "*.parquet"),
+                recursive=True)
+            if not any(seg.startswith((".", "_")) for seg in
+                       os.path.relpath(f, dataset_dir).split(os.sep)))
     if not files:
         # dir exists but holds no committed files (sink not yet run, or
         # only .inprogress temps): an empty result, not a crash

@@ -237,6 +237,24 @@ def test_verify_parquet_like_for_like_under_deletes(spark, dataset,
     assert res["rows_engine"] == src.count() - kill.count()
 
 
+def test_point_lookup_respects_snapshot_and_kill_list(spark, dataset):
+    """point_lookup_parquet on a snapshot-logged dataset: a killed key
+    resolves to NO rows (membership decided on the tiny key files before
+    any data file is touched); a live key still resolves."""
+    from parquet_cpp_spark.plans.lookup import point_lookup_parquet
+    from parquet_cpp_spark.sources import snapshots as snap
+
+    out, src, kill = dataset
+    snap.commit_equality_deletes(out, kill, "doc_id")
+    dead = kill.first().doc_id
+    live = src.filter("CAST(doc_id AS BIGINT) % 7 != 0") \
+        .select("doc_id").first().doc_id
+    assert point_lookup_parquet(spark, out, "doc_id", dead) \
+        .filter("row_index >= 0").count() == 0
+    assert point_lookup_parquet(spark, out, "doc_id", live) \
+        .filter("row_index >= 0").count() == 1
+
+
 def test_guards(spark, dataset, tmp_path):
     from parquet_cpp_spark.sources import snapshots as snap
 
