@@ -125,9 +125,12 @@ def repetition_stats(docs: DataFrame, text_col: str = "text",
     shuffle), reported as INTEGER parts-per-million (truncating
     division) so DuckDB reproduces every value exactly."""
     n = F.size(_words(text_col))
-    g3 = (f"transform(sequence(1, greatest(size(split({text_col}, ' ')) "
-          f"- 2, 0)), i -> array_join(slice(split({text_col}, ' '), i, "
-          f"3), ' '))")
+    # guard: Spark's sequence(1, stop) DESCENDS when stop < 1 (yielding
+    # an invalid slice start 0), so sub-3-word docs take the empty branch
+    g3 = (f"CASE WHEN size(split({text_col}, ' ')) >= 3 THEN "
+          f"transform(sequence(1, size(split({text_col}, ' ')) - 2), "
+          f"i -> array_join(slice(split({text_col}, ' '), i, 3), ' ')) "
+          f"ELSE array() END")
 
     def _ppm(num_sql: str, den_sql: str) -> F.Column:
         return F.expr(f"CASE WHEN {den_sql} > 0 THEN "
@@ -145,3 +148,26 @@ def repetition_stats(docs: DataFrame, text_col: str = "text",
         _ppm("coalesce(array_max(transform(array_distinct("
              f"{w}), ww -> size(filter({w}, x -> x = ww)))), 0)",
              f"size({w})").alias("top_word_ppm"))
+
+
+def pii_scan(docs: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """PII pre-scrub scan (the C4/RefinedWeb-style curation stage):
+    per-doc counts of email-shaped, IPv4-shaped, and long-digit-run
+    matches, plus the total — the signal a scrub/drop policy consumes.
+    Patterns are deliberately simple and dialect-portable (Java regex
+    here, RE2 in DuckDB oracles); row-local ``regexp_count``, zero
+    shuffle. Counting, not redaction: what to do with a hit (mask, drop
+    doc, hash) is an explicit downstream policy."""
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    ipv4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+    digits = r"\b\d{9,}\b"
+    n_email = F.regexp_count(F.col(text_col), F.lit(email))
+    n_ip = F.regexp_count(F.col(text_col), F.lit(ipv4))
+    n_dig = F.regexp_count(F.col(text_col), F.lit(digits))
+    return docs.select(
+        id_col,
+        n_email.cast("long").alias("n_email"),
+        n_ip.cast("long").alias("n_ipv4"),
+        n_dig.cast("long").alias("n_digit_runs"),
+        (n_email + n_ip + n_dig).cast("long").alias("n_pii"))
