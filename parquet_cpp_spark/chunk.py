@@ -309,6 +309,16 @@ def build_levels_sections(row_lengths: np.ndarray) -> tuple[bytes, int]:
     return sections, len(rep)
 
 
+def _values_raw_bytes(values, phys: str) -> int:
+    """Raw payload bytes of the VALUES only (the quantity the paged-path
+    predicate in :func:`encode_chunk` compares against page_size)."""
+    if phys == "byte_array":
+        v = ba.as_view(values)
+        return v.total_bytes + 4 * len(v)
+    itemsize = 4 if phys in ("int32", "uint32", "float") else 8
+    return itemsize * len(values)
+
+
 def _parse_phys(phys: str) -> tuple[str, int]:
     """'flba:12' -> ('flba', 12); others -> (phys, 0)."""
     if phys.startswith("flba"):
@@ -573,9 +583,8 @@ def decode_chunk(blob) -> DecodedChunk:
     if flags & FLAG_HAS_LEVELS:
         n_slots = int.from_bytes(mv[pos: pos + 4], "little")
         pos += 4
-        rep, pos = rle.decode_length_prefixed(mv, n_slots, 1, pos)
-        deflev, pos = rle.decode_length_prefixed(mv, n_slots, 1, pos)
-        row_lengths = levels_mod.lengths_from_levels(rep, deflev)
+        row_lengths, pos = levels_mod.lengths_from_bit1_streams(mv, n_slots,
+                                                                pos)
     valid_mask = None
     if flags & FLAG_HAS_NULLS:
         n_slots = int.from_bytes(mv[pos: pos + 4], "little")
@@ -1042,9 +1051,7 @@ def _iter_pages(mv, n_pages: int, pos: int):
 def _parse_page_levels(body, pos: int):
     n_slots = int.from_bytes(body[pos: pos + 4], "little")
     pos += 4
-    rep, pos = rle.decode_length_prefixed(body, n_slots, 1, pos)
-    deflev, pos = rle.decode_length_prefixed(body, n_slots, 1, pos)
-    return levels_mod.lengths_from_levels(rep, deflev), pos
+    return levels_mod.lengths_from_bit1_streams(body, n_slots, pos)
 
 
 def _decode_page_body(body, phys: str, page_codec: int, p_rows: int,

@@ -120,74 +120,36 @@ def encode(values: np.ndarray, wrap32: bool = False) -> bytes:
         n_mini_used = (ns + MINI_SIZE - 1) // MINI_SIZE
         widths[n_mini_used:] = 0
 
-        w_max = int(widths.max())
-        if w_max:
-            # pack miniblocks grouped by width (few distinct widths per
-            # super-block): u64 shift/or accumulation, ~1 byte of traffic
-            # per packed bit — no per-bit matrices
-            wid64 = widths.astype(np.int64)
-            mini_bytes = wid64 * (MINI_SIZE // 8)
-            byte_off = np.zeros(len(widths), dtype=np.int64)
-            np.cumsum(mini_bytes[:-1], out=byte_off[1:])
-            distinct = np.unique(widths)
-            distinct = distinct[distinct != 0]
-            stream = None
-            for w in distinct.tolist():
-                ids = np.flatnonzero(widths == w)
-                # pack as 8-value rows (8w bits stay byte-aligned, so the
-                # bitstream is identical): 4x fewer shift/or passes at 4x
-                # the row count — ~2x less numpy call overhead, measured.
-                # Widths <= 25 ride the u32 packer lane (half the temp
-                # traffic; in narrow mode the gather stays uint32
-                # end-to-end, no widening copy at all).
-                rvals = minis[ids].reshape(-1, 8)
-                if w <= 25:
-                    rows = bitpack.pack_rows32(
-                        rvals.astype(np.uint32, copy=False),
-                        w).reshape(len(ids), 4 * w)
-                else:
-                    rows = bitpack.pack_rows(
-                        rvals.astype(np.uint64, copy=False),
-                        w).reshape(len(ids), 4 * w)
-                if len(distinct) == 1:
-                    # uniform-width super-block (the common case for each
-                    # data profile): zero-width minis contribute 0 bytes,
-                    # so the width-group rows ARE the stream — a straight
-                    # view, no per-byte index scatter at all
-                    stream = rows.reshape(-1)
-                    break
-                if stream is None:
-                    stream = np.empty(int(mini_bytes.sum()), dtype=np.uint8)
-                # intp indices: numpy upcasts narrower index arrays before
-                # the scatter (an int32 "saving" costs an extra pass)
-                dst = byte_off[ids][:, None] + \
-                    np.arange(rows.shape[1], dtype=np.int64)
-                stream[dst.reshape(-1)] = rows.reshape(-1)
-        else:
-            stream = np.zeros(0, dtype=np.uint8)
-        out += _emit_blocks(mins.astype(np.int64, copy=False), widths,
-                            stream, n_blocks)
+        out += _emit_super(mins.astype(np.int64, copy=False), widths, minis,
+                           n_blocks)
     return bytes(out)
 
 
-# benchmark A/B toggle for the uniform-layout emit path (always-on in
-# production; the flag lets the kernel bench time both paths in ONE
-# process, the only honest comparison on a contention-noisy host)
-_EMIT_UNIFORM_FAST = True
+def _pack_group(rvals, w: int) -> np.ndarray:
+    """Pack (k, 8) rows at width ``w``: 8w bits stay byte-aligned, so the
+    bitstream is identical to value-at-a-time packing. Widths <= 25 ride
+    the u32 packer lane (half the temp traffic; in narrow mode the values
+    stay uint32 end-to-end, no widening copy at all)."""
+    if w <= 25:
+        return bitpack.pack_rows32(rvals.astype(np.uint32, copy=False), w)
+    return bitpack.pack_rows(rvals.astype(np.uint64, copy=False), w)
 
 
-def _emit_blocks(mins: np.ndarray, widths: np.ndarray, stream: np.ndarray,
-                 n_blocks: int) -> bytes:
-    """Vectorized interleave of [zigzag-varint min_delta][width bytes]
-    [payload slice] per block — one scatter instead of a per-block loop.
+def _emit_super(mins: np.ndarray, widths: np.ndarray, minis: np.ndarray,
+                n_blocks: int) -> bytes:
+    """One super-block's [zigzag-varint min_delta][width bytes][payload]
+    stream, fused: packed miniblock rows are written DIRECTLY into their
+    final interleaved positions (single scatter per width group) instead of
+    packing to a contiguous stream and re-scattering it behind the headers —
+    the old two-phase emit moved every payload byte twice and built a
+    full-size int64 index (8x the payload in pure index traffic) for the
+    second move. Byte output identical (golden-pinned).
 
-    Varints are emitted as fixed 5-slot rows with a validity mask (LEB128
-    continuation bits computed vectorized), then compacted together with the
-    width bytes and the contiguous payload via a single fancy-indexed
-    assignment per stream."""
+    Varints are emitted as fixed 5/10-slot rows with a validity mask
+    (LEB128 continuation bits computed vectorized); headers are scattered
+    per block (tiny), payloads per width group."""
     # zigzag, vectorized (values fit int64; arithmetic shift keeps sign)
-    zz = ((mins.astype(np.int64) << 1) ^ (mins.astype(np.int64) >> 63)) \
-        .astype(np.uint64)
+    zz = ((mins << 1) ^ (mins >> 63)).astype(np.uint64)
     # varint bytes: up to 10 groups of 7 bits for uint64, but min_delta of
     # int32 data fits 5 groups; compute needed length per value
     n_groups = 5
@@ -205,25 +167,29 @@ def _emit_blocks(mins: np.ndarray, widths: np.ndarray, stream: np.ndarray,
         .astype(np.uint8)
 
     mb = len(widths) // n_blocks  # miniblocks per block
-    pay_per_block = widths.astype(np.int64).reshape(n_blocks, mb) \
-        .sum(axis=1) * (MINI_SIZE // 8)
-    # Uniform-layout fast path: when every block has the same varint
-    # length AND the same payload size (steady delta streams — the common
-    # case inside one data profile), the output is a dense (n_blocks,
-    # row_len) matrix: three strided column writes replace the per-byte
-    # index scatter below (whose int64 index arrays are 8x the payload
-    # traffic). Byte output identical.
-    if (_EMIT_UNIFORM_FAST and n_blocks > 1 and len(stream)
-            and int(vlen.min()) == int(vlen.max())
-            and int(pay_per_block.min()) == int(pay_per_block.max())
-            and len(stream) == n_blocks * int(pay_per_block[0])):
+    wid64 = widths.astype(np.int64)
+    pay2d = wid64.reshape(n_blocks, mb) * (MINI_SIZE // 8)
+    pay_per_block = pay2d.sum(axis=1)
+    distinct = np.unique(widths)
+    distinct = distinct[distinct != 0]
+
+    # Uniform-layout fast path: one width everywhere and a uniform varint
+    # length (steady delta streams — the common case inside one data
+    # profile): the output is a dense (n_blocks, row_len) matrix — three
+    # strided column writes, no gather, no scatter at all.
+    if (n_blocks > 1 and len(distinct) == 1 and len(widths) == n_blocks * mb
+            and int(widths.min()) != 0
+            and int(vlen.min()) == int(vlen.max())):
+        w = int(distinct[0])
         vl = int(vlen[0])
-        pp = int(pay_per_block[0])
-        outm = np.empty((n_blocks, vl + mb + pp), dtype=np.uint8)
+        rows = _pack_group(minis.reshape(-1, 8), w) \
+            .reshape(n_blocks, mb * 4 * w)
+        outm = np.empty((n_blocks, vl + mb + mb * 4 * w), dtype=np.uint8)
         outm[:, :vl] = vbytes[:, :vl]
         outm[:, vl: vl + mb] = widths.reshape(n_blocks, mb)
-        outm[:, vl + mb:] = stream.reshape(n_blocks, pp)
+        outm[:, vl + mb:] = rows
         return outm.tobytes()
+
     block_len = vlen + mb + pay_per_block
     dest0 = np.zeros(n_blocks, dtype=np.int64)
     np.cumsum(block_len[:-1], out=dest0[1:])
@@ -236,13 +202,23 @@ def _emit_blocks(mins: np.ndarray, widths: np.ndarray, stream: np.ndarray,
     # width bytes: dest = block start + vlen + [0..mb)
     wdest = (dest0 + vlen)[:, None] + np.arange(mb)[None, :]
     outb[wdest.ravel()] = widths
-    # payload: dest = block start + vlen + mb + offset within block payload
-    if len(stream):
-        pay_start = dest0 + vlen + mb
-        shift = np.repeat(pay_start, pay_per_block)
-        shift -= np.repeat(np.concatenate(([0], np.cumsum(pay_per_block)[:-1])),
-                           pay_per_block)
-        outb[np.arange(len(stream), dtype=np.int64) + shift] = stream
+    if len(distinct):
+        # final byte position of each miniblock's payload: its block's
+        # payload start + the cumulative widths of earlier minis in-block
+        within = np.zeros((n_blocks, mb), dtype=np.int64)
+        np.cumsum(pay2d[:, :-1], axis=1, out=within[:, 1:])
+        mini_dst0 = ((dest0 + vlen + mb)[:, None] + within).ravel()
+        for w in distinct.tolist():
+            ids = np.flatnonzero(widths == w)
+            # all-one-width: skip the (full-copy) gather, pack in place
+            rvals = minis.reshape(-1, 8) if len(ids) == len(widths) \
+                else minis[ids].reshape(-1, 8)
+            rows = _pack_group(rvals, w).reshape(len(ids), 4 * w)
+            # intp indices: numpy upcasts narrower index arrays before
+            # the scatter (an int32 "saving" costs an extra pass)
+            dst = mini_dst0[ids][:, None] + \
+                np.arange(4 * w, dtype=np.int64)
+            outb[dst.reshape(-1)] = rows.reshape(-1)
     return outb.tobytes()
 
 
@@ -269,41 +245,69 @@ def decode(buf, pos: int = 0, out_dtype=np.int64) -> tuple[np.ndarray, int]:
     if nd == 0:
         return out.astype(out_dtype, copy=False), pos
 
-    # Pass 1: parse block headers (one per `block_size` deltas), collecting
-    # per-miniblock widths and the contiguous payload segments.
+    # Pass 1: find block-header positions with a MINIMAL Python loop (the
+    # stream is sequentially framed: each block's extent depends on its
+    # widths, so position-finding can't be a closed-form scan), then parse
+    # mins/widths VECTORIZED from gathered windows — the old loop decoded
+    # the zigzag varint, sliced+summed the width bytes, and collected
+    # payload segments per block in Python, ~6x the work per iteration.
     n_blocks = (nd + block_size - 1) // block_size
-    mins_l: list[int] = []
-    widths_l: list[int] = []
-    segments: list = []
     mini_bytes = mini_size // 8
-    pad = b"\x00" * miniblocks
-    for b in range(n_blocks):
-        # zigzag varint, inlined (3 function calls per block add up over
-        # the ~n/128 block headers)
-        acc = 0
-        sh = 0
-        while True:
-            byte = mv[pos]
+    mb = miniblocks
+    fast4 = mb == 4 and mini_bytes == 4
+    # bytes indexing beats memoryview indexing in the tight loop; the copy
+    # is one pass over the stream, the loop does n/128 iterations over it
+    bs = buf if isinstance(buf, bytes) else bytes(mv)
+    hdr_l: list[int] = []
+    wid_l: list[int] = []
+    hap = hdr_l.append
+    wap = wid_l.append
+    for _ in range(n_blocks - 1):
+        hap(pos)
+        while bs[pos] >= 0x80:
             pos += 1
-            acc |= (byte & 0x7F) << sh
-            if byte < 0x80:
-                break
-            sh += 7
-        m = (acc >> 1) ^ -(acc & 1)
-        mins_l.append(m)
-        ws = bytes(mv[pos: pos + miniblocks])
-        pos += miniblocks
-        rem = nd - b * block_size
-        if rem <= block_size:  # final block: zero the unused widths
-            n_used = (rem + mini_size - 1) // mini_size
-            if n_used < miniblocks:
-                ws = ws[:n_used] + pad[: miniblocks - n_used]
-        widths_l.extend(ws)
-        seg_len = sum(ws) * mini_bytes
-        segments.append(mv[pos: pos + seg_len])
-        pos += seg_len
-    mins = np.asarray(mins_l, dtype=np.int64)
-    widths = np.asarray(widths_l, dtype=np.int64)
+        pos += 1
+        wap(pos)
+        if fast4:
+            pos += 4 + ((bs[pos] + bs[pos + 1] + bs[pos + 2] + bs[pos + 3])
+                        << 2)
+        else:
+            pos += mb + sum(bs[pos: pos + mb]) * mini_bytes
+    # final block: unused trailing widths read as zero (they may hold
+    # anything in a foreign stream; ours writes 0)
+    hap(pos)
+    while bs[pos] >= 0x80:
+        pos += 1
+    pos += 1
+    wap(pos)
+    rem = nd - (n_blocks - 1) * block_size
+    n_used = min(mb, (rem + mini_size - 1) // mini_size)
+    pos += mb + sum(bs[pos: pos + n_used]) * mini_bytes
+    hdr_pos = np.array(hdr_l, dtype=np.int64)
+    wid_pos = np.array(wid_l, dtype=np.int64)
+
+    buf_u8 = np.frombuffer(mv, dtype=np.uint8, count=min(len(mv), pos + 8))
+    # mins: vectorized LEB128+zigzag from (n_blocks, <=10)-byte windows
+    vlen = wid_pos - hdr_pos
+    n_groups = int(vlen.max())
+    gidx = np.minimum(hdr_pos[:, None] + np.arange(n_groups, dtype=np.int64),
+                      len(buf_u8) - 1)
+    gb = buf_u8[gidx].astype(np.uint64)
+    used = np.arange(n_groups)[None, :] < vlen[:, None]
+    acc = np.zeros(n_blocks, dtype=np.uint64)
+    for k in range(n_groups):
+        acc |= np.where(used[:, k], (gb[:, k] & np.uint64(0x7F))
+                        << np.uint64(7 * k), np.uint64(0))
+    mins = ((acc >> np.uint64(1))
+            ^ (np.uint64(0xFFFFFFFFFFFFFFFF) * (acc & np.uint64(1)))) \
+        .view(np.int64)
+    # widths: one (n_blocks, mb) gather; zero the final block's unused tail
+    widths = buf_u8[np.minimum(wid_pos[:, None]
+                               + np.arange(mb, dtype=np.int64),
+                               len(buf_u8) - 1)].astype(np.int64)
+    if n_used < mb:
+        widths[-1, n_used:] = 0
+    widths = widths.ravel()
 
     # Pass 2: group miniblocks by width — every miniblock of width w is
     # exactly w*mini_size/8 bytes and byte-aligned, so all miniblocks of one
@@ -314,10 +318,17 @@ def decode(buf, pos: int = 0, out_dtype=np.int64) -> tuple[np.ndarray, int]:
     vals = np.zeros((nmini, mini_size), dtype=idt)
     w_max = int(widths.max()) if nmini else 0
     if w_max:
-        payload = np.frombuffer(b"".join(segments), dtype=np.uint8)
-        padded = np.concatenate([payload, np.zeros(8, dtype=np.uint8)])
-        byte_offsets = np.zeros(nmini, dtype=np.int64)
-        np.cumsum(widths[:-1] * (mini_size // 8), out=byte_offsets[1:])
+        # absolute in-buffer payload offsets (no segment join/copy): each
+        # block's payload starts right after its width bytes
+        if len(buf_u8) >= pos + 8:
+            padded = buf_u8
+        else:
+            padded = np.concatenate([buf_u8, np.zeros(8, dtype=np.uint8)])
+        payload = padded
+        w2d = widths.reshape(n_blocks, mb) * mini_bytes
+        within = np.zeros((n_blocks, mb), dtype=np.int64)
+        np.cumsum(w2d[:, :-1], axis=1, out=within[:, 1:])
+        byte_offsets = ((wid_pos + mb)[:, None] + within).ravel()
         rel = np.arange(mini_size, dtype=np.int64)
         for w in np.unique(widths):
             if w == 0:

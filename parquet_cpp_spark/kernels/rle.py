@@ -262,3 +262,106 @@ def decode_length_prefixed(buf, n_values: int, bit_width: int, pos: int = 0,
     payload_start = pos + 4
     vals, _ = decode(buf, n_values, bit_width, payload_start, out_dtype)
     return vals, payload_start + ln
+
+
+def bit1_zero_positions(buf, n_values: int, pos: int, end: int) -> np.ndarray:
+    """Positions (ascending int64) of 0-values in a bit-width-1 hybrid
+    stream occupying ``buf[pos:end]`` — without materializing the values.
+
+    This is the level-stream consumer's actual question (rep==0 delimits
+    records, def==0 marks empty lists); answering it from the run structure
+    skips the n-sized value array (8x the payload in int64 form) entirely.
+
+    Run boundaries are found VECTORIZED by pointer doubling: ``next[p]``
+    (the start of the run after one starting at ``p``) is computed for every
+    byte offset at once from 4-byte LEB128 windows, then the chain from
+    ``pos`` is expanded frontier-by-frontier (log2(#runs) gather rounds) —
+    no per-run Python. Falls back to the scalar loop via :func:`decode` for
+    headers wider than 4 bytes (runs >= 2^27 values; never produced for
+    in-memory chunks)."""
+    mv = memoryview(buf) if not isinstance(buf, memoryview) else buf
+    b = np.frombuffer(mv, dtype=np.uint8, count=end)
+    span = end - pos
+    if span <= 0 or n_values == 0:
+        return np.zeros(0, dtype=np.int64)
+    # 4-byte LEB128 windows at every offset of the stream region
+    pad = np.zeros(4, dtype=np.uint8)
+    r = np.concatenate([b[pos:end], pad])
+    b0, b1, b2, b3 = (r[k: k + span].astype(np.int64) for k in range(4))
+    c0, c1, c2 = b0 >= 128, b1 >= 128, b2 >= 128
+    over = c0 & c1 & c2 & (b3 >= 128)
+    hdr = (b0 & 127)
+    hdr |= np.where(c0, (b1 & 127) << 7, 0)
+    hdr |= np.where(c0 & c1, (b2 & 127) << 14, 0)
+    hdr |= np.where(c0 & c1 & c2, (b3 & 127) << 21, 0)
+    hdrlen = 1 + c0 + (c0 & c1) + (c0 & c1 & c2)
+    is_lit = (hdr & 1).astype(bool)
+    cnt = hdr >> 1
+    # bit_width 1: a literal run is `cnt` groups of 8 values = cnt bytes;
+    # an RLE run carries one value byte
+    nxt = np.arange(pos, end, dtype=np.int64) + hdrlen + \
+        np.where(is_lit, cnt, 1)
+    np.clip(nxt, None, end, out=nxt)
+
+    # chain expansion: frontier doubling over the jump table
+    jump = nxt.copy()
+    frontier = np.array([pos], dtype=np.int64)
+    while True:
+        nxt_front = jump[frontier[frontier < end] - pos]
+        grown = np.unique(np.concatenate([frontier, nxt_front]))
+        if len(grown) == len(frontier):
+            break
+        frontier = grown
+        jump = np.where(jump < end, jump[np.minimum(jump, end - 1) - pos],
+                        end)
+    starts = frontier[frontier < end]
+    if over[starts - pos].any():
+        # >4-byte header: punt to the scalar parser (rare by construction)
+        vals, _ = decode(mv, n_values, 1, pos, out_dtype=np.int8)
+        return np.flatnonzero(vals == 0).astype(np.int64)
+    s_lit = is_lit[starts - pos]
+    s_cnt = cnt[starts - pos]
+    s_hdrlen = hdrlen[starts - pos]
+    if ((~s_lit) & (s_cnt == 0)).any():
+        raise ValueError("corrupt RLE stream: zero-length run")
+    s_vals = np.where(s_lit, s_cnt * 8, s_cnt)       # values per run
+    cum = np.zeros(len(starts) + 1, dtype=np.int64)
+    np.cumsum(s_vals, out=cum[1:])
+    # runs past n_values would mean the byte length prefix and the value
+    # count disagree; keep only runs that begin before n_values
+    live = cum[:-1] < n_values
+    starts, s_lit, s_cnt, s_hdrlen = (starts[live], s_lit[live],
+                                      s_cnt[live], s_hdrlen[live])
+    dst0 = cum[:-1][live]
+    take = np.minimum(np.where(s_lit, s_cnt * 8, s_cnt), n_values - dst0)
+
+    parts: list[np.ndarray] = []
+    rle_zero = (~s_lit) & (b[starts + s_hdrlen] == 0)
+    if rle_zero.any():
+        z_dst = dst0[rle_zero]
+        z_take = take[rle_zero]
+        tot = int(z_take.sum())
+        shift = np.repeat(
+            z_dst - np.concatenate(([0], np.cumsum(z_take)[:-1])), z_take)
+        parts.append(np.arange(tot, dtype=np.int64) + shift)
+    if s_lit.any():
+        l_start = starts[s_lit] + s_hdrlen[s_lit]
+        l_nb = s_cnt[s_lit]                           # payload bytes
+        l_dst = dst0[s_lit]
+        l_take = take[s_lit]
+        tot_b = int(l_nb.sum())
+        src_off = np.concatenate(([0], np.cumsum(l_nb)[:-1]))
+        gather = np.arange(tot_b, dtype=np.int64) + \
+            np.repeat(l_start - src_off, l_nb)
+        bits = np.unpackbits(b[gather], bitorder="little")
+        l_cnt8 = l_nb * 8
+        src0 = src_off * 8
+        local = np.arange(tot_b * 8, dtype=np.int64) - np.repeat(src0, l_cnt8)
+        ok = (bits == 0) & (local < np.repeat(l_take, l_cnt8))
+        zp = np.flatnonzero(ok)
+        parts.append(zp + np.repeat(l_dst - src0, l_cnt8)[zp])
+    if not parts:
+        return np.zeros(0, dtype=np.int64)
+    if len(parts) == 1:
+        return parts[0]
+    return np.sort(np.concatenate(parts), kind="stable")

@@ -292,9 +292,18 @@ def encode_best(values, phys: str, *, row_lengths=None,
     encode the top candidates and keep the actual-smallest; always fall back
     to PLAIN if the pick loses to PLAIN on actual bytes (preserves the
     'selected <= PLAIN' property the reference's fallback rule guarantees)."""
+    has_levels = (row_lengths is not None and elem_valid is None
+                  and inner_lengths is None)
+    # Chunks that will take the paged path rebuild levels per page slice and
+    # never read a whole-chunk levels stream — building one here (an RLE
+    # pass over every row) would be pure waste. The paged predicate mirrors
+    # chunk.encode_chunk's exactly; every auto-selected codec is in
+    # chunk._PAGEABLE, so the pick can't change which branch runs.
+    will_page = (has_levels and page_size and valid_mask is None
+                 and phys in ("int32", "int64", "uint32", "uint64")
+                 and chunkmod._values_raw_bytes(values, phys) > page_size)
     levels_sections = (chunkmod.build_levels_sections(row_lengths)
-                       if row_lengths is not None and elem_valid is None
-                       and inner_lengths is None else None)
+                      if has_levels and not will_page else None)
     if valid_mask is not None and bool(valid_mask.all()):
         valid_mask = None  # all-present: encode REQUIRED (dense == spaced)
     if codec_override is not None:
@@ -345,6 +354,12 @@ def encode_best(values, phys: str, *, row_lengths=None,
         # prefix + raw payload
         plain_total = chunkmod._HEADER_LEN + 4 + \
             _plain_payload_bytes(values, phys)
+        if levels_sections is None and will_page and \
+                plain_total < best.enc_bytes:
+            # levels build was skipped for the paged path; the gate must
+            # still include their bytes (identical decision to the eager
+            # build) — pay the build only when the values-only gate opens
+            levels_sections = chunkmod.build_levels_sections(row_lengths)
         if levels_sections is not None:
             plain_total += len(levels_sections[0])
         if plain_total < best.enc_bytes:
