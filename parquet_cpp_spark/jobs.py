@@ -310,7 +310,14 @@ def cmd_compact(args) -> None:
                                name_prefix="compact-",
                                encodings="auto",
                                partition_by=part_by).collect()
-    doc = snapmod.commit_snapshot(args.dir, man, operation="overwrite")
+    # parent pins the snapshot this rewrite was planned FROM: a commit
+    # racing in between (append, kill list) fails the compaction loudly
+    # via the optimistic-concurrency check instead of being silently
+    # dropped from the overwrite listing (appends vanishing, freshly
+    # committed deletes resurrected)
+    doc = snapmod.commit_snapshot(
+        args.dir, man, operation="overwrite",
+        parent=cur["version"] if has_log else None)
     res = {"snapshot_version": doc["version"],
            "files": doc["total_files"], "rows": doc["total_rows"],
            "bytes": doc["total_bytes"]}

@@ -312,14 +312,20 @@ def point_lookup_parquet(spark, dataset_dir: str, column: str, key):
         # key files decides membership before any data file is touched)
         from ..sources import snapshots as snap
         doc = snap.load_snapshot(dataset_dir)
-        if snap_renames := doc.get("renames", {}):
-            # the caller names the CURRENT column; files store pre-rename
-            # names — resolve the stored name for the lookup
-            rev = {v: k for k, v in snap_renames.items()}
-            column = rev.get(column, column)
+        snap_renames = doc.get("renames", {})
+        # kill-list consultation happens in the CURRENT-name namespace:
+        # the caller names the current column, and a delete entry's column
+        # canonicalizes via the rename map exactly as _apply_deletes does
+        # (entries committed pre-rename carry a stored name the map sends
+        # to its current name; post-rename entries already carry the
+        # current name, which by the no-reintroduction rule never collides
+        # with a renamed-away stored name). Deletes keyed on a DIFFERENT
+        # column are not applied here: this lookup answers "which physical
+        # rows carry this key", and filtering them would require reading
+        # the other delete column at each hit — read_snapshot /
+        # read_parquet_dataset are the logical-row-set readers.
         for e in doc.get("deletes", []):
-            if snap_renames.get(e["column"], e["column"]) != column \
-                    and e["column"] != column:
+            if snap_renames.get(e["column"], e["column"]) != column:
                 continue
             from ..sources import parquet_format as pf
             rows, _d, _t = pf.lookup_rows(
@@ -328,9 +334,16 @@ def point_lookup_parquet(spark, dataset_dir: str, column: str, key):
                 key)
             if rows:
                 return spark.createDataFrame([], schema)
+        # data-file scan: a file stores the current name (appended after
+        # the rename) or ANY stored chain member mapping to it — resolve
+        # per file by trying each candidate, like record_assembly's
+        # per-file remap
+        lookup_names = [column] + sorted(
+            k for k, v in snap_renames.items() if v == column)
         files = sorted(os.path.join(dataset_dir, e["path"])
                        for e in doc["files"])
     else:
+        lookup_names = [column]
         # recursive: partitioned layouts (col=value/ subdirectories) keep
         # their files below the root; dotfiles are in-flight temps and
         # _/.-prefixed dirs are metadata, not data
@@ -352,9 +365,21 @@ def point_lookup_parquet(spark, dataset_dir: str, column: str, key):
         import pyarrow as pa
 
         from ..sources import parquet_format as pf
+
+        def lookup_any(fpath):
+            last = None
+            for name in lookup_names:
+                try:
+                    return pf.lookup_rows(fpath, name, key)
+                except ValueError as exc:
+                    if "no leaf column" not in str(exc):
+                        raise
+                    last = exc
+            raise last  # none of the chain's names exists: truly unknown
+
         for batch in batches:
             for fpath in batch.column("file").to_pylist():
-                rows, dec, tot = pf.lookup_rows(fpath, column, key)
+                rows, dec, tot = lookup_any(fpath)
                 yield pa.RecordBatch.from_arrays([
                     pa.array([fpath] * max(len(rows), 1), pa.string()),
                     pa.array(rows or [-1], pa.int64()),

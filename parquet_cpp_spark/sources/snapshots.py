@@ -333,18 +333,24 @@ def commit_equality_deletes(out_dir: str, keys_df, column: str,
                            delete_column=column)
 
 
-def vacuum(out_dir: str, keep_versions: int = 1) -> dict:
+def vacuum(out_dir: str, keep_versions: int = 1,
+           orphan_grace_seconds: float = 24 * 3600.0) -> dict:
     """Expire data files no retained snapshot references (Iceberg's
     expire-snapshots + orphan-file cleanup, folded into one op).
 
     Keeps the newest ``keep_versions`` snapshot documents; deletes (a)
-    older snapshot documents and (b) ``*.parquet`` files under the
-    dataset root that none of the retained snapshots list. Non-parquet
-    files, dotfiles (in-flight ``.inprogress`` temps), and the
-    ``_snapshots`` dir itself are never touched — vacuum only reclaims
-    what a snapshot once referenced or a writer abandoned as a final
-    ``.parquet``. Time travel to expired versions stops working, by
-    design. Returns ``{"removed_files": [...], "removed_versions":
+    older snapshot documents, (b) ``*.parquet`` files an EXPIRED
+    snapshot referenced but no retained one does (committed history —
+    safe to reclaim immediately, time travel to them stops working by
+    design), and (c) orphan ``*.parquet`` files no snapshot ever
+    listed, but ONLY when older than ``orphan_grace_seconds`` (mtime):
+    a writer that has finished its sink write but not yet called
+    ``commit_snapshot`` looks exactly like an orphan, and deleting its
+    files would make the subsequent commit mint a snapshot of missing
+    files — the same race Iceberg's orphan-file cleanup guards with a
+    retention threshold. Non-parquet files, dotfiles (in-flight
+    ``.inprogress`` temps), and the ``_snapshots`` dir itself are never
+    touched. Returns ``{"removed_files": [...], "removed_versions":
     [...], "kept_version": N}``."""
     if keep_versions < 1:
         raise ValueError("keep_versions must be >= 1")
@@ -353,10 +359,16 @@ def vacuum(out_dir: str, keep_versions: int = 1) -> dict:
         raise FileNotFoundError(f"no snapshots under {out_dir!r}")
     keep = versions[-keep_versions:]
     referenced: set = set()
-    for v in keep:
+    ever_referenced: set = set()
+    for v in versions:
         snap = load_snapshot(out_dir, v)
-        referenced.update(e["path"] for e in snap["files"])
-        referenced.update(e["path"] for e in snap.get("deletes", []))
+        paths = {e["path"] for e in snap["files"]}
+        paths.update(e["path"] for e in snap.get("deletes", []))
+        ever_referenced |= paths
+        if v in keep:
+            referenced |= paths
+    import time as _time
+    orphan_cutoff = _time.time() - orphan_grace_seconds
     removed_files = []
     for root, dirs, files in os.walk(out_dir):
         dirs[:] = [d for d in dirs if d != SNAP_DIR and
@@ -364,10 +376,15 @@ def vacuum(out_dir: str, keep_versions: int = 1) -> dict:
         for name in files:
             if not name.endswith(".parquet") or name.startswith("."):
                 continue
-            rel = os.path.relpath(os.path.join(root, name), out_dir)
-            if rel not in referenced:
-                os.unlink(os.path.join(out_dir, rel))
-                removed_files.append(rel)
+            full = os.path.join(root, name)
+            rel = os.path.relpath(full, out_dir)
+            if rel in referenced:
+                continue
+            if rel not in ever_referenced and \
+                    os.path.getmtime(full) > orphan_cutoff:
+                continue  # possible in-flight write: grace period
+            os.unlink(full)
+            removed_files.append(rel)
     # prune partition directories (col=value/) the deletions emptied —
     # deepest first so nested layouts collapse; rmdir refuses non-empty
     # dirs, which is exactly the conservative behavior wanted

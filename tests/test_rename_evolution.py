@@ -159,3 +159,56 @@ def test_jobs_rename_cli(spark, dataset, capsys):
     df = read_parquet_dataset(spark, dataset)
     assert "token_count" in df.columns
     assert df.filter("token_count = 2").count() == 20
+
+
+def test_point_lookup_after_rename_and_append(spark, dataset):
+    """Files appended AFTER the rename store the CURRENT name while older
+    files store the chain member: the lookup resolves the stored name PER
+    FILE (r7 resolved one stored name globally and raised ValueError on
+    every post-rename file)."""
+    from parquet_cpp_spark.plans.lookup import point_lookup_parquet
+
+    # 'api' rows live only in the v2 file (stored CURRENT name: source);
+    # v1 files (stored name: src) yield their no-hit marker rows instead
+    # of failing the whole job
+    hits = point_lookup_parquet(spark, dataset, "source", "api").collect()
+    found = [r for r in hits if r.row_index >= 0]
+    assert found and all("v2-" in os.path.basename(r.file) for r in found)
+    # 'web' rows live only in v1 files (stored name: src)
+    hits = point_lookup_parquet(spark, dataset, "source", "web").collect()
+    found = [r for r in hits if r.row_index >= 0]
+    assert found and all("v1-" in os.path.basename(r.file) for r in found)
+
+
+def test_point_lookup_kill_list_committed_after_rename(spark, dataset):
+    """A kill list committed AFTER a rename carries the CURRENT column
+    name; the lookup must compare in the current-name namespace (r7
+    compared a current name against a stored name and silently skipped
+    the kill list, returning kill-listed rows)."""
+    from parquet_cpp_spark.sources import snapshots as snap
+    from parquet_cpp_spark.plans.lookup import point_lookup_parquet
+
+    kill = spark.createDataFrame([("api",)], "source string")
+    snap.commit_equality_deletes(dataset, kill, "source")
+    assert point_lookup_parquet(spark, dataset, "source", "api") \
+        .count() == 0
+    # non-killed keys still resolve
+    assert point_lookup_parquet(spark, dataset, "source", "web") \
+        .count() > 0
+
+
+def test_vacuum_orphan_grace(spark, dataset, tmp_path):
+    """An unreferenced final .parquet younger than the orphan grace
+    window survives vacuum (it may be a finished sink write whose
+    commit_snapshot hasn't landed yet); grace 0 reclaims it."""
+    from parquet_cpp_spark.sources import snapshots as snap
+
+    orphan = os.path.join(dataset, "inflight-0000.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"PAR1stub")
+    res = snap.vacuum(dataset, keep_versions=1)
+    assert "inflight-0000.parquet" not in res["removed_files"]
+    assert os.path.exists(orphan)
+    res = snap.vacuum(dataset, keep_versions=1, orphan_grace_seconds=0)
+    assert "inflight-0000.parquet" in res["removed_files"]
+    assert not os.path.exists(orphan)
