@@ -107,9 +107,11 @@ def encode(values: np.ndarray, wrap32: bool = False) -> bytes:
             if n_blocks > 1:
                 mins[:-1] = blocks[:-1].min(axis=1)
             mins[-1] = deltas[(n_blocks - 1) * BLOCK_SIZE:].min()
-        # adj = delta - min_delta >= 0; fits the unsigned view of ddt
-        adj = (blocks - mins[:, None]).view(
-            np.uint32 if narrow else np.uint64)
+        # adj = delta - min_delta >= 0; fits the unsigned view of ddt.
+        # In-place into the delta buffer (deltas/padded are not read again):
+        # one less full-size temp on the hot path
+        np.subtract(blocks, mins[:, None], out=blocks)
+        adj = blocks.view(np.uint32 if narrow else np.uint64)
         if ns % BLOCK_SIZE:
             adj.reshape(-1)[ns:] = 0  # pad never raises a width
 
