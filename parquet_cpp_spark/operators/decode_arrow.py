@@ -162,10 +162,12 @@ def decode_parquet_direct(spark, chunks_path: str, slices_per_core: int = 2,
                      if f.endswith(".parquet"))
     if not files:
         raise ValueError(f"no chunk files under {chunks_path}")
+    from ..sources.parquet_direct import plan_slices
     cores = spark.sparkContext.defaultParallelism
-    n_parts = min(len(files), max(1, cores * slices_per_core))
+    n_parts = plan_slices(len(files), cores, slices_per_core)
     # parallelize with explicit slices (no shuffle stage; see
-    # sources.parquet_direct) — whole files per task either way
+    # sources.parquet_direct, incl. the python-task amortization rule) —
+    # whole files per task either way
     files_df = spark.createDataFrame(
         spark.sparkContext.parallelize([(f,) for f in files], n_parts),
         "file string")

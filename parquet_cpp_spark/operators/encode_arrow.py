@@ -305,10 +305,11 @@ def _arrow_column_values_dense(column, phys: str):
         return ba.from_arrow(column.cast(pa.binary())), None, None, None
     if phys == "interval":
         from ..kernels import ba
-        vals = column.cast(pa.binary(12)).cast(pa.binary()).to_pylist()
-        if any(len(v) != 12 for v in vals):
-            raise ValueError("INTERVAL values must be 12 bytes")
-        return ba.from_list(vals), None, None, None
+        # the fixed_size_binary(12) cast IS the length check (it raises on
+        # any other width); the binary view is zero-copy — no per-value
+        # Python list round-trip
+        return (ba.from_arrow(column.cast(pa.binary(12)).cast(pa.binary())),
+                None, None, None)
     dt = {"int32": np.int32, "int64": np.int64, "float": np.float32,
           "double": np.float64, "boolean": bool}[phys]
     return (column.to_numpy(zero_copy_only=False).astype(dt, copy=False),
