@@ -343,7 +343,11 @@ def decode(buf, pos: int = 0, out_dtype=np.int64) -> tuple[np.ndarray, int]:
                 shift = (rel_bit & 7).astype(np.uint32)
                 win = padded[bytepos].astype(np.uint32)
                 for k in range(1, (w + 14) // 8):
-                    win |= padded[bytepos + k].astype(np.uint32) \
+                    # advance the index matrix IN PLACE: a fresh
+                    # `bytepos + k` allocates 8 bytes of index per value
+                    # per pass — pure DRAM traffic on the decode wall
+                    bytepos += 1
+                    win |= padded[bytepos].astype(np.uint32) \
                         << np.uint32(8 * k)
                 vals[ids] = (win >> shift[None, :]) & np.uint32((1 << w) - 1)
             else:
