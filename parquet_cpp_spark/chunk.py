@@ -301,12 +301,29 @@ def _encode_bytes_payload(values: list[bytes], codec: int,
 def build_levels_sections(row_lengths: np.ndarray) -> tuple[bytes, int]:
     """Level sections for a list column: (bytes, n_slots). Computed once per
     chunk and shared across codec-runoff candidates (levels don't depend on
-    the value codec)."""
-    rep, deflev = levels_mod.levels_from_lengths(row_lengths)
-    sections = len(rep).to_bytes(4, "little")  # level slot count
-    sections += rle.encode_length_prefixed(rep, 1)
-    sections += rle.encode_length_prefixed(deflev, 1)
-    return sections, len(rep)
+    the value codec).
+
+    Synthesized at RUN level: both streams are all-ones with zeros at known
+    positions (rep: row starts; def: empty rows), so the RLE bytes come
+    straight from those positions (`rle.encode_bit1_ones_with_zeros`) —
+    the n-slot rep/def arrays of `levels_from_lengths` and their full-width
+    RLE passes are never materialized. Byte-identical to the materialized
+    path (shared emit; fuzzed in tests/test_levels_fast.py)."""
+    lengths = np.ascontiguousarray(row_lengths, dtype=np.int64)
+    slots = np.maximum(lengths, 1)
+    starts = np.zeros(len(lengths), dtype=np.int64)
+    if len(lengths):
+        np.cumsum(slots[:-1], out=starts[1:])
+        total = int(starts[-1] + slots[-1])
+    else:
+        total = 0
+    rep_stream = rle.encode_bit1_ones_with_zeros(total, starts)
+    def_stream = rle.encode_bit1_ones_with_zeros(total,
+                                                 starts[lengths == 0])
+    sections = total.to_bytes(4, "little")  # level slot count
+    sections += len(rep_stream).to_bytes(4, "little") + rep_stream
+    sections += len(def_stream).to_bytes(4, "little") + def_stream
+    return sections, total
 
 
 def _values_raw_bytes(values, phys: str) -> int:

@@ -35,13 +35,16 @@ MINIBLOCKS = 4
 MINI_SIZE = BLOCK_SIZE // MINIBLOCKS  # 32
 
 
-# deltas per fused super-block. Must be a BLOCK_SIZE multiple. 2^18 deltas
-# x 8 B = 2 MiB per int64 temp — spills L2 but stays L3-resident, and the
-# 8x larger per-width pack batches cut numpy call overhead enough for a
-# measured 1.45x single-core win with unchanged 1->4-proc scaling (0.92);
-# 2^20 regresses both. Output is byte-identical for any multiple of
-# BLOCK_SIZE (the format chunks per 128-value block regardless).
-_SUPER = 1 << 18
+# deltas per fused super-block. Must be a BLOCK_SIZE multiple. 2^19 deltas
+# x 4 B (narrow lane) = 2 MiB per temp — spills L2 but stays L3-resident,
+# and the larger per-width pack batches cut numpy call overhead: re-measured
+# after the fused emit at 2^17/18/19/20/21 = 113/101/98/94/104 ms on the
+# 6.4M-value bench column and 139/132/133 ms (2^18/19/20) through the real
+# paged chunk path — 2^19 takes the win at half the temp footprint of 2^20
+# (32 cores share the DRAM throttle; see BASELINE.md). Output is
+# byte-identical for any multiple of BLOCK_SIZE (the format chunks per
+# 128-value block regardless; asserted in the A/B).
+_SUPER = 1 << 19
 # exact integer bit widths via searchsorted on powers of two (no float log2)
 _POW2 = np.uint64(1) << np.arange(64, dtype=np.uint64)
 
@@ -210,6 +213,15 @@ def _emit_super(mins: np.ndarray, widths: np.ndarray, minis: np.ndarray,
         within = np.zeros((n_blocks, mb), dtype=np.int64)
         np.cumsum(pay2d[:, :-1], axis=1, out=within[:, 1:])
         mini_dst0 = ((dest0 + vlen + mb)[:, None] + within).ravel()
+        # Word-granular scatter: every miniblock payload is 4*w bytes, so
+        # the packed rows store as w little-endian u32 WORDS through an
+        # overlapping (stride-1) u32 view of the output — 8 bytes of int64
+        # index per 4 payload bytes instead of per byte (4x less index
+        # traffic on the emit wall). Stores are unaligned but disjoint
+        # (miniblock regions don't overlap); byte order is identical
+        # (LE u32 == the same 4 bytes in sequence).
+        out32 = np.ndarray(shape=(max(total - 3, 0),), dtype="<u4",
+                           buffer=outb, strides=(1,)) if total >= 4 else None
         for w in distinct.tolist():
             ids = np.flatnonzero(widths == w)
             # all-one-width: skip the (full-copy) gather, pack in place
@@ -218,9 +230,15 @@ def _emit_super(mins: np.ndarray, widths: np.ndarray, minis: np.ndarray,
             rows = _pack_group(rvals, w).reshape(len(ids), 4 * w)
             # intp indices: numpy upcasts narrower index arrays before
             # the scatter (an int32 "saving" costs an extra pass)
-            dst = mini_dst0[ids][:, None] + \
-                np.arange(4 * w, dtype=np.int64)
-            outb[dst.reshape(-1)] = rows.reshape(-1)
+            if out32 is not None:
+                dst = mini_dst0[ids][:, None] + \
+                    np.arange(0, 4 * w, 4, dtype=np.int64)
+                out32[dst.reshape(-1)] = \
+                    np.ascontiguousarray(rows).view("<u4").reshape(-1)
+            else:
+                dst = mini_dst0[ids][:, None] + \
+                    np.arange(4 * w, dtype=np.int64)
+                outb[dst.reshape(-1)] = rows.reshape(-1)
     return outb.tobytes()
 
 
@@ -261,19 +279,24 @@ def decode(buf, pos: int = 0, out_dtype=np.int64) -> tuple[np.ndarray, int]:
     # is one pass over the stream, the loop does n/128 iterations over it
     bs = buf if isinstance(buf, bytes) else bytes(mv)
     hdr_l: list[int] = []
-    wid_l: list[int] = []
     hap = hdr_l.append
-    wap = wid_l.append
-    for _ in range(n_blocks - 1):
-        hap(pos)
-        while bs[pos] >= 0x80:
+    # the loop records ONLY the block-header start; the varint length (and
+    # so the width-byte position) is recovered vectorized afterwards from
+    # the continuation bits — one list append + int box per block instead
+    # of two
+    if fast4:
+        for _ in range(n_blocks - 1):
+            hap(pos)
+            while bs[pos] >= 0x80:
+                pos += 1
+            pos += 5 + ((bs[pos + 1] + bs[pos + 2] + bs[pos + 3]
+                         + bs[pos + 4]) << 2)
+    else:
+        for _ in range(n_blocks - 1):
+            hap(pos)
+            while bs[pos] >= 0x80:
+                pos += 1
             pos += 1
-        pos += 1
-        wap(pos)
-        if fast4:
-            pos += 4 + ((bs[pos] + bs[pos + 1] + bs[pos + 2] + bs[pos + 3])
-                        << 2)
-        else:
             pos += mb + sum(bs[pos: pos + mb]) * mini_bytes
     # final block: unused trailing widths read as zero (they may hold
     # anything in a foreign stream; ours writes 0)
@@ -281,20 +304,38 @@ def decode(buf, pos: int = 0, out_dtype=np.int64) -> tuple[np.ndarray, int]:
     while bs[pos] >= 0x80:
         pos += 1
     pos += 1
-    wap(pos)
     rem = nd - (n_blocks - 1) * block_size
     n_used = min(mb, (rem + mini_size - 1) // mini_size)
     pos += mb + sum(bs[pos: pos + n_used]) * mini_bytes
     hdr_pos = np.array(hdr_l, dtype=np.int64)
-    wid_pos = np.array(wid_l, dtype=np.int64)
 
     buf_u8 = np.frombuffer(mv, dtype=np.uint8, count=min(len(mv), pos + 8))
+    # varint lengths from the continuation bits of a 4-byte window gather
+    # (the final byte of a <=4-byte varint has bit 7 clear); rows whose
+    # varint is longer than 4 bytes (|min_delta| >= 2^21... rare) re-gather
+    # a full 10-byte window
+    g4 = np.minimum(hdr_pos[:, None] + np.arange(4, dtype=np.int64),
+                    len(buf_u8) - 1)
+    gb4 = buf_u8[g4]
+    cont4 = gb4 >= 128
+    vlen = np.argmin(cont4, axis=1) + 1
+    long_rows = cont4.all(axis=1)
+    if long_rows.any():
+        li = np.flatnonzero(long_rows)
+        gl = np.minimum(hdr_pos[li][:, None]
+                        + np.arange(10, dtype=np.int64), len(buf_u8) - 1)
+        vlen[li] = np.argmin(buf_u8[gl] >= 128, axis=1) + 1
+    wid_pos = hdr_pos + vlen
+
     # mins: vectorized LEB128+zigzag from (n_blocks, <=10)-byte windows
-    vlen = wid_pos - hdr_pos
     n_groups = int(vlen.max())
-    gidx = np.minimum(hdr_pos[:, None] + np.arange(n_groups, dtype=np.int64),
-                      len(buf_u8) - 1)
-    gb = buf_u8[gidx].astype(np.uint64)
+    if n_groups <= 4:
+        gb = gb4[:, :n_groups].astype(np.uint64)
+    else:
+        gidx = np.minimum(hdr_pos[:, None]
+                          + np.arange(n_groups, dtype=np.int64),
+                          len(buf_u8) - 1)
+        gb = buf_u8[gidx].astype(np.uint64)
     used = np.arange(n_groups)[None, :] < vlen[:, None]
     acc = np.zeros(n_blocks, dtype=np.uint64)
     for k in range(n_groups):
@@ -338,17 +379,16 @@ def decode(buf, pos: int = 0, out_dtype=np.int64) -> tuple[np.ndarray, int]:
             w = int(w)
             ids = np.flatnonzero(widths == w)
             if w <= 25:
+                # one unaligned u32 window load per value (overlapping
+                # stride-1 view): shift <= 7 and w <= 25, so 4 bytes always
+                # cover the value — replaces 2-4 byte-gathers each paying a
+                # full-size index pass
+                u32 = np.ndarray(shape=(len(padded) - 3,), dtype="<u4",
+                                 buffer=padded, strides=(1,))
                 rel_bit = rel * w
                 bytepos = byte_offsets[ids][:, None] + (rel_bit >> 3)[None, :]
                 shift = (rel_bit & 7).astype(np.uint32)
-                win = padded[bytepos].astype(np.uint32)
-                for k in range(1, (w + 14) // 8):
-                    # advance the index matrix IN PLACE: a fresh
-                    # `bytepos + k` allocates 8 bytes of index per value
-                    # per pass — pure DRAM traffic on the decode wall
-                    bytepos += 1
-                    win |= padded[bytepos].astype(np.uint32) \
-                        << np.uint32(8 * k)
+                win = u32[bytepos]
                 vals[ids] = (win >> shift[None, :]) & np.uint32((1 << w) - 1)
             else:
                 nb = w * (mini_size // 8)

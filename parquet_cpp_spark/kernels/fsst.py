@@ -41,13 +41,21 @@ SAMPLE_BYTES = 1 << 14  # 16 KiB training sample
 TRAIN_ITERATIONS = 5
 
 
+def _u64_windows(dpad: np.ndarray) -> np.ndarray:
+    """Overlapping little-endian u64 view over a zero-padded byte buffer:
+    ``out[i]`` is the 8 bytes starting at ``i``. One unaligned 8-byte load
+    per gathered element, replacing the (n, 8) 2-D fancy-index + copy the
+    frontier rounds used to pay per round (64 bytes of int64 index traffic
+    per 8 gathered bytes)."""
+    return np.ndarray(shape=(len(dpad) - 7,), dtype="<u8",
+                      buffer=dpad, strides=(1,))
+
+
 def _token_keys(view: ba.ByteArrayView) -> tuple[np.ndarray, np.ndarray]:
     """(u64 LE key, length) per token (all tokens are <= 8 bytes)."""
     lens = view.lengths.astype(np.int64)
     dpad = np.concatenate([view.data, np.zeros(8, dtype=np.uint8)])
-    win = np.arange(MAX_SYMBOL_LEN, dtype=np.int64)
-    w = np.ascontiguousarray(
-        dpad[view.offsets[:-1][:, None] + win]).view("<u8").ravel()
+    w = _u64_windows(dpad)[view.offsets[:-1]]
     with np.errstate(over="ignore"):
         mask = np.where(lens >= 8, np.uint64(0xFFFFFFFFFFFFFFFF),
                         (np.uint64(1) << (np.uint64(8) * lens.astype(np.uint64)))
@@ -129,7 +137,7 @@ def _tokenize(view: ba.ByteArrayView, lookup):
     data, offs, lens = view.data, view.offsets, view.lengths
     n = len(view)
     dpad = np.concatenate([data, np.zeros(MAX_SYMBOL_LEN, dtype=np.uint8)])
-    win = np.arange(MAX_SYMBOL_LEN, dtype=np.int64)
+    wall = _u64_windows(dpad)
     masks = {L: np.uint64((1 << (8 * L)) - 1) if L < 8
              else np.uint64(0xFFFFFFFFFFFFFFFF) for L, _, _ in lookup}
     pos = offs[:-1].copy()
@@ -139,7 +147,7 @@ def _tokenize(view: ba.ByteArrayView, lookup):
     while len(active):
         p = pos[active]
         rem = offs[active + 1] - p
-        w = np.ascontiguousarray(dpad[p[:, None] + win]).view("<u8").ravel()
+        w = wall[p]
         step = np.ones(len(active), dtype=np.int64)
         unmatched = np.ones(len(active), dtype=bool)
         for L, keys, _codes in lookup:
@@ -236,7 +244,7 @@ def encode(values) -> bytes:
 
     data, offs, lens = view.data, view.offsets, view.lengths
     dpad = np.concatenate([data, np.zeros(MAX_SYMBOL_LEN, dtype=np.uint8)])
-    win = np.arange(MAX_SYMBOL_LEN, dtype=np.int64)
+    wall = _u64_windows(dpad)
     masks = {L: np.uint64((1 << (8 * L)) - 1) if L < 8
              else np.uint64(0xFFFFFFFFFFFFFFFF) for L, _, _ in lookup}
 
@@ -251,7 +259,7 @@ def encode(values) -> bytes:
     while len(active):
         p = pos[active]
         rem = offs[active + 1] - p
-        w = np.ascontiguousarray(dpad[p[:, None] + win]).view("<u8").ravel()
+        w = wall[p]
         code = np.full(len(active), ESCAPE, dtype=np.int64)
         step = np.ones(len(active), dtype=np.int64)
         unmatched = np.ones(len(active), dtype=bool)

@@ -73,6 +73,30 @@ def encode(values: np.ndarray, bit_width: int) -> bytes:
         uniform = (g == g[:, :1]).all(axis=1)
         gval = g[:, 0]
 
+    # Pack ALL literal-group values with ONE packbits call (uniform width ->
+    # every group is exactly `bit_width` bytes); stretches slice into the
+    # shared buffer. A group belongs to a literal stretch iff it is itself
+    # non-uniform (stretch boundaries split exactly on uniformity flips), so
+    # the literal-group mask IS ~uniform — no stretch bookkeeping needed to
+    # pack. (#groups per stretch always < 2^31, so one header per literal
+    # stretch.)
+    packed = np.zeros(0, dtype=np.uint8)
+    if not uniform.all():
+        packed = np.frombuffer(bitpack.pack(g[~uniform].ravel(),
+                                            bit_width), dtype=np.uint8)
+    return _emit_stretches(out, n_groups, tail, a[n_groups * 8:], uniform,
+                           gval, packed, bit_width, vbytes, a.dtype)
+
+
+def _emit_stretches(out: bytearray, n_groups: int, tail: int,
+                    tail_vals: np.ndarray, uniform: np.ndarray,
+                    gval: np.ndarray, packed: np.ndarray, bit_width: int,
+                    vbytes: int, pad_dtype) -> bytes:
+    """Shared emit half of the hybrid encoder: per-group uniformity/value +
+    pre-packed literal-group bytes -> the RLE/literal stretch stream.
+    Factored out so :func:`encode_bit1_ones_with_zeros` can synthesize the
+    group quantities from run structure and emit BYTE-IDENTICAL output
+    through this exact code path."""
     # Stretch boundaries: a new stretch starts when uniformity flips, or when
     # two adjacent uniform groups carry different values.
     if n_groups == 1:
@@ -83,24 +107,10 @@ def encode(values: np.ndarray, bit_width: int) -> bytes:
         starts = np.concatenate(([0], np.flatnonzero(change) + 1))
     ends = np.concatenate((starts[1:], [n_groups]))
 
-    tail_vals = a[n_groups * 8:]
     tail_done = False
-
-    # Pack ALL literal-group values with ONE packbits call (uniform width ->
-    # every group is exactly `bit_width` bytes); stretches slice into the
-    # shared buffer. (#groups per stretch always < 2^31, so one header per
-    # literal stretch.)
     is_uni = uniform[starts]
     n_stretch = len(starts)
     lit_mask = ~is_uni
-    packed = np.zeros(0, dtype=np.uint8)
-    if lit_mask.any():
-        # gather every literal-stretch group with ONE boolean index (groups
-        # are already in stretch order, so the gather IS the concatenation)
-        # instead of a per-stretch slice/ravel/concat loop
-        lit_groups = np.repeat(lit_mask, ends - starts)
-        packed = np.frombuffer(bitpack.pack(g[lit_groups].ravel(),
-                                            bit_width), dtype=np.uint8)
 
     # header values + per-stretch payload byte counts, then ONE vectorized
     # interleave (varints via encode_uvarint_array; scatter like
@@ -145,12 +155,66 @@ def encode(values: np.ndarray, bit_width: int) -> bytes:
     out += buf.tobytes()
 
     if tail and not tail_done:
-        padded = np.zeros(8, dtype=a.dtype)
+        padded = np.zeros(8, dtype=pad_dtype)
         padded[:tail] = tail_vals
         out += encode_uvarint((1 << 1) | 1)
         out += bitpack.pack(padded, bit_width)
 
     return bytes(out)
+
+
+def encode_bit1_ones_with_zeros(n: int, zeros: np.ndarray) -> bytes:
+    """``encode(v, 1)`` for ``v = ones(n, int8); v[zeros] = 0`` — without
+    materializing ``v``.
+
+    The level streams of a list column are exactly this shape (rep: zeros
+    at row starts; def: zeros at empty rows), and the encoder only needs
+    per-GROUP facts: uniformity (zero count 0 or 8), the first value
+    (whether a zero sits on the group boundary), and the literal bytes
+    (0xFF with the zero bits cleared — zero positions are distinct, so a
+    summed scatter is the bitwise OR). All are O(#zeros + n/8); the n-slot
+    level array and its full-width RLE pass never exist. The emit runs
+    through :func:`_emit_stretches`, the same code path ``encode`` uses, so
+    the stream is byte-identical (fuzzed in tests/test_levels_fast.py).
+
+    ``zeros`` must be sorted, unique, in ``[0, n)``."""
+    if n == 0:
+        return b""
+    zeros = np.ascontiguousarray(zeros, dtype=np.int64)
+    n_groups = n >> 3
+    body_end = n_groups << 3
+    tail = n - body_end
+    split = int(np.searchsorted(zeros, body_end))
+    tail_vals = np.ones(tail, dtype=np.int8)
+    if split < len(zeros):
+        tail_vals[zeros[split:] - body_end] = 0
+    out = bytearray()
+    if n_groups == 0:
+        # Single partial group: emit one zero-padded literal group.
+        padded = np.zeros(8, dtype=np.int8)
+        padded[:n] = tail_vals
+        out += encode_uvarint((1 << 1) | 1)
+        out += bitpack.pack(padded, 1)
+        return bytes(out)
+    bz = zeros[:split]
+    packed = np.zeros(0, dtype=np.uint8)
+    if len(bz) == 0:
+        # all-ones body (the def stream of any page without empty rows):
+        # one uniform stretch, no group scans needed
+        uniform = np.ones(n_groups, dtype=bool)
+        gval = np.ones(n_groups, dtype=np.int8)
+    else:
+        zg = bz >> 3
+        czero = np.bincount(zg, minlength=n_groups)
+        uniform = (czero == 0) | (czero == 8)
+        gval = np.ones(n_groups, dtype=np.int8)
+        gval[zg[(bz & 7) == 0]] = 0
+        if not uniform.all():
+            bits = np.zeros(n_groups, dtype=np.int16)
+            np.add.at(bits, zg, (np.int64(1) << (bz & 7)).astype(np.int16))
+            packed = (255 - bits[~uniform]).astype(np.uint8)
+    return _emit_stretches(out, n_groups, tail, tail_vals, uniform, gval,
+                           packed, 1, _value_bytes(1), np.dtype(np.int8))
 
 
 def decode(buf, n_values: int, bit_width: int, pos: int = 0,
