@@ -324,8 +324,27 @@ def decode_length_prefixed(buf, n_values: int, bit_width: int, pos: int = 0,
     (``/root/reference/src/parquet/column_reader.cc:51-59``)."""
     ln = int.from_bytes(buf[pos: pos + 4], "little")
     payload_start = pos + 4
+    if bit_width == 1:
+        # the length prefix bounds the stream, so the run-level zero-
+        # position parse applies: one ones-fill + a sparse scatter instead
+        # of the per-run descriptor loop (rep streams of list columns are
+        # run-dense — ~2 runs per row)
+        vals = decode_bit1(buf, n_values, payload_start,
+                           payload_start + ln, out_dtype)
+        return vals, payload_start + ln
     vals, _ = decode(buf, n_values, bit_width, payload_start, out_dtype)
     return vals, payload_start + ln
+
+
+def decode_bit1(buf, n_values: int, pos: int, end: int,
+                out_dtype=np.int64) -> np.ndarray:
+    """Values of a bit-width-1 hybrid stream occupying ``buf[pos:end]``,
+    via :func:`bit1_zero_positions` (vectorized run parse) — equivalent to
+    :func:`decode` but with no per-run Python."""
+    zeros = bit1_zero_positions(buf, n_values, pos, end)
+    out = np.ones(n_values, dtype=out_dtype)
+    out[zeros] = 0
+    return out
 
 
 def bit1_zero_positions(buf, n_values: int, pos: int, end: int) -> np.ndarray:

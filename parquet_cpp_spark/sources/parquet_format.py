@@ -340,7 +340,22 @@ def _concat(parts: list):
     if len(parts) == 1:
         return parts[0]
     if isinstance(parts[0], ba.ByteArrayView):
-        return ba.from_list([v for p in parts for v in ba.to_list(p)])
+        # buffer-level concat: one data concatenate + shifted offsets —
+        # never materializes per-value Python bytes (the old to_list/
+        # from_list round-trip was a real cost at 10^5 strings per chunk)
+        data = np.concatenate([p.data for p in parts])
+        n = sum(len(p) for p in parts)
+        offs = np.zeros(n + 1, dtype=np.int64)
+        row = 0
+        acc = 0
+        for p in parts:
+            k = len(p)
+            offs[row + 1: row + k + 1] = p.offsets[1:]
+            if acc:
+                offs[row + 1: row + k + 1] += acc
+            row += k
+            acc += int(p.offsets[-1])
+        return ba.ByteArrayView(data, offs)
     if isinstance(parts[0], list):
         return [v for p in parts for v in p]
     return np.concatenate(parts)
@@ -372,12 +387,21 @@ def _decode_data_page_at(mv: memoryview, pos: int, leaf: LeafColumn,
         rep_len = dp.get(6, 0)
         if leaf.max_rep:
             bwr = max(1, int(leaf.max_rep).bit_length())
-            replev, _ = rle.decode(body, n_slots, bwr, 0,
-                                   out_dtype=np.int8)
+            if bwr == 1:
+                replev = rle.decode_bit1(body, n_slots, 0, rep_len,
+                                         out_dtype=np.int8)
+            else:
+                replev, _ = rle.decode(body, n_slots, bwr, 0,
+                                       out_dtype=np.int8)
         if leaf.max_def:
             bw = max(1, int(leaf.max_def).bit_length())
-            deflev, _ = rle.decode(body, n_slots, bw, rep_len,
-                                   out_dtype=np.int8)
+            if bw == 1:
+                deflev = rle.decode_bit1(body, n_slots, rep_len,
+                                         rep_len + def_len,
+                                         out_dtype=np.int8)
+            else:
+                deflev, _ = rle.decode(body, n_slots, bw, rep_len,
+                                       out_dtype=np.int8)
             n_present = int((deflev == leaf.max_def).sum())
         else:
             n_present = n_slots

@@ -192,17 +192,35 @@ def _leaf_array(node: _Node, ld: _LeafData, starts: np.ndarray,
     # makes big fancy-index temporaries the dominant assembly cost)
     contig = bool(n) and int(starts[-1]) - int(starts[0]) + 1 == n
     s0 = int(starts[0]) if n else 0
-    d0 = ld.deflv[s0:s0 + n] if contig else (
-        ld.deflv[starts] if n else np.zeros(0, dtype=np.int8))
-    present = d0 == ld.max_def
-    validity, null_count = _bitmap(present)
     dense0 = None          # dense-slice start when NO gather is needed
-    if contig and null_count == 0:
-        dense0 = int(np.count_nonzero(ld.deflv[:s0] == ld.max_def)) \
-            if ld.max_def else s0
-        gather = None
-    else:
-        gather = ld.dense_idx[starts] if n else np.zeros(0, dtype=np.int64)
+    gather = None
+    if not contig and n and ld.max_def:
+        # Gap-tolerant identity: when `starts` selects EXACTLY the
+        # present slots of its covered range (the gaps are marker slots —
+        # e.g. a handful of empty lists in an otherwise dense stream),
+        # the dense gather is an identity. A single empty row used to
+        # break raw contiguity and force the full dense_idx build plus
+        # 10^7-element fancy gathers; the check here is one contiguous
+        # pass over the range + one n-sized compare.
+        last = int(starts[-1])
+        pres_pos = np.flatnonzero(ld.deflv[s0:last + 1] == ld.max_def)
+        if len(pres_pos) == n and bool(np.array_equal(
+                pres_pos + np.int64(s0), starts)):
+            dense0 = int(np.count_nonzero(ld.deflv[:s0] == ld.max_def))
+            present = np.ones(n, dtype=bool)
+            validity, null_count = None, 0
+    if dense0 is None:
+        d0 = ld.deflv[s0:s0 + n] if contig else (
+            ld.deflv[starts] if n else np.zeros(0, dtype=np.int8))
+        present = d0 == ld.max_def
+        validity, null_count = _bitmap(present)
+        if contig and null_count == 0:
+            dense0 = int(np.count_nonzero(ld.deflv[:s0] == ld.max_def)) \
+                if ld.max_def else s0
+            gather = None
+        else:
+            gather = ld.dense_idx[starts] if n else \
+                np.zeros(0, dtype=np.int64)
     phys = fmt._PHYS[node.el[1]]
     if dense0 is not None and phys in ("int32", "int64", "float",
                                        "double") and node.el[1] != 3 \
@@ -216,7 +234,11 @@ def _leaf_array(node: _Node, ld: _LeafData, starts: np.ndarray,
         return pa.Array.from_buffers(
             typ, n, [validity, pa.py_buffer(out)], null_count=0)
     if gather is None:
-        gather = ld.dense_idx[starts] if n else np.zeros(0, dtype=np.int64)
+        # identity case: the dense indices are consecutive from dense0
+        gather = (np.arange(dense0, dense0 + n, dtype=np.int64)
+                  if dense0 is not None else
+                  (ld.dense_idx[starts] if n
+                   else np.zeros(0, dtype=np.int64)))
     if phys == "byte_array":
         idx = np.where(present, gather, 0)
         vals = ld.values if isinstance(ld.values, ba.ByteArrayView) \
@@ -312,6 +334,29 @@ def _leaf_array(node: _Node, ld: _LeafData, starts: np.ndarray,
         null_count=null_count)
 
 
+def _covered_positions(n_slots: int, lo: np.ndarray,
+                       lengths: np.ndarray) -> np.ndarray:
+    """Positions in the union of the disjoint ascending ranges
+    ``[lo[i], lo[i]+lengths[i])`` — equal to
+    ``_ranges(np.arange(n_slots), lo, lengths)`` but via a painted
+    coverage mask (+1 at starts, -1 past ends, prefix-sum, flatnonzero):
+    no identity arange, no per-range int64 index temporaries. The
+    near-tiling case (a few marker-slot gaps) is the whole-table read of
+    a list column with some empty rows."""
+    total = int(lengths.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    lo64 = lo.astype(np.int64, copy=False)
+    paint = np.zeros(n_slots + 1, dtype=np.int8)
+    np.add.at(paint, lo64, 1)
+    np.subtract.at(paint, lo64 + lengths, 1)
+    mask = np.cumsum(paint[:n_slots], dtype=np.int8)
+    out = np.flatnonzero(mask)
+    if len(out) != total:
+        raise ValueError("covered ranges overlap or exceed the stream")
+    return out
+
+
 def _ranges(arr: np.ndarray, lo: np.ndarray, lengths: np.ndarray):
     """Gather ``arr[lo[i]:lo[i]+lengths[i]]`` concatenated, loop-free.
 
@@ -377,9 +422,8 @@ def _expand(node_children_leaves: list, leaf_data: dict,
                 child_starts[lp] = np.arange(start, start + total,
                                              dtype=dt)
             else:
-                dt = np.int32 if l2.n_slots < 2 ** 31 else np.int64
-                child_starts[lp] = _ranges(
-                    np.arange(l2.n_slots, dtype=dt), lo_ne, c_ne)
+                child_starts[lp] = _covered_positions(l2.n_slots, lo_ne,
+                                                      c_ne)
         else:
             pos = np.flatnonzero(l2.rep <= r_child).astype(np.int64)
             lo = np.searchsorted(pos, s2)
