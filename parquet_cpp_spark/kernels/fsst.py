@@ -93,9 +93,11 @@ def train(values) -> list[bytes]:
         sample.append(v[: min(len(v), budget)])
         budget -= len(v)
     view = ba.from_list(sample)
-    symbols: list[bytes] = []
+    lookup: list = []
+    sym_keys = np.zeros(0, dtype=np.uint64)
+    sym_lens = np.zeros(0, dtype=np.int64)
     for _ in range(TRAIN_ITERATIONS):
-        tokens, sids = _tokenize(view, _lookup_arrays(symbols))
+        tokens, sids = _tokenize(view, lookup)
         tkeys, tlens = _token_keys(tokens)
         # adjacent same-string pairs, length-capped — arithmetic only
         ok = (sids[1:] == sids[:-1]) & (tlens[:-1] + tlens[1:]
@@ -125,8 +127,13 @@ def train(values) -> list[bytes]:
         # zero-padded key asc, then length asc ("a" < "a\\x00")
         be = ak.byteswap() if ak.dtype.byteorder != ">" else ak
         top = np.lexsort((al, be, -gmax))[:MAX_SYMBOLS]
-        symbols = [int(ak[i]).to_bytes(8, "little")[: al[i]] for i in top]
-    return symbols
+        # keep the table as (key, len) arrays between iterations — the
+        # per-iteration bytes-list materialization and _lookup_arrays
+        # re-parse were pure overhead; bytes are built once on return
+        sym_keys, sym_lens = ak[top], al[top]
+        lookup = _lookup_from_arrays(sym_keys, sym_lens)
+    return [int(k).to_bytes(8, "little")[: int(ln)]
+            for k, ln in zip(sym_keys.tolist(), sym_lens.tolist())]
 
 
 def _tokenize(view: ba.ByteArrayView, lookup):
@@ -136,6 +143,15 @@ def _tokenize(view: ba.ByteArrayView, lookup):
     scalar trainer's ``s[i:i+1]``."""
     data, offs, lens = view.data, view.offsets, view.lengths
     n = len(view)
+    if not lookup:
+        # no symbols yet (training iteration 1): every byte is its own
+        # escape token, in exactly concatenated-data order — skip the
+        # frontier loop (max-string-length rounds of tiny ops)
+        total = int(offs[-1])
+        return (ba.ByteArrayView(data,
+                                 np.arange(total + 1, dtype=np.int64)),
+                np.repeat(np.arange(n, dtype=np.int64),
+                          lens.astype(np.int64)))
     dpad = np.concatenate([data, np.zeros(MAX_SYMBOL_LEN, dtype=np.uint8)])
     wall = _u64_windows(dpad)
     masks = {L: np.uint64((1 << (8 * L)) - 1) if L < 8
@@ -226,6 +242,19 @@ def _lookup_arrays(symbols: list[bytes]):
         keys = np.array([k for k, _ in pairs], dtype=np.uint64)
         codes = np.array([c for _, c in pairs], dtype=np.int64)
         out.append((L, keys, codes))
+    return out
+
+
+def _lookup_from_arrays(keys: np.ndarray, lens: np.ndarray):
+    """:func:`_lookup_arrays` built straight from (u64 key, len) arrays
+    (codes = position in the array, the symbol's code by construction)."""
+    out = []
+    for L in sorted(set(lens.tolist()), reverse=True):
+        m = lens == L
+        codes = np.flatnonzero(m).astype(np.int64)
+        k = keys[m]
+        order = np.argsort(k, kind="stable")
+        out.append((int(L), k[order], codes[order]))
     return out
 
 
