@@ -309,7 +309,7 @@ def decode(buf, pos: int = 0, out_dtype=np.int64) -> tuple[np.ndarray, int]:
     pos += mb + sum(bs[pos: pos + n_used]) * mini_bytes
     hdr_pos = np.array(hdr_l, dtype=np.int64)
 
-    buf_u8 = np.frombuffer(mv, dtype=np.uint8, count=min(len(mv), pos + 8))
+    buf_u8 = np.frombuffer(mv, dtype=np.uint8, count=min(len(mv), pos + 16))
     # varint lengths from the continuation bits of a 4-byte window gather
     # (the final byte of a <=4-byte varint has bit 7 clear); rows whose
     # varint is longer than 4 bytes (|min_delta| >= 2^21... rare) re-gather
@@ -363,33 +363,40 @@ def decode(buf, pos: int = 0, out_dtype=np.int64) -> tuple[np.ndarray, int]:
     if w_max:
         # absolute in-buffer payload offsets (no segment join/copy): each
         # block's payload starts right after its width bytes
-        if len(buf_u8) >= pos + 8:
-            padded = buf_u8
+        if len(buf_u8) < pos + 16:
+            padded = np.concatenate([buf_u8, np.zeros(16, dtype=np.uint8)])
         else:
-            padded = np.concatenate([buf_u8, np.zeros(8, dtype=np.uint8)])
+            padded = buf_u8
         payload = padded
         w2d = widths.reshape(n_blocks, mb) * mini_bytes
         within = np.zeros((n_blocks, mb), dtype=np.int64)
         np.cumsum(w2d[:, :-1], axis=1, out=within[:, 1:])
         byte_offsets = ((wid_pos + mb)[:, None] + within).ravel()
-        rel = np.arange(mini_size, dtype=np.int64)
+        u64 = np.ndarray(shape=(max(len(padded) - 7, 0),), dtype="<u8",
+                         buffer=padded, strides=(1,))
         for w in np.unique(widths):
             if w == 0:
                 continue
             w = int(w)
             ids = np.flatnonzero(widths == w)
             if w <= 25:
-                # one unaligned u32 window load per value (overlapping
-                # stride-1 view): shift <= 7 and w <= 25, so 4 bytes always
-                # cover the value — replaces 2-4 byte-gathers each paying a
-                # full-size index pass
-                u32 = np.ndarray(shape=(len(padded) - 3,), dtype="<u4",
-                                 buffer=padded, strides=(1,))
-                rel_bit = rel * w
-                bytepos = byte_offsets[ids][:, None] + (rel_bit >> 3)[None, :]
-                shift = (rel_bit & 7).astype(np.uint32)
-                win = u32[bytepos]
-                vals[ids] = (win >> shift[None, :]) & np.uint32((1 << w) - 1)
+                # one unaligned u64 window load per Q consecutive values
+                # (overlapping stride-1 view): the in-window shift is at
+                # most 7 + (Q-1)*w, so Q*w + 7 <= 64 bits always cover all
+                # Q — a quarter (w <= 14) or half (w <= 25) of the index
+                # traffic of one gather per value
+                q_vals = 4 if w <= 14 else 2
+                rel_bit = np.arange(0, mini_size, q_vals,
+                                    dtype=np.int64) * w
+                bytepos = byte_offsets[ids][:, None] + \
+                    (rel_bit >> 3)[None, :]
+                shift = (rel_bit & 7).astype(np.uint64)
+                win = u64[bytepos]
+                mask = np.uint64((1 << w) - 1)
+                for q in range(q_vals):
+                    sh = (shift + np.uint64(q * w))[None, :]
+                    vals[ids, q::q_vals] = ((win >> sh) & mask) \
+                        .astype(np.uint32)
             else:
                 nb = w * (mini_size // 8)
                 rows = payload[byte_offsets[ids][:, None]

@@ -190,11 +190,26 @@ def _leaf_array(node: _Node, ld: _LeafData, starts: np.ndarray,
     # match means they tile one run — slice instead of 10^7-element
     # int64 gathers (the whole-table read shape; this host's allocator
     # makes big fancy-index temporaries the dominant assembly cost)
-    contig = bool(n) and int(starts[-1]) - int(starts[0]) + 1 == n
-    s0 = int(starts[0]) if n else 0
     dense0 = None          # dense-slice start when NO gather is needed
     gather = None
-    if not contig and n and ld.max_def:
+    if isinstance(starts, _MaskedStarts):
+        if n and ld.max_def and bool(np.array_equal(
+                starts.mask, ld.deflv == ld.max_def)):
+            # mask form of the identity fast path: covered slots are
+            # exactly the present slots of the whole stream — one
+            # elementwise compare, no position array on either side
+            present = np.ones(n, dtype=bool)
+            validity, null_count = None, 0
+            dense0 = 0
+        else:
+            starts = starts.positions
+    if dense0 is not None:
+        contig = True          # unused past this point; keep names bound
+        s0 = 0
+    else:
+        contig = bool(n) and int(starts[-1]) - int(starts[0]) + 1 == n
+        s0 = int(starts[0]) if n else 0
+    if dense0 is None and not contig and n and ld.max_def:
         # Gap-tolerant identity: when `starts` selects EXACTLY the
         # present slots of its covered range (the gaps are marker slots —
         # e.g. a handful of empty lists in an otherwise dense stream),
@@ -334,15 +349,46 @@ def _leaf_array(node: _Node, ld: _LeafData, starts: np.ndarray,
         null_count=null_count)
 
 
+class _MaskedStarts:
+    """Covered slot positions represented as a full-stream boolean mask,
+    materialized to an index array only on demand.
+
+    Produced by :func:`_covered_positions` for the near-tiling case (a
+    whole-table list read with some empty rows): the mask lets
+    ``_leaf_array`` prove its identity fast path with one elementwise
+    compare against ``deflv == max_def`` — neither side ever builds the
+    10^7-element int64 position array unless a consumer truly needs it."""
+
+    __slots__ = ("mask", "total", "_pos")
+
+    def __init__(self, mask: np.ndarray, total: int):
+        self.mask = mask
+        self.total = total
+        self._pos = None
+
+    def __len__(self) -> int:
+        return self.total
+
+    @property
+    def positions(self) -> np.ndarray:
+        if self._pos is None:
+            self._pos = np.flatnonzero(self.mask)
+        return self._pos
+
+
+def _positions(starts):
+    """Materialize a starts operand (ndarray | _MaskedStarts) to indices."""
+    return starts.positions if isinstance(starts, _MaskedStarts) else starts
+
+
 def _covered_positions(n_slots: int, lo: np.ndarray,
-                       lengths: np.ndarray) -> np.ndarray:
-    """Positions in the union of the disjoint ascending ranges
+                       lengths: np.ndarray):
+    """Slots in the union of the disjoint ascending ranges
     ``[lo[i], lo[i]+lengths[i])`` — equal to
     ``_ranges(np.arange(n_slots), lo, lengths)`` but via a painted
-    coverage mask (+1 at starts, -1 past ends, prefix-sum, flatnonzero):
-    no identity arange, no per-range int64 index temporaries. The
-    near-tiling case (a few marker-slot gaps) is the whole-table read of
-    a list column with some empty rows."""
+    coverage mask (+1 at starts, -1 past ends, prefix-sum): no identity
+    arange, no per-range int64 index temporaries. Returns a lazy
+    :class:`_MaskedStarts`."""
     total = int(lengths.sum())
     if total == 0:
         return np.empty(0, dtype=np.int64)
@@ -350,11 +396,8 @@ def _covered_positions(n_slots: int, lo: np.ndarray,
     paint = np.zeros(n_slots + 1, dtype=np.int8)
     np.add.at(paint, lo64, 1)
     np.subtract.at(paint, lo64 + lengths, 1)
-    mask = np.cumsum(paint[:n_slots], dtype=np.int8)
-    out = np.flatnonzero(mask)
-    if len(out) != total:
-        raise ValueError("covered ranges overlap or exceed the stream")
-    return out
+    mask = np.cumsum(paint[:n_slots], dtype=np.int8).view(bool)
+    return _MaskedStarts(mask, total)
 
 
 def _ranges(arr: np.ndarray, lo: np.ndarray, lengths: np.ndarray):
@@ -393,13 +436,16 @@ def _expand(node_children_leaves: list, leaf_data: dict,
     ld = leaf_data[repr_leaf]
     s = starts[repr_leaf]
     n = len(s)
-    d0 = ld.deflv[s] if n else np.zeros(0, dtype=np.int8)
+    if isinstance(s, _MaskedStarts):
+        d0 = ld.deflv[s.mask]       # boolean gather, slot order preserved
+    else:
+        d0 = ld.deflv[s] if n else np.zeros(0, dtype=np.int8)
     nonempty = d0 >= d_list + 1
     n_elem = None
     child_starts = {}
     for lp in node_children_leaves:
         l2 = leaf_data[lp]
-        s2 = starts[lp]
+        s2 = _positions(starts[lp])
         ctx = np.flatnonzero(l2.rep <= r_ctx).astype(np.int64)
         j = np.searchsorted(ctx, s2)             # s2[i] == ctx[j[i]]
         ends = np.where(j + 1 < len(ctx),
@@ -517,7 +563,10 @@ def _build(node: _Node, leaf_data: dict, starts: dict, d_base: int,
     leaves = _leaves_under(node)
     ld = leaf_data[leaves[0]]
     s = starts[leaves[0]]
-    d0 = ld.deflv[s] if len(s) else np.zeros(0, dtype=np.int8)
+    if isinstance(s, _MaskedStarts):
+        d0 = ld.deflv[s.mask]
+    else:
+        d0 = ld.deflv[s] if len(s) else np.zeros(0, dtype=np.int8)
     d_n = d_base + opt
     present = d0 >= d_n if opt else d0 >= d_base
     children, fields = [], []
