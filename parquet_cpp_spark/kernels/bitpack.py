@@ -68,12 +68,19 @@ def pack_rows(vals: np.ndarray, bit_width: int) -> np.ndarray:
     w = bit_width
     nwords = (m * w + 63) // 64
     acc = np.zeros((k, nwords), dtype=np.uint64)
-    for i in range(m):
-        bit = i * w
-        wl, sh = bit >> 6, bit & 63
-        acc[:, wl] |= vals[:, i] << np.uint64(sh)
-        if sh + w > 64:
-            acc[:, wl + 1] |= vals[:, i] >> np.uint64(64 - sh)
+    # Cache-blocked like pack_rows32 (see there): acc crosses DRAM once,
+    # not m times. 8k rows x <=8 words x 8 B = <=512 KiB acc per block.
+    B = 8192
+    for s in range(0, k, B):
+        e = min(s + B, k)
+        ab = acc[s:e]
+        vb = vals[s:e]
+        for i in range(m):
+            bit = i * w
+            wl, sh = bit >> 6, bit & 63
+            ab[:, wl] |= vb[:, i] << np.uint64(sh)
+            if sh + w > 64:
+                ab[:, wl + 1] |= vb[:, i] >> np.uint64(64 - sh)
     if acc.dtype.byteorder == ">":
         acc = acc.byteswap()
     return acc.view(np.uint8).reshape(k, nwords * 8)[:, : m * w // 8]
@@ -89,12 +96,26 @@ def pack_rows32(vals: np.ndarray, bit_width: int) -> np.ndarray:
     w = bit_width
     nwords = (m * w + 31) // 32
     acc = np.zeros((k, nwords), dtype=np.uint32)
-    for i in range(m):
-        bit = i * w
-        wl, sh = bit >> 5, bit & 31
-        acc[:, wl] |= vals[:, i] << np.uint32(sh)
-        if sh + w > 32:
-            acc[:, wl + 1] |= vals[:, i] >> np.uint32(32 - sh)
+    # Cache-blocked accumulation: the m shift/or passes re-touch every acc
+    # word, so running them over the whole (k, nwords) array makes the
+    # accumulator traffic m x its size in DRAM. Blocking rows keeps each
+    # block's acc (and its vals rows) L2-resident across all m passes —
+    # acc crosses DRAM once instead of m times. 16k rows x <=7 words x 4 B
+    # = <=448 KiB acc + 512 KiB vals per block. Measured 27-43% faster on
+    # the bench width profile single-core; the traffic cut is the point at
+    # 32 cores (DRAM-throttled host). Bitstream identical: same ors, same
+    # destinations, just a different iteration order over rows.
+    B = 16384
+    for s in range(0, k, B):
+        e = min(s + B, k)
+        ab = acc[s:e]
+        vb = vals[s:e]
+        for i in range(m):
+            bit = i * w
+            wl, sh = bit >> 5, bit & 31
+            ab[:, wl] |= vb[:, i] << np.uint32(sh)
+            if sh + w > 32:
+                ab[:, wl + 1] |= vb[:, i] >> np.uint32(32 - sh)
     if acc.dtype.byteorder == ">":
         acc = acc.byteswap()
     return acc.view(np.uint8).reshape(k, nwords * 4)[:, : m * w // 8]

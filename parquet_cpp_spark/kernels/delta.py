@@ -222,6 +222,8 @@ def _emit_super(mins: np.ndarray, widths: np.ndarray, minis: np.ndarray,
         # (LE u32 == the same 4 bytes in sequence).
         out32 = np.ndarray(shape=(max(total - 3, 0),), dtype="<u4",
                            buffer=outb, strides=(1,)) if total >= 4 else None
+        out64 = np.ndarray(shape=(max(total - 7, 0),), dtype="<u8",
+                           buffer=outb, strides=(1,)) if total >= 8 else None
         for w in distinct.tolist():
             ids = np.flatnonzero(widths == w)
             # all-one-width: skip the (full-copy) gather, pack in place
@@ -230,7 +232,15 @@ def _emit_super(mins: np.ndarray, widths: np.ndarray, minis: np.ndarray,
             rows = _pack_group(rvals, w).reshape(len(ids), 4 * w)
             # intp indices: numpy upcasts narrower index arrays before
             # the scatter (an int32 "saving" costs an extra pass)
-            if out32 is not None:
+            if out64 is not None and w % 2 == 0:
+                # even width: 4w bytes is a whole number of u64 words —
+                # 8-byte stores through the overlapping stride-1 u64 view
+                # halve the scatter's index traffic again vs u32 words
+                dst = mini_dst0[ids][:, None] + \
+                    np.arange(0, 4 * w, 8, dtype=np.int64)
+                out64[dst.reshape(-1)] = \
+                    np.ascontiguousarray(rows).view("<u8").reshape(-1)
+            elif out32 is not None:
                 dst = mini_dst0[ids][:, None] + \
                     np.arange(0, 4 * w, 4, dtype=np.int64)
                 out32[dst.reshape(-1)] = \
