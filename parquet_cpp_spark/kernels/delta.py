@@ -367,9 +367,19 @@ def decode(buf, pos: int = 0, out_dtype=np.int64) -> tuple[np.ndarray, int]:
     # width decode with one byte-window gather (value i of mini m sits in
     # the 4-byte LE window at payload[B_m + (i*w)//8] >> (i*w)%8). ~4 bytes
     # of traffic per value — no per-bit matrices (DRAM-bound host).
+    # The per-block min_delta is added HERE, fused into the unpack while the
+    # values are register/cache-hot — the old separate
+    # ``deltas += mins[:, None]`` pass re-read and re-wrote the whole value
+    # matrix from DRAM. Wrap-exact: idt addition wraps mod 2^32/2^64
+    # exactly like the old in-place block add did.
     nmini = n_blocks * miniblocks
-    vals = np.zeros((nmini, mini_size), dtype=idt)
+    vals = np.empty((nmini, mini_size), dtype=idt)
+    mins_mini = np.repeat(mins.astype(idt), miniblocks)
     w_max = int(widths.max()) if nmini else 0
+    zero_ids = np.flatnonzero(widths == 0)
+    if len(zero_ids):
+        # width-0 minis decode to all-min_delta (payload-less)
+        vals[zero_ids] = mins_mini[zero_ids][:, None]
     if w_max:
         # absolute in-buffer payload offsets (no segment join/copy): each
         # block's payload starts right after its width bytes
@@ -389,6 +399,7 @@ def decode(buf, pos: int = 0, out_dtype=np.int64) -> tuple[np.ndarray, int]:
                 continue
             w = int(w)
             ids = np.flatnonzero(widths == w)
+            adds = mins_mini[ids]
             if w <= 25:
                 # one unaligned u64 window load per Q consecutive values
                 # (overlapping stride-1 view): the in-window shift is at
@@ -403,10 +414,22 @@ def decode(buf, pos: int = 0, out_dtype=np.int64) -> tuple[np.ndarray, int]:
                 shift = (rel_bit & 7).astype(np.uint64)
                 win = u64[bytepos]
                 mask = np.uint64((1 << w) - 1)
+                # unpack into a contiguous (len, windows, Q) temp — value
+                # index inside a mini is window*Q + q, so the C-order
+                # reshape IS mini order; one row-gather write into vals
+                # replaces Q strided fancy writes
+                nwin = mini_size // q_vals
+                tmp = np.empty((len(ids), nwin, q_vals), dtype=idt)
                 for q in range(q_vals):
                     sh = (shift + np.uint64(q * w))[None, :]
-                    vals[ids, q::q_vals] = ((win >> sh) & mask) \
-                        .astype(np.uint32)
+                    uq = ((win >> sh) & mask)
+                    if idt == np.int32:
+                        tmp[:, :, q] = uq.astype(np.uint32) \
+                            + adds.view(np.uint32)[:, None]
+                    else:
+                        tmp[:, :, q] = (uq + adds.view(np.uint64)[:, None]) \
+                            .view(np.int64)
+                vals[ids] = tmp.reshape(len(ids), mini_size)
             else:
                 nb = w * (mini_size // 8)
                 rows = payload[byte_offsets[ids][:, None]
@@ -414,13 +437,15 @@ def decode(buf, pos: int = 0, out_dtype=np.int64) -> tuple[np.ndarray, int]:
                 bits = np.unpackbits(rows, axis=1, bitorder="little") \
                     .reshape(len(ids) * mini_size, w)
                 vals[ids] = bitpack.values_from_bits(bits, w, np.int64) \
-                    .reshape(len(ids), mini_size).astype(idt)
+                    .reshape(len(ids), mini_size).astype(idt) \
+                    + adds[:, None]
 
-    deltas = vals.reshape(n_blocks, block_size)
-    # mins cast to the narrow lane first: the in-place add then wraps mod
-    # 2^32 exactly like the final values do
-    np.add(deltas, mins.astype(idt)[:, None], out=deltas)
-    deltas = deltas.reshape(-1)[:nd]
-    np.cumsum(deltas, out=deltas)
-    out[1:] = out[0] + deltas
+    deltas = vals.reshape(-1)[:nd]
+    # seed the running sum with the first value, then cumsum STRAIGHT into
+    # the output slice — the old flow added mins blockwise (now fused into
+    # pass 2), cumsummed in place, and copied into out: two fewer
+    # full-size passes
+    with np.errstate(over="ignore"):  # seed wraps mod 2^32 by design
+        deltas[0] += out[0]
+    np.cumsum(deltas, out=out[1:])
     return out.astype(out_dtype, copy=False), pos
