@@ -83,7 +83,11 @@ def from_arrow(arr) -> ByteArrayView:
     import pyarrow as pa
 
     if isinstance(arr, pa.ChunkedArray):
-        arr = arr.combine_chunks()
+        # single unsliced chunk: skip combine_chunks' unconditional copy
+        if arr.num_chunks == 1 and arr.chunk(0).offset == 0:
+            arr = arr.chunk(0)
+        else:
+            arr = arr.combine_chunks()
     if arr.null_count:
         raise ValueError("from_arrow: nulls must be handled by the caller")
     if not pa.types.is_large_binary(arr.type):

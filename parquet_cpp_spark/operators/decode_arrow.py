@@ -17,6 +17,7 @@ import numpy as np
 
 from .. import chunk as chunkmod
 from .decode import DECODED_SCHEMA
+from .encode_arrow import one_chunk
 
 
 def _strings(values):
@@ -114,7 +115,7 @@ def _decode_table(tbl, verify_checksums: bool = False):
 
     part_ids = tbl.column("part_id").to_numpy(zero_copy_only=False)
     cols = tbl.column("col").to_pylist()
-    blob_col = tbl.column("blob").combine_chunks()
+    blob_col = one_chunk(tbl.column("blob"))
     checksums = (tbl.column("checksum").to_pylist()
                  if verify_checksums and "checksum" in tbl.column_names
                  else None)
@@ -386,7 +387,7 @@ def decode_chunks_typed(chunks_df, columns: dict[str, str],
         tbl = pa.Table.from_batches(batch_list)
         part_ids = tbl.column("part_id").to_numpy(zero_copy_only=False)
         cols = tbl.column("col").to_pylist()
-        blob_col = tbl.column("blob").combine_chunks()
+        blob_col = one_chunk(tbl.column("blob"))
         checksums = (tbl.column("checksum").to_pylist()
                      if verify_checksums and "checksum" in tbl.column_names
                      else None)

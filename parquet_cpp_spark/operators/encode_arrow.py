@@ -28,6 +28,19 @@ from .. import selector
 from .encode import CHUNK_SCHEMA, TOKEN_TABLE_COLUMNS
 
 
+def one_chunk(col):
+    """ChunkedArray -> Array without the copy ``combine_chunks`` pays even
+    for a single chunk (measured 11 ms per 6.4M-value list column — pure
+    waste on every row group). The shortcut only fires for an unsliced
+    single chunk, so the result is indistinguishable from
+    ``combine_chunks`` for every downstream consumer."""
+    if col.num_chunks == 1:
+        c = col.chunk(0)
+        if c.offset == 0:
+            return c
+    return col.combine_chunks()
+
+
 def list_int32_values(column, nullable: bool = False):
     """Arrow list<int32> array -> (dense values, slot lengths per row,
     element validity or None), straight from Arrow buffers. With
@@ -206,7 +219,7 @@ def _arrow_column_values(tbl, col: str, phys: str,
         # entries-per-row length stream (the repeated key_value group)
         import pyarrow.compute as pc
         base = col.split(".", 1)[0]
-        column = tbl.column(base).combine_chunks()
+        column = one_chunk(tbl.column(base))
         if column.null_count:
             raise ValueError(f"null maps in column {base!r}  not supported")
         # entries per row straight from the map's list offsets (pyarrow has
@@ -228,7 +241,7 @@ def _arrow_column_values(tbl, col: str, phys: str,
         return vals, lengths, None, None, None
 
     base = col.split(".", 1)[0] if path else col
-    column = tbl.column(base).combine_chunks()
+    column = one_chunk(tbl.column(base))
     for field in path:
         column = column.field(field)
     if phys.endswith("?") and not phys.startswith("list<"):

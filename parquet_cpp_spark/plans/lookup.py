@@ -242,7 +242,11 @@ def point_lookup(chunks_df: DataFrame, doc_id: str) -> DataFrame:
         tbl = pa.Table.from_batches(batch_list)
         pids = tbl.column("part_id").to_numpy(zero_copy_only=False)
         cols = tbl.column("col").to_pylist()
-        blob_col = tbl.column("blob").combine_chunks()
+        blob_chunked = tbl.column("blob")
+        blob_col = (blob_chunked.chunk(0)
+                    if blob_chunked.num_chunks == 1
+                    and blob_chunked.chunk(0).offset == 0
+                    else blob_chunked.combine_chunks())
         by_part: dict[int, dict] = {}
         for i, (pid, c) in enumerate(zip(pids.tolist(), cols)):
             by_part.setdefault(pid, {})[c] = \

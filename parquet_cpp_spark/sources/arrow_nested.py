@@ -70,7 +70,10 @@ class ArrowColumn:
         import pyarrow as pa
 
         if isinstance(array, pa.ChunkedArray):
-            array = array.combine_chunks()
+            if array.num_chunks == 1 and array.chunk(0).offset == 0:
+                array = array.chunk(0)   # skip combine_chunks' copy
+            else:
+                array = array.combine_chunks()
             if isinstance(array, pa.ChunkedArray):  # older pyarrow
                 array = array.chunk(0) if array.num_chunks \
                     else pa.array([], type=array.type)

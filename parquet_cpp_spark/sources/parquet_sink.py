@@ -326,7 +326,13 @@ def specs_from_arrow(tbl):
             return (name, phys, vals, valid, phys == "byte_array")
 
     for name in tbl.column_names:
-        col = tbl.column(name).combine_chunks()
+        col = tbl.column(name)
+        if isinstance(col, pa.ChunkedArray):
+            # single unsliced chunk: skip combine_chunks' copy
+            if col.num_chunks == 1 and col.chunk(0).offset == 0:
+                col = col.chunk(0)
+            else:
+                col = col.combine_chunks()
         if isinstance(col, pa.ChunkedArray):   # older pyarrow: 1-chunk CA
             col = col.chunk(0) if col.num_chunks \
                 else pa.array([], type=col.type)
