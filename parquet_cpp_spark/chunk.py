@@ -235,8 +235,11 @@ def compute_stats(values, phys: str) -> ChunkStats:
 
 
 def _encode_int_payload(values: np.ndarray, codec: int, phys: str,
-                        dict_size_limit: int) -> tuple[bytes, list[str], bool, dict]:
-    """Returns (sections, encodings, fallback, extras)."""
+                        dict_size_limit: int,
+                        delta_narrow: "bool | None" = None
+                        ) -> tuple[bytes, list[str], bool, dict]:
+    """Returns (sections, encodings, fallback, extras). ``delta_narrow``:
+    chunk-global narrow-lane hint for DELTA (see delta.encode)."""
     if codec == PLAIN:
         return _sec(plain.encode_fixed(values, phys)), ["PLAIN"], False, {}
     if codec == DELTA_BINARY_PACKED:
@@ -246,7 +249,8 @@ def _encode_int_payload(values: np.ndarray, codec: int, phys: str,
             # delta/cumsum reconstructs it exactly (decode re-views)
             values = np.ascontiguousarray(values, dtype=np.uint64) \
                 .view(np.int64)
-        return _sec(delta.encode(values)), ["DELTA_BINARY_PACKED"], False, {}
+        return _sec(delta.encode(values, narrow=delta_narrow)), \
+            ["DELTA_BINARY_PACKED"], False, {}
     if codec == RLE:
         mx = int(values.max()) if len(values) else 0
         mn = int(values.min()) if len(values) else 0
@@ -871,7 +875,8 @@ def _page_stats_bytes(values, phys: str, lo: int, hi: int) -> bytes:
 
 
 def _page_payload(values, phys: str, page_codec: int, lo: int, hi: int,
-                  dict_codes=None, dict_bw: int = 0) -> bytes:
+                  dict_codes=None, dict_bw: int = 0,
+                  delta_narrow: "bool | None" = None) -> bytes:
     """Value payload sections for one page (uncompressed form, no levels)."""
     if page_codec == RLE_DICTIONARY:
         payload = bytes([dict_bw]) + rle.encode(dict_codes[lo: hi], dict_bw)
@@ -882,8 +887,8 @@ def _page_payload(values, phys: str, page_codec: int, lo: int, hi: int,
                                                      1 << 62)
     else:
         seg = values[lo: hi]
-        secs, _encs, _fb, _x = _encode_int_payload(seg, page_codec, phys,
-                                                   1 << 62)
+        secs, _encs, _fb, _x = _encode_int_payload(
+            seg, page_codec, phys, 1 << 62, delta_narrow=delta_narrow)
     return secs
 
 
@@ -944,6 +949,17 @@ def _encode_chunk_paged(values, phys: str, codec: int, *,
     else:
         rbounds = vbounds
 
+    # chunk-global narrow-lane check for DELTA pages: every page's span is
+    # within the chunk's, so one min/max pass here replaces one per page
+    # (two extra full-column passes per chunk). Span >= 2^31 keeps None so
+    # individual pages can still qualify. Bytes identical either way.
+    delta_narrow = None
+    if codec == DELTA_BINARY_PACKED and n_values and values.dtype in (
+            np.dtype(np.int32), np.dtype(np.uint32),
+            np.dtype(np.int16), np.dtype(np.uint16)):
+        if int(values.max()) - int(values.min()) < (1 << 31):
+            delta_narrow = True
+
     levels_raw = 0
     pages: list[bytes] = []
     for lo, hi, rlo, rhi in zip(vbounds[:-1], vbounds[1:],
@@ -959,7 +975,8 @@ def _encode_chunk_paged(values, phys: str, codec: int, *,
             levels_raw += 2 * int(np.maximum(row_lengths[rlo: rhi],
                                              1).sum())
         payload_b = _page_payload(values, phys, page_codec, lo, hi,
-                                  dict_codes, dict_bw)
+                                  dict_codes, dict_bw,
+                                  delta_narrow=delta_narrow)
         v2 = data_page_version == 2
         if compression != UNCOMPRESSED:
             # DataPageV2 keeps levels readable outside the compressed

@@ -49,13 +49,20 @@ _SUPER = 1 << 19
 _POW2 = np.uint64(1) << np.arange(64, dtype=np.uint64)
 
 
-def encode(values: np.ndarray, wrap32: bool = False) -> bytes:
+def encode(values: np.ndarray, wrap32: bool = False,
+           narrow: "bool | None" = None) -> bytes:
     """``wrap32``: force mod-2^32 delta arithmetic for 4-byte inputs even
     when the value span exceeds 2^31 — the parquet-format convention for
     INT32 columns (miniblock widths must stay <= 32; readers reconstruct
     with wrapping accumulation). Off by default: the engine's own chunk
     blobs use the full int64 delta space for wide spans (golden-pinned),
-    and the two byte streams differ only in that case."""
+    and the two byte streams differ only in that case.
+
+    ``narrow=True``: caller asserts the value span fits 31 bits (e.g. a
+    chunk-global min/max over a superset of these values), skipping the
+    per-call min/max scan — the paged chunk path otherwise re-scans
+    every page, two extra full passes per chunk. Purely a lane hint:
+    output bytes are identical either way."""
     v = np.ascontiguousarray(values)
     n = len(v)
     out = bytearray()
@@ -83,10 +90,14 @@ def encode(values: np.ndarray, wrap32: bool = False) -> bytes:
     # Output bytes are IDENTICAL: the same integers flow into the same
     # pack/emit, just from a narrower lane (goldens pin this). The span
     # check is one vectorized min/max pass over the input.
-    narrow = False
     if v.dtype in (np.dtype(np.int32), np.dtype(np.uint32),
                    np.dtype(np.int16), np.dtype(np.uint16)):
-        narrow = wrap32 or int(v.max()) - int(v.min()) < (1 << 31)
+        if narrow is None:
+            narrow = wrap32 or int(v.max()) - int(v.min()) < (1 << 31)
+        elif wrap32:
+            narrow = True
+    else:
+        narrow = False
     ddt = np.int32 if narrow else np.int64
 
     for s in range(0, nd, _SUPER):
